@@ -1,0 +1,88 @@
+package graft
+
+import graft.core.MinHashConfig
+import graft.plans.CheckpointedPipeline
+import graft.sources.CorpusGen
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** spark-submit entry point: the production near-dup + clustering job.
+  *
+  * Usage:
+  *   graft.Main --input <parquet path | synth:<nFiles>> --output <dir>
+  *     [--shingle 3] [--signature 100] [--bandrows 4] [--seed 13]
+  *     [--threshold 0.1] [--star-cap N] [--text-col content] [--id-col doc_id]
+  *
+  * `synth:<n>` generates the deterministic source-code corpus (CorpusGen)
+  * in-flight — no external data. A parquet input is any table with an id
+  * column and a text column (defaults: doc_id/content; for the driver's
+  * documents.parquet use --text-col text).
+  *
+  * The job is resumable: rerunning with the same input/config/output picks
+  * up after the last committed stage (see CheckpointedPipeline).
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val opts = parse(args.toList, Map.empty)
+    val input = opts.getOrElse("input", sys.error("--input required"))
+    val output = opts.getOrElse("output", sys.error("--output required"))
+    val cfg = MinHashConfig(
+      shingleSize = opts.getOrElse("shingle", "3").toInt,
+      signatureSize = opts.getOrElse("signature", "100").toInt,
+      nBandRows = opts.getOrElse("bandrows", "4").toInt,
+      seed = opts.getOrElse("seed", "13").toInt,
+      threshold = opts.getOrElse("threshold", "0.1").toDouble
+    )
+    val starCap = opts.get("star-cap").map(_.toInt)
+    // spark-submit injects spark.master as a system property; only default
+    // to local[*] when launched directly (sbt runMain / tests).
+    val master = sys.props.getOrElse(
+      "spark.master",
+      sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]")
+    )
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName("graft-minhash-dedup")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs =
+      if (input.startsWith("synth:")) {
+        val n = input.stripPrefix("synth:").toLong
+        CorpusGen.withDocIds(CorpusGen.sourceFiles(spark, n))
+      } else {
+        val idCol = opts.getOrElse("id-col", "doc_id")
+        val textCol = opts.getOrElse("text-col", "content")
+        spark.read
+          .parquet(input)
+          .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("content"))
+      }
+
+    val t0 = System.nanoTime()
+    val pipe = new CheckpointedPipeline(spark, cfg, output, starCap)
+    val (clusters, log) = pipe.run(docs)
+    val nDocs = docs.count()
+    val nClusters = clusters.select("cluster_id").distinct().count()
+    val nPairs = spark.read.parquet(s"$output/pairs").count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(
+      s"""{"docs":$nDocs,"pairs":$nPairs,"clusters":$nClusters,""" +
+        s""""sec":$sec,"files_per_sec":${nDocs / sec},"stages":"$log"}"""
+    )
+    spark.stop()
+  }
+
+  @annotation.tailrec
+  private def parse(args: List[String], acc: Map[String, String]): Map[String, String] =
+    args match {
+      case Nil => acc
+      case key :: value :: rest if key.startsWith("--") =>
+        parse(rest, acc + (key.stripPrefix("--") -> value))
+      case other :: _ => sys.error(s"unexpected argument: $other")
+    }
+}

@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.core.{MinHashConfig, SignatureKernel}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Row of the `signatures` checkpoint table. */
+final case class DocSignature(doc_id: Long, signature: Array[Int], bands: Array[Int])
+
+/** The Spark-native near-duplicate pipeline. Same dataflow semantics as the
+  * reference's `mh_main` (/root/reference/src/MPI/minhash.c:10-105), but the
+  * physical plan is Spark's, not MPI's:
+  *
+  *   - the reference's replicate-everything allgather
+  *     (/root/reference/src/MPI/minhash.c:221-273) is deleted: the LSH band
+  *     becomes a bucket-join key, so the shuffle moves only bucket members
+  *   - the O(n²) all-pairs scan (/root/reference/src/MPI/minhash.c:275-305)
+  *     is replaced by a bucket equi-join that enumerates exactly the pairs
+  *     the reference's band gate (is_candidate_pair,
+  *     /root/reference/src/MPI/utils.c:89-96) would pass — same candidate
+  *     relation, emitted once with doc1 < doc2 (SURVEY.md Q5/Q13)
+  *
+  * Scale notes (the 100 TB story):
+  *   - signatures: one narrow mapPartitions pass, no shuffle; the kernel is
+  *     fused (tokenize→shingle→minhash→band fold) with preallocated arrays
+  *   - candidates: one shuffle on (band_idx, band_hash). Skewed buckets
+  *     (boilerplate/license clones, the Q3 all-MAX bucket) are inherent to
+  *     the *semantics* (a bucket of B mutual dups has B(B-1)/2 pairs).
+  *     AQE skew-join splitting handles the join-side skew; for production
+  *     runs `starCapBucketSize` caps the quadratic *output* by emitting a
+  *     star (hub = min doc_id) instead of the full clique for oversized
+  *     buckets — connected components (and hence clusters/recall) are
+  *     preserved, pair listing is linear in bucket size. Parity mode
+  *     (None) emits the full clique to byte-match the reference.
+  *   - pairs: two shuffle joins of candidates against the (narrow)
+  *     signatures table; similarity via codegen'd zip_with/aggregate —
+  *     no UDF, stays inside WholeStageCodegen.
+  */
+object MinHashPipeline {
+
+  /** Stage A (narrow): content -> (signature, bands). One pass per doc.
+    * Input must have columns (doc_id: long, content: string).
+    */
+  def signatures(docs: DataFrame, cfg: MinHashConfig): Dataset[DocSignature] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"), col("content").cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, content) =>
+          val (sig, bands) = SignatureKernel.compute(if (content == null) "" else content, cfg)
+          DocSignature(id, sig, bands)
+        }
+      }
+  }
+
+  /** LSH bucket rows: (doc_id, band_idx, band_hash). posexplode keeps the
+    * band position, because the reference's candidate gate compares bands
+    * POSITIONALLY (same band index on both sides, SURVEY.md Q5).
+    */
+  def bandBuckets(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+
+  /** Stage B: candidate pairs via LSH bucket self-join.
+    *
+    * Self-join (not groupBy+collect_list) so a huge bucket never has to fit
+    * in one task's memory as an array; Spark's join buffers spill, and AQE
+    * splits skewed partitions. `distinct` implements the reference's
+    * ∃-band semantics: a pair colliding in several bands is emitted once.
+    *
+    * @param starCapBucketSize if set, buckets with more than this many
+    *   members emit hub-star pairs (min_doc, member) instead of the full
+    *   clique — cluster-preserving skew armor for production scale. None =
+    *   exact reference parity (full clique).
+    */
+  def candidates(sigs: DataFrame, starCapBucketSize: Option[Int] = None): DataFrame = {
+    val buckets = bandBuckets(sigs)
+    starCapBucketSize match {
+      case None =>
+        val a = buckets.alias("a")
+        val b = buckets.alias("b")
+        a.join(
+            b,
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_hash") === col("b.band_hash") &&
+              col("a.doc_id") < col("b.doc_id")
+          )
+          .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+          .distinct()
+      case Some(cap) =>
+        // Bucket sizes once; small buckets -> full clique join, big buckets
+        // -> star around the bucket's min doc_id. Exactly one shuffle tree;
+        // sizes/hubs are a (band_idx,band_hash)-keyed aggregate of the same
+        // exploded rows.
+        val stats = buckets
+          .groupBy("band_idx", "band_hash")
+          .agg(count(lit(1)).as("bucket_n"), min("doc_id").as("hub"))
+        val tagged = buckets.join(stats, Seq("band_idx", "band_hash"))
+        val small = tagged.filter(col("bucket_n") <= cap)
+        val a = small.alias("a")
+        val b = small.alias("b")
+        val cliquePairs = a
+          .join(
+            b,
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_hash") === col("b.band_hash") &&
+              col("a.doc_id") < col("b.doc_id")
+          )
+          .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        val starPairs = tagged
+          .filter(col("bucket_n") > cap && col("doc_id") =!= col("hub"))
+          .select(col("hub").as("doc1"), col("doc_id").as("doc2"))
+        cliquePairs.union(starPairs).distinct()
+    }
+  }
+
+  /** Stage C: similarity estimate + threshold. Joins candidates back to the
+    * signatures table twice (shuffle hash joins on doc id; the signatures
+    * side is the narrow table). Similarity = fraction of equal signature
+    * positions (reference signature_similarity,
+    * /root/reference/src/MPI/utils.c:79-87), threshold is `>=` (Q6).
+    * Codegen'd builtins only — no UDF in the hot path.
+    */
+  def pairs(cands: DataFrame, sigs: DataFrame, cfg: MinHashConfig): DataFrame = {
+    val s1 = sigs.select(col("doc_id").as("doc1"), col("signature").as("sig1"))
+    val s2 = sigs.select(col("doc_id").as("doc2"), col("signature").as("sig2"))
+    cands
+      .join(s1, "doc1")
+      .join(s2, "doc2")
+      .withColumn(
+        "similarity",
+        aggregate(
+          zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0),
+          (acc, v) => acc + v
+        ).cast("double") / size(col("sig1"))
+      )
+      .filter(col("similarity") >= cfg.threshold)
+      .select(col("doc1"), col("doc2"), col("similarity"))
+  }
+
+  /** Optional verification stage (north-star): exact Jaccard over distinct
+    * shingle-hash sets — the semantics of the reference's dead-code
+    * array_similarity (/root/reference/src/MPI/utils.c:65-77, O15b), but on
+    * deduplicated sets (Q12) with a sorted-merge intersection.
+    */
+  def exactJaccardPairs(cands: DataFrame, docs: DataFrame, cfg: MinHashConfig): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sets = docs
+      .select(col("doc_id").cast("long"), col("content").cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, c) => (id, SignatureKernel.shingleHashSet(if (c == null) "" else c, cfg)) }
+      }
+      .toDF("doc_id", "shingle_set")
+    val l = sets.select(col("doc_id").as("doc1"), col("shingle_set").as("set1"))
+    val r = sets.select(col("doc_id").as("doc2"), col("shingle_set").as("set2"))
+    val joined = cands.join(l, "doc1").join(r, "doc2")
+    val jaccard = udf((a: Array[Int], b: Array[Int]) => SignatureKernel.exactJaccard(a, b))
+    joined
+      .withColumn("jaccard", jaccard(col("set1"), col("set2")))
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+  }
+
+  /** Full reference-equivalent run: docs(doc_id, content) -> sorted pairs
+    * (doc1, doc2, similarity). Caches the signatures Dataset because it is
+    * consumed twice (bucket join + similarity join).
+    */
+  def run(docs: DataFrame, cfg: MinHashConfig, starCapBucketSize: Option[Int] = None): DataFrame = {
+    val sigs = signatures(docs, cfg).toDF.cache()
+    val out = pairs(candidates(sigs, starCapBucketSize), sigs, cfg)
+      .orderBy("doc1", "doc2")
+    out
+  }
+
+  /** Reference CSV formatting for golden comparison: ids with doc_offset,
+    * similarity rounded half-even to 4 decimals (FIXTURES.md §5).
+    */
+  def goldenLines(pairsDF: DataFrame, cfg: MinHashConfig): Seq[String] = {
+    pairsDF
+      .orderBy("doc1", "doc2")
+      .collect()
+      .map { row =>
+        val d1 = row.getLong(0) + cfg.docOffset
+        val d2 = row.getLong(1) + cfg.docOffset
+        val sim = BigDecimal(row.getDouble(2))
+          .setScale(4, BigDecimal.RoundingMode.HALF_EVEN)
+        s"$d1,$d2,${sim.toString()}"
+      }
+      .toSeq
+  }
+}

@@ -1,0 +1,133 @@
+package graft.plans
+
+import graft.core.MinHashConfig
+import graft.operators.{ConnectedComponents, MinHashPipeline}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Resumable staged execution of the dedup pipeline with per-partition
+  * lineage + row-count metrics — the north-star's checkpoint contract.
+  *
+  * "Iceberg emulation" (SURVEY.md §1.4 — no Iceberg runtime in
+  * /opt/spark/jars): each stage is an append-only Parquet table under
+  * `workDir/<stage>/`, committed atomically by Spark's _SUCCESS marker; the
+  * `_metrics` table carries (stage, partition_id, rows, input_fingerprint,
+  * config, ts_ns) rows appended per completed stage. On a rerun, a stage
+  * whose table exists with _SUCCESS AND whose recorded (fingerprint, config)
+  * match the current run is read back instead of recomputed — the job
+  * resumes mid-pipeline after failure.
+  */
+class CheckpointedPipeline(
+    spark: SparkSession,
+    cfg: MinHashConfig,
+    workDir: String,
+    starCapBucketSize: Option[Int] = None
+) {
+  import CheckpointedPipeline._
+
+  private val fs = org.apache.hadoop.fs.FileSystem.get(
+    new java.net.URI(workDir),
+    spark.sparkContext.hadoopConfiguration
+  )
+
+  private def stagePath(stage: String) = s"$workDir/$stage"
+  private def metricsPath = s"$workDir/_metrics"
+
+  /** Cheap order-insensitive input fingerprint: row count + sum of a 32-bit
+    * content hash. Good enough to detect "same input table" for resume.
+    */
+  def fingerprint(docs: DataFrame): String = {
+    val row = docs
+      .agg(count(lit(1)).as("n"), sum(crc32(col("content").cast("string"))).as("h"))
+      .head()
+    s"n=${row.getLong(0)};h=${row.get(1)}"
+  }
+
+  /** Per-stage config tag: a stage is only invalidated by the parameters it
+    * actually depends on (a threshold-only change must not recompute
+    * signatures/candidates).
+    */
+  private def configTag(stage: String): String = {
+    val sig = s"sh=${cfg.shingleSize};sig=${cfg.signatureSize};r=${cfg.nBandRows};seed=${cfg.seed}"
+    stage match {
+      case "signatures" => sig
+      case "candidates" => s"$sig;cap=${starCapBucketSize.getOrElse(-1)}"
+      case _            => s"$sig;cap=${starCapBucketSize.getOrElse(-1)};thr=${cfg.threshold}"
+    }
+  }
+
+  private def committed(stage: String): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(s"${stagePath(stage)}/_SUCCESS"))
+
+  private def metricsFor(stage: String, fp: String): Boolean = {
+    if (!fs.exists(new org.apache.hadoop.fs.Path(metricsPath))) return false
+    !spark.read
+      .parquet(metricsPath)
+      .filter(col("stage") === stage && col("input_fingerprint") === fp && col("config") === configTag(stage))
+      .limit(1)
+      .isEmpty
+  }
+
+  private def appendMetrics(stage: String, df: DataFrame, fp: String): Unit = {
+    val ts = System.nanoTime()
+    df.groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("rows"))
+      .withColumn("stage", lit(stage))
+      .withColumn("input_fingerprint", lit(fp))
+      .withColumn("config", lit(configTag(stage)))
+      .withColumn("ts_ns", lit(ts))
+      .select("stage", "partition_id", "rows", "input_fingerprint", "config", "ts_ns")
+      .write
+      .mode(SaveMode.Append)
+      .parquet(metricsPath)
+  }
+
+  /** Run (or resume) one stage: if its table is committed with matching
+    * metrics, read it back; otherwise compute, write, and record metrics.
+    */
+  private def stage(name: String, fp: String, executed: StageLog)(compute: => DataFrame): DataFrame = {
+    if (committed(name) && metricsFor(name, fp)) {
+      executed.skipped += name
+      spark.read.parquet(stagePath(name))
+    } else {
+      val df = compute
+      df.write.mode(SaveMode.Overwrite).parquet(stagePath(name))
+      val written = spark.read.parquet(stagePath(name))
+      appendMetrics(name, written, fp)
+      executed.computed += name
+      written
+    }
+  }
+
+  /** Full staged run. Returns the clusters table and the stage log
+    * (which stages were computed vs resumed).
+    */
+  def run(docs: DataFrame): (DataFrame, StageLog) = {
+    val log = new StageLog
+    val fp = fingerprint(docs)
+    val sigs = stage("signatures", fp, log) {
+      MinHashPipeline.signatures(docs, cfg).toDF
+    }
+    val cands = stage("candidates", fp, log) {
+      MinHashPipeline.candidates(sigs, starCapBucketSize)
+    }
+    val pairs = stage("pairs", fp, log) {
+      MinHashPipeline.pairs(cands, sigs, cfg)
+    }
+    val clusters = stage("clusters", fp, log) {
+      ConnectedComponents.cluster(pairs, docs.select(col("doc_id")))
+    }
+    (clusters, log)
+  }
+
+  def metrics: DataFrame = spark.read.parquet(metricsPath)
+}
+
+object CheckpointedPipeline {
+  final class StageLog {
+    val computed = scala.collection.mutable.ArrayBuffer[String]()
+    val skipped = scala.collection.mutable.ArrayBuffer[String]()
+    override def toString =
+      s"computed=${computed.mkString("[", ",", "]")} resumed=${skipped.mkString("[", ",", "]")}"
+  }
+}

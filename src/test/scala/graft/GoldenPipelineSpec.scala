@@ -1,0 +1,98 @@
+package graft
+
+import graft.core.MinHashConfig
+import graft.operators.{ConnectedComponents, MinHashPipeline}
+import graft.sources.CorpusGen
+
+/** End-to-end golden tests against the reference binary's committed output
+  * (FIXTURES.md §4): the Spark pipeline must reproduce the reference's
+  * results.csv rows exactly (after canonical (doc1,doc2) sort and 4-dp
+  * rounding) at two configs, including the Q3 all-MAX quirk row 6,7 and the
+  * *absence* of non-candidate rows at threshold 0.0.
+  */
+class GoldenPipelineSpec extends SparkSpec {
+
+  private lazy val docs = CorpusGen.goldenCorpus(spark)
+
+  private def lines(cfg: MinHashConfig): Seq[String] =
+    MinHashPipeline.goldenLines(MinHashPipeline.run(docs, cfg), cfg)
+
+  test("config A, threshold 0.0 — matches reference results.csv (FIXTURES §4.1)") {
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.0)
+    assert(
+      lines(cfg) == Seq(
+        "0,1,1.0000",
+        "0,2,0.7500",
+        "1,2,0.7500",
+        "3,4,0.9062",
+        "6,7,1.0000"
+      )
+    )
+  }
+
+  test("config A, threshold 0.8 — threshold is >= on the estimate (FIXTURES §4.2)") {
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
+    assert(lines(cfg) == Seq("0,1,1.0000", "3,4,0.9062", "6,7,1.0000"))
+  }
+
+  test("config B — shingle 2 / sig 32 / rows 2 / seed 7 (FIXTURES §4.3)") {
+    val cfg = MinHashConfig(shingleSize = 2, signatureSize = 32, nBandRows = 2, seed = 7, threshold = 0.0)
+    assert(
+      lines(cfg) == Seq(
+        "0,1,1.0000",
+        "0,2,0.6875",
+        "1,2,0.6875",
+        "3,4,0.9375"
+      )
+    )
+  }
+
+  test("clusters at threshold 0.8 match FIXTURES §4.4 union-find oracle") {
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
+    val pairs = MinHashPipeline.run(docs, cfg)
+    val clusters = ConnectedComponents
+      .cluster(pairs, docs.selectExpr("doc_id"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(clusters == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 6L, 7L -> 6L))
+  }
+
+  test("clusters at threshold 0.0: {0,1,2},{3,4},{6,7},{5} (FIXTURES §4.4)") {
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.0)
+    val pairs = MinHashPipeline.run(docs, cfg)
+    val clusters = ConnectedComponents
+      .cluster(pairs, docs.selectExpr("doc_id"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(clusters == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 6L, 7L -> 6L))
+  }
+
+  test("star-capped skew mode preserves clusters (hub-star vs full clique)") {
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.0)
+    val sigs = MinHashPipeline.signatures(docs, cfg).toDF.cache()
+    val full = MinHashPipeline.pairs(MinHashPipeline.candidates(sigs, None), sigs, cfg)
+    val star = MinHashPipeline.pairs(MinHashPipeline.candidates(sigs, Some(1)), sigs, cfg)
+    val cFull = ConnectedComponents.cluster(full, docs.selectExpr("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cStar = ConnectedComponents.cluster(star, docs.selectExpr("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cFull == cStar)
+    sigs.unpersist()
+  }
+
+  test("exact-Jaccard verification stage: dups 1.0, disjoint docs ~0, Q3 pair 1.0") {
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.0)
+    val sigs = MinHashPipeline.signatures(docs, cfg).toDF
+    val cands = MinHashPipeline.candidates(sigs)
+    val j = MinHashPipeline
+      .exactJaccardPairs(cands, docs, cfg)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(j((0L, 1L)) == 1.0)
+    assert(j((6L, 7L)) == 1.0) // both empty shingle sets (Q3 semantics)
+    assert(j((0L, 2L)) > 0.5 && j((0L, 2L)) < 1.0)
+  }
+}
