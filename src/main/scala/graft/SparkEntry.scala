@@ -1,13 +1,243 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.MinHashConfig
+import graft.functions.TextAnalysis
+import graft.operators._
+import graft.sources.CorpusGen
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2 + the training-data-pipeline extensions), with a DuckDB
+  * `oracleSql` for every SQL-expressible one. Hash-kernel operators
+  * (MurmurHash2 MinHash/LSH/SimHash, fingerprints, hyperplane LSH) are not
+  * expressible in DuckDB SQL — they get rows-only checks per the Verify
+  * contract and are instead pinned by the golden reference tests
+  * (GoldenPipelineSpec vs the reference binary's results.csv).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** MinHash config used for the documents-table queries (word-salad corpus
+    * with planted near-dups; 2-gram Jaccard of the planted pairs reaches
+    * 0.99, so 3-shingles at threshold 0.3 separates them cleanly).
+    */
+  private val docCfg = MinHashConfig(
+    shingleSize = 3, signatureSize = 128, nBandRows = 4, seed = 13, threshold = 0.3)
+
+  private def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def docsAsCorpus(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(col("doc_id"), col("text").as("content"))
+
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Flagship: the full near-dup pipeline (signatures -> LSH candidates ->
+    * similarity pairs) on sf0.001 documents. Driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    MinHashPipeline.run(docsAsCorpus(spark, "/root/testdata/sf0.001"), docCfg)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- flagship MinHash/LSH dedup pipeline (reference parity ops) ----
+    "q_minhash_signatures" -> ((s, dir) =>
+      MinHashPipeline.signatures(docsAsCorpus(s, dir), docCfg)
+        .toDF.select(col("doc_id"), size(col("signature")).as("sig_len"),
+          size(col("bands")).as("n_bands")).orderBy("doc_id")),
+    "q_lsh_candidates" -> ((s, dir) =>
+      MinHashPipeline.candidates(
+        MinHashPipeline.signatures(docsAsCorpus(s, dir), docCfg).toDF)
+        .orderBy("doc1", "doc2")),
+    "q_minhash_pairs" -> ((s, dir) => MinHashPipeline.run(docsAsCorpus(s, dir), docCfg)),
+    "q_exact_jaccard_verify" -> ((s, dir) => {
+      val docs = docsAsCorpus(s, dir)
+      val sigs = MinHashPipeline.signatures(docs, docCfg).toDF
+      MinHashPipeline.exactJaccardPairs(MinHashPipeline.candidates(sigs), docs, docCfg)
+        .filter(col("jaccard") >= 0.3).orderBy("doc1", "doc2")
+    }),
+    "q_minhash_clusters" -> ((s, dir) => {
+      val docs = docsAsCorpus(s, dir)
+      ConnectedComponents
+        .cluster(MinHashPipeline.run(docs, docCfg), docs.select("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- dedup family ----
+    "q_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedup(documents(s, dir)).orderBy("doc_id")),
+    "q_exact_dup_groups" -> ((s, dir) =>
+      Dedup.exactDupGroups(documents(s, dir)).orderBy("content_sha")),
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashPairs(documents(s, dir), maxHamming = 3).orderBy("doc1", "doc2")),
+    "q_ngram_jaccard" -> ((s, dir) =>
+      // word 3-grams: on the small-vocab documents corpus 2-grams are hot
+      // keys (every bigram shared by ~10% of docs -> quadratic join blowup);
+      // 3-grams keep the planted near-dups at jaccard >= 0.2 with rare keys
+      Dedup.ngramJaccardPairs(documents(s, dir), n = 3, minJaccard = 0.2)
+        .orderBy("doc1", "doc2")),
+
+    // ---- text analysis ----
+    "q_token_count" -> ((s, dir) =>
+      documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_ws_tokens"),
+        TextAnalysis.tokenCountBpe(col("text")).cast("long").as("n_bpe_tokens")
+      ).orderBy("doc_id")),
+    "q_quality" -> ((s, dir) =>
+      TextAnalysis.withQualityColumns(documents(s, dir))
+        .select("doc_id", "n_tokens", "n_punct", "punct_ratio", "stopword_ratio", "mean_token_len")
+        .orderBy("doc_id")),
+    "q_lang_id" -> ((s, dir) =>
+      TextAnalysis.withLangId(documents(s, dir))
+        .select("doc_id", "lang", "lang_pred", "lang_score").orderBy("doc_id")),
+    "q_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(documents(s, dir)).orderBy("doc_id")),
+    "q_doc_stats" -> ((s, dir) =>
+      documents(s, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang")),
+
+    // ---- similarity search over embeddings ----
+    "q_ann_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "q_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(embeddings(s, dir), k = 5, dim = 64, nTables = 16, bandBits = 6)
+        .orderBy("query_id", "rank")),
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairs(embeddings(s, dir), minCosine = 0.4, dim = 64,
+        nTables = 12, bandBits = 8).orderBy("doc1", "doc2")),
+
+    // ---- multimodal plumbing ----
+    "q_mm_features" -> ((s, dir) => {
+      val assets = Multimodal.synthesizeAssets(documents(s, dir))
+      Multimodal.extractFeatures(assets).toDF()
+        .select("asset_id", "modality", "n_bytes", "byte_entropy", "thumb_w", "thumb_h")
+        .orderBy("asset_id")
+    }),
+    "q_mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFramePlan(
+        Multimodal.synthesizeAssets(documents(s, dir)).toDF()
+      ).orderBy("asset_id", "frame_idx")),
+
+    // ---- relational sanity (agg + join on the TPC-H-ish tables) ----
+    "q1_agg" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"),
+          min("l_extendedprice").as("min_price"), max("l_extendedprice").as("max_price"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q_orders_join" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), min("o_totalprice").as("min_total"),
+          max("o_totalprice").as("max_total"))
+        .orderBy("c_mktsegment")
+    }),
+    "q_events_agg" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"),
+          min("value").as("min_value"), max("value").as("max_value"))
+        .orderBy("event_type"))
+  )
+
+  /** DuckDB oracles for the SQL-expressible queries. Column names match the
+    * Spark side exactly (driver hash-compares after sorting columns by
+    * name). Doubles appear only where per-row IEEE arithmetic or
+    * order-insensitive min/max make the value bit-reproducible; no
+    * order-sensitive double sums.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q_exact_dup_groups" ->
+      """SELECT sha256(text) AS content_sha, count(*) AS n_copies,
+        |       min(doc_id) AS rep_id
+        |FROM documents GROUP BY sha256(text) ORDER BY content_sha""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |          i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+        |      FROM t WHERE len(toks) >= 3),
+        |s AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |i AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ni
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT d1 AS doc1, d2 AS doc2,
+        |       CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) AS jaccard
+        |FROM i JOIN s sa ON i.d1 = sa.doc_id JOIN s sb ON i.d2 = sb.doc_id
+        |WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.2
+        |ORDER BY doc1, doc2""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS n_punct,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      w -> lower(w) IN ('the','a','an','and','or','of','to','in','on','is','it',
+        |                        'for','with','as','at','by','be','this','that','are','was')))
+        |      AS n_stop,
+        |    list_reduce(list_prepend(0, list_transform(
+        |      regexp_split_to_array(trim(text), '\s+'), w -> length(w))),
+        |      (acc, x) -> acc + x) AS sum_tok_len
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_punct,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(n_punct AS DOUBLE) / length(text) END AS punct_ratio,
+        |  CASE WHEN n_tokens = 0 THEN 0.0
+        |       ELSE CAST(n_stop AS DOUBLE) / n_tokens END AS stopword_ratio,
+        |  CASE WHEN n_tokens = 0 THEN 0.0
+        |       ELSE CAST(sum_tok_len AS DOUBLE) / n_tokens END AS mean_token_len
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "q_doc_stats" ->
+      """SELECT lang, count(*) AS n_docs, min(n_chars) AS min_chars,
+        |       max(n_chars) AS max_chars, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_ann_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS nbr_id,
+        |    list_dot_product(q.qv, e.v) /
+        |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))
+        |      AS cosine
+        |  FROM q JOIN e ON e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, nbr_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC)
+        |      AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, nbr_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       sum(l_quantity) AS sum_qty, min(l_extendedprice) AS min_price,
+        |       max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_orders_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, min(o_totalprice) AS min_total,
+        |       max(o_totalprice) AS max_total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_events_agg" ->
+      """SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |       min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
 }

@@ -29,15 +29,14 @@ object SignatureKernel {
   def compute(content: String, cfg: MinHashConfig): (Array[Int], Array[Int]) = {
     val sig = new Array[Int](cfg.signatureSize)
     java.util.Arrays.fill(sig, 0xffffffff) // UINT32_MAX init
-    val tokens = Tokenizer.tokenize(content)
+    val (joined, starts, ends) = Tokenizer.joinedTokens(content)
     val k = cfg.shingleSize
-    val nShingles = tokens.length - k + 1
+    val nShingles = starts.length - k + 1
     if (nShingles > 0) {
-      val (joined, starts) = Tokenizer.joinedWithOffsets(tokens)
       var s = 0
       while (s < nShingles) {
         val from = starts(s)
-        val until = starts(s + k - 1) + tokens(s + k - 1).length
+        val until = ends(s + k - 1)
         var j = 0
         while (j < cfg.signatureSize) {
           val h = Murmur2.hashRange(joined, from, until, cfg.seed * j)
@@ -85,20 +84,17 @@ object SignatureKernel {
     * /root/reference/src/MPI/utils.c:65-77, O15b). Deduplicated per Q12.
     */
   def shingleHashSet(content: String, cfg: MinHashConfig): Array[Int] = {
-    val tokens = Tokenizer.tokenize(content)
+    val (joined, starts, ends) = Tokenizer.joinedTokens(content)
     val k = cfg.shingleSize
-    val nShingles = tokens.length - k + 1
+    val nShingles = starts.length - k + 1
     if (nShingles <= 0) return Array.emptyIntArray
-    val (joined, starts) = Tokenizer.joinedWithOffsets(tokens)
     val set = new java.util.TreeSet[Integer](new java.util.Comparator[Integer] {
       override def compare(a: Integer, b: Integer): Int =
         java.lang.Integer.compareUnsigned(a, b)
     })
     var s = 0
     while (s < nShingles) {
-      val from = starts(s)
-      val until = starts(s + k - 1) + tokens(s + k - 1).length
-      set.add(Murmur2.hashRange(joined, from, until, cfg.seed))
+      set.add(Murmur2.hashRange(joined, starts(s), ends(s + k - 1), cfg.seed))
       s += 1
     }
     val out = new Array[Int](set.size)

@@ -49,11 +49,52 @@ object Tokenizer {
     out
   }
 
-  /** Tokens joined by a single 0x20 (the exact byte layout the reference
-    * hashes a shingle over, SURVEY.md Q8) plus the start offset of each
-    * token inside the joined string. Shingle i is then the char range
-    * [starts(i), starts(i + k - 1) + tokens(i + k - 1).length) — hashable
-    * in place via [[Murmur2.hashRange]] with zero per-shingle allocation.
+  /** Single-pass fused tokenize+join: the normalized tokens joined by a
+    * single 0x20 (the exact byte layout the reference hashes a shingle
+    * over, SURVEY.md Q8) plus token start/end offsets — WITHOUT
+    * materializing per-token Strings. This is the signature kernel's hot
+    * path; the per-token String variant ([[tokenize]]) allocates ~2x more
+    * garbage, which measurably throttles 32 concurrent kernel threads.
+    *
+    * starts(i) = index of token i in the joined string; ends(i) = one past
+    * its last char. Shingle i of size k covers [starts(i), ends(i+k-1)).
+    */
+  def joinedTokens(content: String): (String, Array[Int], Array[Int]) = {
+    val sb = new java.lang.StringBuilder(content.length)
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
+    val ends = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var i = 0
+    val n = content.length
+    var inTok = false
+    var tokStart = 0
+    while (i < n) {
+      val c0 = content.charAt(i)
+      if (isCWhitespace(c0)) {
+        if (inTok) {
+          if (sb.length > tokStart) { starts += tokStart; ends += sb.length }
+          else sb.setLength(tokStart - (if (tokStart > 0) 1 else 0)) // undo separator for empty token
+          inTok = false
+        }
+      } else {
+        if (!inTok) {
+          tokStart = if (sb.length > 0) { sb.append(' '); sb.length } else 0
+          inTok = true
+        }
+        val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+        if (keep(c)) sb.append(c)
+      }
+      i += 1
+    }
+    if (inTok) {
+      if (sb.length > tokStart) { starts += tokStart; ends += sb.length }
+      else sb.setLength(tokStart - (if (tokStart > 0) 1 else 0))
+    }
+    (sb.toString, starts.toArray, ends.toArray)
+  }
+
+  /** Tokens joined by a single 0x20 plus the start offset of each token
+    * inside the joined string (array-of-Strings entry point; see
+    * [[joinedTokens]] for the fused hot path).
     */
   def joinedWithOffsets(tokens: ArrayBuffer[String]): (String, Array[Int]) = {
     val starts = new Array[Int](tokens.length)

@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language ID, document fingerprinting.
+  * Everything here is either pure `org.apache.spark.sql.functions` Column
+  * algebra (codegen'd, pushdown-friendly) or a narrow typed map — no
+  * shuffles; these run at scan speed over 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count — size(split) on the codegen path. */
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword token count: runs of letters, runs of digits, and each
+    * punctuation byte count as one token (a cheap stand-in for a byte-pair
+    * vocabulary's pre-tokenizer, good enough for budget estimation).
+    */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  private val stopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "is", "it",
+    "for", "with", "as", "at", "by", "be", "this", "that", "are", "was"
+  )
+
+  /** Quality-scoring columns (length / punctuation / stopword signals).
+    * All per-row double arithmetic — deterministic and oracle-comparable.
+    */
+  def withQualityColumns(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = split(trim(t), "\\s+")
+    val nToks = when(length(trim(t)) === 0, lit(0)).otherwise(size(toks))
+    val nStop = size(filter(toks, w => lower(w).isInCollection(stopwords)))
+    val nPunct = length(t) - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
+    docs
+      .withColumn("n_tokens", nToks.cast("long"))
+      .withColumn("n_punct", nPunct.cast("long"))
+      .withColumn(
+        "punct_ratio",
+        when(length(t) === 0, lit(0.0)).otherwise(nPunct.cast("double") / length(t))
+      )
+      .withColumn(
+        "stopword_ratio",
+        when(nToks === 0, lit(0.0)).otherwise(nStop.cast("double") / nToks)
+      )
+      .withColumn(
+        "mean_token_len",
+        when(nToks === 0, lit(0.0))
+          .otherwise(aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") / nToks)
+      )
+  }
+
+  /** Language-ID heuristic: score each candidate language by its
+    * function-word hit rate over the token set and pick the argmax
+    * (deterministic tie-break by language code). Pure Column algebra —
+    * no UDF; a real system would swap in a fastText-style model here.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "on"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "del", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "von", "mit", "den", "ein"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "est", "une", "dans", "que", "pour"),
+    "zh" -> Seq("de", "shi", "le", "zai", "wo", "you", "he", "ta", "men", "zhe")
+  )
+
+  def withLangId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val nToks = when(length(trim(col(textCol))) === 0, lit(1)).otherwise(size(toks))
+    val scored = langMarkers.map { case (lang, markers) =>
+      struct(
+        (size(filter(toks, w => w.isInCollection(markers))).cast("double") / nToks).as("score"),
+        lit(lang).as("lang")
+      )
+    }
+    // array_max over (score, lang) structs: max score, ties broken by the
+    // LARGEST lang code — make deterministic by negating nothing; struct
+    // ordering compares score first then lang, so ties pick max lang code.
+    docs.withColumn("lang_pred", element_at(array_sort(array(scored: _*)), -1).getField("lang"))
+      .withColumn("lang_score", element_at(array_sort(array(scored: _*)), -1).getField("score"))
+  }
+
+  /** 64-bit document fingerprint: polynomial rolling hash (Rabin–Karp style,
+    * base 1000003, wrapping u64) over the normalized token stream. Two docs
+    * with identical token streams get identical fingerprints regardless of
+    * original whitespace/punctuation — a cheap exact-dup key that is robust
+    * to formatting. Narrow typed map; no shuffle.
+    */
+  def fingerprint64(tokens: Iterator[String]): Long = {
+    var h = 1469598103934665603L // FNV offset basis as init
+    while (tokens.hasNext) {
+      val t = tokens.next()
+      var i = 0
+      while (i < t.length) {
+        h = h * 1000003L + (t.charAt(i) & 0xff)
+        i += 1
+      }
+      h = h * 1000003L + ' '
+    }
+    h
+  }
+
+  def fingerprints(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        (id, fingerprint64(graft.core.Tokenizer.tokenize(if (t == null) "" else t).iterator))
+      })
+      .toDF(idCol, "fingerprint")
+  }
+}

@@ -29,12 +29,19 @@ object ConnectedComponents {
     * @return (doc_id, cluster_id) where cluster_id = min doc_id in component
     */
   def cluster(pairs: DataFrame, allDocs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Iterate only over nodes that actually appear in an edge; the (vastly
+    // larger) singleton population bypasses the loop entirely and is
+    // appended at the end with cluster_id = doc_id. On a dedup graph where
+    // dups are a few % of the corpus this shrinks every per-iteration join
+    // by 10-100x.
     val edges = pairs
       .select(col("doc1").as("src"), col("doc2").as("dst"))
       .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = allDocs
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+
+    var labels = nodes
       .select(col("doc_id").cast("long"))
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
@@ -63,6 +70,11 @@ object ConnectedComponents {
       iter += 1
     }
     edges.unpersist()
-    labels
+    // singletons: every doc not in any pair is its own cluster
+    val singletons = allDocs
+      .select(col("doc_id").cast("long"))
+      .join(nodes, Seq("doc_id"), "left_anti")
+      .withColumn("cluster_id", col("doc_id"))
+    labels.union(singletons)
   }
 }

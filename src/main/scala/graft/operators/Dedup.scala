@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft.core.{Murmur2, Tokenizer}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The deduplication operator family a training-data pipeline needs, beyond
+  * the flagship MinHash/LSH pipeline (MinHashPipeline):
+  *
+  *   - exact dedup (content-hash groupBy)
+  *   - SimHash near-dup (64-bit, Hamming-banded candidate join)
+  *   - n-gram Jaccard near-dup (explode + equi-join; SQL-expressible, so
+  *     DuckDB-oracle-verifiable end to end)
+  *
+  * Embedding-cosine near-dup lives in Similarity (shared LSH machinery).
+  * All shuffles are key-partitioned equi-joins/groupBys — no cross joins.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash. Single map-side-combinable
+    * groupBy; at 100 TB this is the cheapest possible dedup pass
+    * (shuffle carries 1 row per distinct text per partition, not the text —
+    * we group on the 256-bit digest, never on the raw content).
+    */
+  def exactDupGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(sha2(col(textCol), 256).as("content_sha"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col(idCol)).as("rep_id")
+      )
+
+  /** Survivors of exact dedup: the min-id representative per distinct text.
+    * Groups on the digest, not the text, so the shuffle key is 32 bytes
+    * regardless of document size.
+    */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(sha2(col(textCol), 256))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("n_copies"))
+
+  /** 64-bit SimHash over the normalized token stream: per token, a 64-bit
+    * hash (two murmur2 passes, seeds s and s+0x9e3779b9) votes ±1 per bit;
+    * the sign vector is the fingerprint. Near-dups differ in few bits.
+    */
+  def simHash64(text: String, seed: Int): Long = {
+    val votes = new Array[Int](64)
+    val toks = Tokenizer.tokenize(if (text == null) "" else text)
+    var ti = 0
+    while (ti < toks.length) {
+      val t = toks(ti)
+      val lo = Murmur2.hashString(t, seed)
+      val hi = Murmur2.hashString(t, seed + 0x9e3779b9)
+      val h = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      ti += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def simHashes(docs: DataFrame, seed: Int = 13, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, simHash64(t, seed)) })
+      .toDF(idCol, "simhash")
+  }
+
+  /** SimHash near-dup candidate pairs at Hamming distance <= maxHamming
+    * (< 16), via the standard block-permutation trick: split the 64-bit
+    * fingerprint into 4 16-bit blocks; any pair within distance 3 shares at
+    * least one exact block (pigeonhole), so an equi-join per block finds all
+    * candidates with zero cross join; exact Hamming check filters.
+    */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3, seed: Int = 13,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming <= 3, "4-block pigeonhole guarantees recall only for maxHamming <= 3")
+    val sh = simHashes(docs, seed, idCol, textCol)
+    val blocks = sh.select(
+      col(idCol).as("doc_id"),
+      col("simhash"),
+      posexplode(
+        array((0 until 4).map(b => shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*)
+      ).as(Seq("block_idx", "block_val"))
+    )
+    val a = blocks.alias("a")
+    val b = blocks.alias("b")
+    a.join(
+        b,
+        col("a.block_idx") === col("b.block_idx") &&
+          col("a.block_val") === col("b.block_val") &&
+          col("a.doc_id") < col("b.doc_id")
+      )
+      .select(
+        col("a.doc_id").as("doc1"),
+        col("b.doc_id").as("doc2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming")
+      )
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Word n-gram Jaccard near-dup pairs — the SQL-expressible dedup variant
+    * (the DuckDB oracle runs the identical relational plan):
+    * distinct n-grams per doc -> equi-join on the n-gram -> pair
+    * intersection counts -> |A∩B| / (|A|+|B|-|A∩B|) >= minJaccard.
+    *
+    * Shuffle profile: one groupBy(gram) join keyed on the gram (hot grams =
+    * skew; at production scale drop grams with doc-frequency above a cap —
+    * they contribute candidates, not discrimination), one groupBy(pair).
+    * The per-row division is exact IEEE in both engines, so results
+    * hash-match the oracle.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        maxGramDocFreq: Option[Int] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // typed kernel for gram construction: Spark's higher-order
+    // transform/sequence/slice lambdas evaluate interpreted per element —
+    // a plain sliding window over the split tokens is ~10x faster and
+    // byte-identical (both sides split on whitespace runs of the trimmed
+    // text; the corpus is single-space separated)
+    val ws = "\\s+"
+    val grams = docs
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = if (text == null) "" else text.trim
+        if (t.isEmpty) Iterator.empty
+        else {
+          val toks = t.split(ws)
+          if (toks.length < n) Iterator.empty
+          else {
+            val set = new scala.collection.mutable.LinkedHashSet[String]
+            var i = 0
+            while (i + n <= toks.length) {
+              val sb = new java.lang.StringBuilder
+              var j = 0
+              while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+              set += sb.toString
+              i += 1
+            }
+            set.iterator.map(g => (id, g))
+          }
+        }
+      }
+      .toDF("doc_id", "gram")
+    val filtered = maxGramDocFreq match {
+      case Some(cap) =>
+        val df = grams.groupBy("gram").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
+        grams.join(df.select("gram"), "gram")
+      case None => grams
+    }
+    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val a = filtered.alias("a")
+    val b = filtered.alias("b")
+    val inter = a
+      .join(b, col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_grams", "n1"), "doc1")
+      .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_grams", "n2"), "doc2")
+      .withColumn(
+        "jaccard",
+        col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")).cast("double")
+      )
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc1", "doc2", "jaccard")
+  }
+}

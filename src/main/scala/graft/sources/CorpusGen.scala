@@ -113,10 +113,43 @@ object CorpusGen {
       .toDF()
   }
 
-  /** source_files + derived doc_id (stable natural-key ordering, §1.1). */
+  /** source_files + derived doc_id (stable natural-key ordering, §1.1).
+    *
+    * Scalable row-numbering: range-partition + sort by the natural key,
+    * then zipWithIndex (one extra count job to learn per-partition offsets —
+    * no global single-partition window, which would serialize the corpus
+    * through one task at 10^12 rows). RDD use here is the documented
+    * "forced" exception: Spark has no distributed row_number without a
+    * global Window.
+    */
   def withDocIds(sourceFiles: DataFrame): DataFrame = {
-    val w = Window.orderBy("repo", "path", "commit")
-    sourceFiles.withColumn("doc_id", row_number().over(w).cast("long") - 1)
+    val spark = sourceFiles.sparkSession
+    val sorted = sourceFiles
+      .repartitionByRange(col("repo"), col("path"), col("commit"))
+      .sortWithinPartitions("repo", "path", "commit")
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false)
+    )
+    val rows = sorted.rdd
+      .zipWithIndex()
+      .map { case (row, idx) => org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx) }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Fast path for the synthetic corpus: the generator index IS a stable
+    * unique id, so benchmarks skip the natural-key sort entirely.
+    */
+  def sourceFilesWithIds(spark: SparkSession, nFiles: Long, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    spark
+      .range(0, nFiles)
+      .as[Long]
+      .map(i => (i, fileAt(i, seed, nFiles)))
+      .toDF("doc_id", "file")
+      .select(col("doc_id"), col("file.repo").as("repo"), col("file.path").as("path"),
+        col("file.commit").as("commit"), col("file.lang").as("lang"),
+        col("file.content").as("content"))
   }
 
   /** The FIXTURES.md §4 golden 8-doc corpus, exactly. */

@@ -148,6 +148,25 @@ class KernelSpec extends AnyFunSuite {
     assert(SignatureKernel.bandsOf(sig, cfg).toSeq == Seq(1 ^ 2, 3 ^ 4, 5 ^ 6, 7 ^ 8))
   }
 
+  test("joinedTokens (fused) == tokenize + joinedWithOffsets on arbitrary input") {
+    val gen = org.scalacheck.Gen.listOf(org.scalacheck.Gen.frequency(
+      8 -> org.scalacheck.Gen.alphaNumChar,
+      3 -> org.scalacheck.Gen.oneOf(' ', '\t', '\n', '\r'),
+      2 -> org.scalacheck.Gen.oneOf('!', '.', '-', '\'', '+', '_'),
+      1 -> org.scalacheck.Gen.choose(128.toChar, 1000.toChar)
+    )).map(_.mkString)
+    val prop = org.scalacheck.Prop.forAll(gen) { content =>
+      val toks = Tokenizer.tokenize(content)
+      val (wantJoined, wantStarts) = Tokenizer.joinedWithOffsets(toks)
+      val (gotJoined, gotStarts, gotEnds) = Tokenizer.joinedTokens(content)
+      gotJoined == wantJoined &&
+        gotStarts.toSeq == wantStarts.toSeq &&
+        gotEnds.toSeq == toks.indices.map(i => wantStarts(i) + toks(i).length)
+    }
+    val res = org.scalacheck.Test.check(prop)(_.withMinSuccessfulTests(500))
+    assert(res.passed, res.status.toString)
+  }
+
   test("config validation (Q9)") {
     assertThrows[IllegalArgumentException](MinHashConfig(signatureSize = 10, nBandRows = 4))
     assert(MinHashConfig(signatureSize = 100, nBandRows = 4).nBands == 25)

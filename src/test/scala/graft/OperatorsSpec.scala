@@ -1,0 +1,176 @@
+package graft
+
+import graft.functions.TextAnalysis
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Unit specs for the training-data-pipeline operator family (dedup
+  * variants, similarity search, text analysis, multimodal plumbing).
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (3L, "completely different text about spark shuffles and joins"),
+    (4L, "")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup / exactDupGroups") {
+    val groups = Dedup.exactDupGroups(docs).collect()
+    assert(groups.length == 4) // 0&1 collapse
+    val dupGroup = groups.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dupGroup.getAs[Long]("rep_id") == 0L)
+    val survivors = Dedup.exactDedup(docs).collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(0L, 2L, 3L, 4L))
+  }
+
+  test("simHash: identical == ; near-dup close ; distinct far") {
+    val h0 = Dedup.simHash64("the quick brown fox jumps over the lazy dog", 13)
+    val h1 = Dedup.simHash64("the quick brown fox jumps over the lazy dog", 13)
+    val h2 = Dedup.simHash64("the quick brown fox jumps over the lazy cat", 13)
+    val h3 = Dedup.simHash64("completely different text about spark shuffles and joins", 13)
+    assert(h0 == h1)
+    assert(java.lang.Long.bitCount(h0 ^ h2) < 16)
+    assert(java.lang.Long.bitCount(h0 ^ h3) > 16)
+  }
+
+  test("simHashPairs finds exact dup at hamming 0") {
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
+  }
+
+  test("ngramJaccardPairs: hand-computed 2-gram jaccard") {
+    // doc0/doc1 identical: jaccard 1.0; doc0/doc2 share 7 of their 8
+    // distinct bigrams each -> |∩|=7, |∪|=9
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 2, minJaccard = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(math.abs(pairs((0L, 2L)) - 7.0 / 9) < 1e-12)
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("gram doc-frequency cap drops only hot grams") {
+    // 'the quick' appears in 3 docs; cap=2 removes it but near-dup pairs
+    // survive via the remaining grams
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 2, minJaccard = 0.5, maxGramDocFreq = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("bruteForceTopK: exact ranking on crafted vectors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)), // closest to 0
+      (2L, Array(0.5f, 0.5f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))  // orthogonal to 0
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L), k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(top.toSeq == Seq((1, 1L), (2, 2L), (3, 3L)))
+  }
+
+  test("lshTopK recall vs brute force on real embeddings >= 0.4") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter($"vec_id" < 20)
+    val bf = Similarity.bruteForceTopK(e, queries, k = 5)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(e, k = 5, dim = 64, nTables = 16, bandBits = 6)
+      .filter($"query_id" < 20)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    info(s"LSH ANN recall@5 = $recall")
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
+  test("token counts: ws vs bpe-ish") {
+    val df = Seq((0L, "hello world"), (1L, "don't stop-me now!"), (2L, ""), (3L, "  "))
+      .toDF("doc_id", "text")
+      .select(
+        col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("ws"),
+        TextAnalysis.tokenCountBpe(col("text")).as("bpe")
+      )
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(df(0L) == ((2, 2)))
+    // don't -> don,',t ; stop-me -> stop,-,me ; now! -> now,!  => 8
+    assert(df(1L) == ((3, 8)))
+    assert(df(2L) == ((0, 0)))
+    assert(df(3L) == ((0, 0)))
+  }
+
+  test("quality columns: ratios on crafted text") {
+    val q = TextAnalysis
+      .withQualityColumns(Seq((0L, "the cat!! sat")).toDF("doc_id", "text"))
+      .head()
+    assert(q.getAs[Long]("n_tokens") == 3)
+    assert(q.getAs[Long]("n_punct") == 2)
+    assert(q.getAs[Double]("stopword_ratio") == 1.0 / 3)
+    assert(q.getAs[Double]("punct_ratio") == 2.0 / 13)
+    // tokens: the(3) cat!!(5) sat(3) -> mean 11/3
+    assert(q.getAs[Double]("mean_token_len") == 11.0 / 3)
+  }
+
+  test("fingerprint: formatting-invariant, content-sensitive") {
+    val fp = TextAnalysis.fingerprints(
+      Seq(
+        (0L, "Hello, World"),
+        (1L, "hello   world"), // same token stream after normalization
+        (2L, "hello worlds")
+      ).toDF("doc_id", "text")
+    ).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(1L))
+    assert(fp(0L) != fp(2L))
+  }
+
+  test("lang-id: deterministic argmax with marker words") {
+    val out = TextAnalysis
+      .withLangId(Seq(
+        (0L, "the cat and the dog of the house"),
+        (1L, "el gato y la casa de los perros que")
+      ).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(out(0L) == "en")
+    assert(out(1L) == "es")
+  }
+
+  test("dotD expression == interpreted aggregate/zip_with fold, bit-exact") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val both = e.select(
+      graft.functions.VectorExprs.dotD(col("v"), col("v")).as("fast"),
+      expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)").as("slow")
+    )
+    assert(both.filter(col("fast") =!= col("slow")).isEmpty)
+    // SQL surface
+    graft.functions.VectorExprs.register(spark)
+    val viaSql = e.limit(1).selectExpr("graft_dot(v, v) as d").head().getDouble(0)
+    assert(viaSql > 0)
+    // length mismatch -> null
+    val n = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(1.0d))").head()
+    assert(n.isNullAt(0))
+  }
+
+  test("multimodal: features + frame plan shapes") {
+    val assets = Multimodal.synthesizeAssets(docs)
+    val feats = Multimodal.extractFeatures(assets).collect()
+    assert(feats.length == 5)
+    assert(feats.forall(_.histogram.length == 16))
+    val img = feats.find(_.asset_id == 0L).get
+    assert(img.modality == "image" && img.thumb_w == 256)
+    assert(feats.filter(_.n_bytes > 0).forall(f => f.byte_entropy > 0 && f.byte_entropy <= 8.0))
+    val frames = Multimodal.sampleFramePlan(assets.toDF())
+    val perAsset = frames.groupBy("asset_id").count().collect()
+    assert(perAsset.nonEmpty)
+    // every video's frame count == ceil(duration/1000) capped at 32
+    val durs = assets.filter($"modality" === "video").collect()
+      .map(a => a.asset_id -> a.duration_ms).toMap
+    perAsset.foreach { r =>
+      val want = math.min(32, (durs(r.getLong(0)) + 999) / 1000)
+      assert(r.getLong(1) == want)
+    }
+  }
+}
