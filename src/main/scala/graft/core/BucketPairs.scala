@@ -53,6 +53,38 @@ object BucketPairs {
     }.flatten
   }
 
+  /** Second-pass emitter for salted full-clique generation. Input rows
+    * (band_idx, band_hash, ci, cj, doc_id, chunk) sorted by the first five
+    * fields, each (band_idx, band_hash, ci, cj) group fully inside one
+    * partition. A group with ci == cj holds one chunk -> emit its clique;
+    * ci != cj holds two chunks -> emit only cross-chunk pairs (normalized
+    * doc1 < doc2). Memory: at most 2 chunks of ids.
+    */
+  def emitChunkPairs(rows: Iterator[(Int, Int, Int, Int, Long, Int)]): Iterator[(Long, Long)] = {
+    val it = rows.buffered
+    new Iterator[Iterator[(Long, Long)]] {
+      override def hasNext: Boolean = it.hasNext
+      override def next(): Iterator[(Long, Long)] = {
+        val (bi, bh, ci, cj, d0, c0) = it.next()
+        val left = new scala.collection.mutable.ArrayBuffer[Long](16)
+        val right = new scala.collection.mutable.ArrayBuffer[Long](16)
+        @inline def add(doc: Long, chunk: Int): Unit =
+          if (chunk == ci) left += doc else right += doc
+        add(d0, c0)
+        while (it.hasNext && {
+            val h = it.head; h._1 == bi && h._2 == bh && h._3 == ci && h._4 == cj
+          }) {
+          val (_, _, _, _, d, c) = it.next()
+          add(d, c)
+        }
+        if (ci == cj) cliquePairs(left)
+        else
+          for (a <- left.iterator; b <- right.iterator)
+            yield if (a < b) (a, b) else (b, a)
+      }
+    }.flatten
+  }
+
   private def cliquePairs(members: scala.collection.mutable.ArrayBuffer[Long]): Iterator[(Long, Long)] =
     new Iterator[(Long, Long)] {
       private var i = 0

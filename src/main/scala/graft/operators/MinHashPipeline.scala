@@ -81,19 +81,65 @@ object MinHashPipeline {
     *   skew armor (output linear, not quadratic, in bucket size). None =
     *   exact reference parity (full clique, quadratic in the bucket).
     */
-  def candidates(sigs: DataFrame, starCapBucketSize: Option[Int] = None): DataFrame = {
+  def candidates(sigs: DataFrame, starCapBucketSize: Option[Int] = None,
+                 saltChunkSize: Int = 2048): DataFrame = {
     val spark = sigs.sparkSession
     import spark.implicits._
-    val cap = starCapBucketSize.getOrElse(Int.MaxValue)
-    bandBuckets(sigs)
+    val buckets = bandBuckets(sigs)
       .select(col("band_idx").cast("int"), col("band_hash").cast("int"),
         col("doc_id").cast("long"))
-      .as[(Int, Int, Long)]
-      .repartition(col("band_idx"), col("band_hash"))
-      .sortWithinPartitions("band_idx", "band_hash", "doc_id")
-      .mapPartitions(rows => graft.core.BucketPairs.emit(rows, cap))
-      .toDF("doc1", "doc2")
-      .distinct()
+    starCapBucketSize match {
+      case Some(cap) =>
+        buckets
+          .as[(Int, Int, Long)]
+          .repartition(col("band_idx"), col("band_hash"))
+          .sortWithinPartitions("band_idx", "band_hash", "doc_id")
+          .mapPartitions(rows => graft.core.BucketPairs.emit(rows, cap))
+          .toDF("doc1", "doc2")
+          .distinct()
+      case None =>
+        // Parity mode: the FULL clique of every bucket (reference
+        // semantics), with explicit salting so a mega-bucket's B² pairs are
+        // generated by many tasks, not one. Buckets <= saltChunkSize go
+        // through the single-shuffle streaming emitter; larger buckets are
+        // split into s = ceil(B / chunk) hash-salted chunks, every member is
+        // replicated to its s chunk-PAIR groups (ci, cj), and a second
+        // sorted pass emits cross/within-chunk pairs with <= 2*chunk ids
+        // buffered per task. Union is the exact clique, deduped by the
+        // final distinct (which parity mode needs anyway for ∃-band).
+        val sizes = buckets.groupBy("band_idx", "band_hash").agg(count(lit(1)).as("bn"))
+        val small = buckets.join(sizes.filter(col("bn") <= saltChunkSize),
+          Seq("band_idx", "band_hash"), "left_semi")
+        val smallPairs = small
+          .as[(Int, Int, Long)]
+          .repartition(col("band_idx"), col("band_hash"))
+          .sortWithinPartitions("band_idx", "band_hash", "doc_id")
+          .mapPartitions(rows => graft.core.BucketPairs.emit(rows, Int.MaxValue))
+          .toDF("doc1", "doc2")
+        val big = buckets.join(sizes.filter(col("bn") > saltChunkSize), Seq("band_idx", "band_hash"))
+          .withColumn("s", ceil(col("bn").cast("double") / saltChunkSize).cast("int"))
+          .withColumn("chunk", pmod(xxhash64(col("doc_id")), col("s")).cast("int"))
+        val bigPairs = big
+          .select(col("band_idx"), col("band_hash"), col("doc_id"), col("s"), col("chunk"))
+          .as[(Int, Int, Long, Int, Int)]
+          .flatMap { case (bi, bh, doc, s, chunk) =>
+            // replicate to every chunk-pair group containing this chunk
+            (0 until s).iterator.map { other =>
+              val ci = math.min(chunk, other)
+              val cj = math.max(chunk, other)
+              (bi, bh, ci, cj, doc, chunk)
+            }
+          }
+          .toDF("band_idx", "band_hash", "ci", "cj", "doc_id", "chunk")
+          .repartition(col("band_idx"), col("band_hash"), col("ci"), col("cj"))
+          .sortWithinPartitions("band_idx", "band_hash", "ci", "cj", "doc_id")
+          .select(col("band_idx"), col("band_hash"), col("ci"), col("cj"),
+            col("doc_id"), col("chunk"))
+          .as[(Int, Int, Int, Int, Long, Int)]
+          .mapPartitions(rows => graft.core.BucketPairs.emitChunkPairs(rows))
+          .toDF("doc1", "doc2")
+        smallPairs.union(bigPairs).distinct()
+    }
   }
 
   /** Stage C: similarity estimate + threshold. Joins candidates back to the

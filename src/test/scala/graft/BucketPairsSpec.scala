@@ -59,6 +59,32 @@ class BucketPairsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("emitChunkPairs: salted chunk-pair groups reproduce the exact clique") {
+    val prop = forAll(Gen.choose(1, 40), Gen.choose(1, 5)) { (nMembers, s) =>
+      val members = (0L until nMembers.toLong).map(d => d * 7 + 1)
+      val chunkOf = members.map(d => d -> (d % s).toInt).toMap
+      // replicate each member to every chunk-pair group containing it
+      val rows = (for {
+        d <- members
+        other <- 0 until s
+      } yield {
+        val ci = math.min(chunkOf(d), other)
+        val cj = math.max(chunkOf(d), other)
+        (0, 99, ci, cj, d, chunkOf(d))
+      }).sortBy(r => (r._3, r._4, r._5))
+      val got = BucketPairs.emitChunkPairs(rows.iterator).toSet
+      val want = (for {
+        i <- members.indices; j <- (i + 1) until members.length
+      } yield {
+        val a = members(i); val b = members(j)
+        (math.min(a, b), math.max(a, b))
+      }).toSet
+      got == want
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(200))
+    assert(res.passed, res.status.toString)
+  }
+
   test("streaming: oversized group does not buffer beyond cap") {
     // 1M-member group through a cap of 4 — must not OOM or materialize
     val n = 1000000

@@ -82,6 +82,17 @@ class GoldenPipelineSpec extends SparkSpec {
     sigs.unpersist()
   }
 
+  test("salted full-clique path == streaming path (saltChunkSize forcing splits)") {
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.0)
+    val sigs = MinHashPipeline.signatures(docs, cfg).toDF.cache()
+    val plain = MinHashPipeline.candidates(sigs, None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = MinHashPipeline.candidates(sigs, None, saltChunkSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain == salted)
+    sigs.unpersist()
+  }
+
   test("exact-Jaccard verification stage: dups 1.0, disjoint docs ~0, Q3 pair 1.0") {
     val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.0)
     val sigs = MinHashPipeline.signatures(docs, cfg).toDF

@@ -1,0 +1,127 @@
+package graft
+
+import graft.core.MinHashConfig
+import graft.operators.MinHashPipeline
+import graft.sources.CorpusGen
+import org.apache.spark.sql.functions._
+
+import scala.sys.process._
+
+/** The strongest correctness evidence in the repo: run the ACTUAL reference
+  * engine (compiled serial, gcc -D__MP_NONE__ from the read-only tree at
+  * /root/reference) on a 400-file synthetic source-code corpus and require
+  * our pipeline's pair output to be IDENTICAL — dup-pair recall 1.0, not
+  * just >= 0.99 — at the same shingle/signature/bandrows/seed/threshold
+  * config. Also asserts the sha256 ingest invariant between the parquet
+  * rows and the .txt corpus the reference reads (BASELINE.json input_hint).
+  *
+  * Skipped (assume) if gcc or the reference tree is unavailable.
+  */
+class ReferenceParitySpec extends SparkSpec {
+
+  private val binDir = "/tmp/refbuild"
+  private val bin = s"$binDir/minhash_NONE"
+
+  private def ensureBinary(): Boolean = {
+    if (new java.io.File(bin).canExecute) return true
+    if (!new java.io.File("/root/reference/src/OMP").isDirectory) return false
+    new java.io.File(binDir).mkdirs()
+    val cmd = Seq("bash", "-c",
+      s"gcc -O3 -w -D__MP_NONE__ /root/reference/src/OMP/*.c -o $bin -lm")
+    cmd.! == 0 && new java.io.File(bin).canExecute
+  }
+
+  test("pair output identical to compiled reference on 400-doc corpus (recall 1.0)") {
+    assume(ensureBinary(), "reference binary unavailable")
+    val n = 400
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4,
+      seed = 13, threshold = 0.3)
+
+    // corpus as both a DataFrame and the reference's <i>.txt directory
+    val docs = CorpusGen.sourceFilesWithIds(spark, n).select("doc_id", "content").cache()
+    val dir = java.nio.file.Files.createTempDirectory("refcmp")
+    docs.collect().foreach { r =>
+      java.nio.file.Files.write(
+        dir.resolve(s"${r.getLong(0)}.txt"),
+        r.getString(1).getBytes("US-ASCII"))
+    }
+
+    // ingest invariant: sha2(content) == sha256 of the .txt bytes
+    assert(CorpusGen.ingestShaMismatches(docs, dir.toString) == 0)
+
+    // run the reference (writes results.csv into its cwd)
+    val work = java.nio.file.Files.createTempDirectory("refrun").toFile
+    val rc = Process(
+      Seq(bin, "-n", "1", "--docs", n.toString, "--offset", "0",
+        "--shingle", cfg.shingleSize.toString,
+        "--signature", cfg.signatureSize.toString,
+        "--bandrows", cfg.nBandRows.toString,
+        "--seed", cfg.seed.toString,
+        "--threshold", cfg.threshold.toString,
+        dir.toString + "/"),
+      work
+    ).!
+    assert(rc == 0, s"reference binary exited $rc")
+    val refLines = scala.io.Source
+      .fromFile(new java.io.File(work, "results.csv"))
+      .getLines()
+      .drop(1) // header
+      .toVector
+      .sorted
+
+    val ourLines = MinHashPipeline
+      .goldenLines(MinHashPipeline.run(docs, cfg), cfg)
+      .toVector
+      .sorted
+
+    assert(ourLines.nonEmpty, "pipeline produced no pairs — corpus should have planted dups")
+    val refSet = refLines.toSet
+    val ourSet = ourLines.toSet
+    val missing = refSet -- ourSet
+    val extra = ourSet -- refSet
+    assert(missing.isEmpty && extra.isEmpty,
+      s"recall=${(refSet.size - missing.size).toDouble / refSet.size} " +
+        s"missing=${missing.take(5)} extra=${extra.take(5)}")
+    info(s"reference pairs = ${refSet.size}, ours = ${ourSet.size}, identical")
+    docs.unpersist()
+  }
+
+  test("cluster assignments match union-find over reference pairs (recall >= 0.99 rule)") {
+    assume(ensureBinary(), "reference binary unavailable")
+    val n = 400
+    val cfg = MinHashConfig(3, 64, 4, 13, 0.8)
+    val docs = CorpusGen.sourceFilesWithIds(spark, n).select("doc_id", "content").cache()
+    val dir = java.nio.file.Files.createTempDirectory("refcmp2")
+    docs.collect().foreach { r =>
+      java.nio.file.Files.write(dir.resolve(s"${r.getLong(0)}.txt"),
+        r.getString(1).getBytes("US-ASCII"))
+    }
+    val work = java.nio.file.Files.createTempDirectory("refrun2").toFile
+    val rc = Process(
+      Seq(bin, "-n", "1", "--docs", n.toString, "--offset", "0",
+        "--shingle", "3", "--signature", "64", "--bandrows", "4",
+        "--seed", "13", "--threshold", "0.8", dir.toString + "/"), work).!
+    assert(rc == 0)
+
+    // union-find over the reference's pairs
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    def union(a: Int, b: Int): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    scala.io.Source.fromFile(new java.io.File(work, "results.csv")).getLines().drop(1)
+      .foreach { line =>
+        val p = line.split(",")
+        union(p(0).toInt, p(1).toInt)
+      }
+    val refClusters = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+
+    val ours = graft.operators.ConnectedComponents
+      .cluster(MinHashPipeline.run(docs, cfg), docs.select(col("doc_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(ours == refClusters)
+    docs.unpersist()
+  }
+}
