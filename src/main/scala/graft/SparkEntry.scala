@@ -124,6 +124,18 @@ object SparkEntry {
         Multimodal.synthesizeAssets(documents(s, dir)).toDF()
       ).orderBy("asset_id", "frame_idx")),
 
+    // ---- streaming ingest (incremental dedup over micro-batches) ----
+    "q_streaming_dedup" -> ((s, dir) => {
+      // stage the documents table as a streaming source dir, then run the
+      // incremental dedup job to completion (AvailableNow)
+      val input = java.nio.file.Files.createTempDirectory("q_stream_in").toString
+      val work = java.nio.file.Files.createTempDirectory("q_stream_work").toString
+      docsAsCorpus(s, dir).repartition(4).write.mode("overwrite").parquet(input)
+      val q = graft.streaming.StreamingDedup.start(s, input, work, docCfg)
+      q.awaitTermination()
+      s.read.parquet(s"$work/pairs").orderBy("doc1", "doc2")
+    }),
+
     // ---- relational sanity (agg + join on the TPC-H-ish tables) ----
     "q1_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")

@@ -1,0 +1,24 @@
+package graft
+
+/** Driver-contract smoke: the flagship entry returns rows, every registered
+  * query runs at sf0.001, and every oracle key has a matching query.
+  */
+class EntrySpec extends SparkSpec {
+
+  test("entry() returns > 0 rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, missing.toString)
+  }
+
+  test("all queries run at sf0.001 and return rows") {
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, "/root/testdata/sf0.001").count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empty.isEmpty, s"queries with 0 rows: $empty")
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.core.MinHashConfig
+import graft.operators.MinHashPipeline
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan assertions: the plans we ship are the plans we designed.
+  * Catches regressions like a filter that stops reaching the parquet scan,
+  * a broadcast that silently becomes a shuffle join, or an extra exchange
+  * sneaking into the signature (narrow) stage.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("filter + projection push down to the parquet scan") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("lang") === "en")
+      .select("doc_id", "n_chars")
+    val plan = formatted(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"), plan)
+    // pruned read schema: only the referenced columns, never `text`
+    assert(plan.contains("doc_id") && plan.contains("n_chars"))
+    assert(!plan.split("ReadSchema")(1).split("\n")(0).contains("text"), plan)
+  }
+
+  test("signature stage is narrow: no exchange between scan and kernel") {
+    val cfg = MinHashConfig(3, 32, 4, 13, 0.0)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text").as("content"))
+    val sigs = MinHashPipeline.signatures(docs, cfg).toDF
+    val planStr = sigs.queryExecution.executedPlan.toString
+    assert(!planStr.contains("Exchange"), planStr)
+  }
+
+  test("candidates stage has exactly the designed shuffles (repartition + distinct)") {
+    val cfg = MinHashConfig(3, 32, 4, 13, 0.0)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text").as("content"))
+    val sigs = MinHashPipeline.signatures(docs, cfg).toDF
+    val cands = MinHashPipeline.candidates(sigs, Some(256))
+    // AQE wraps the plan; count Exchange nodes in the printed tree
+    val planStr = cands.queryExecution.executedPlan.toString
+    val nExchanges = "(?m)^\\s*\\+?-? ?Exchange ".r.findAllIn(planStr).length
+    // one repartition(band keys) + the distinct's exchange = 2
+    assert(planStr.split("Exchange ").length - 1 == 2, planStr)
+  }
+
+  test("small-dimension join broadcasts (orders x customer)") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment").count()
+    assert(formatted(joined).contains("BroadcastHashJoin"), formatted(joined))
+  }
+
+  test("custom dot expression participates in whole-stage codegen") {
+    // input must be a plain array<double> attribute: a higher-order
+    // `transform` feeding it is itself CodegenFallback and would break WSCG
+    // regardless of our expression (which is why pipeline stages materialize
+    // vectors via typed maps first)
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v.map(_.toDouble)) }
+      .toDF("id", "v")
+    val df = e.filter(graft.functions.VectorExprs.dotD(col("v"), col("v")) > lit(0.6))
+    val plan = formatted(df)
+    // formatted mode marks codegen'd nodes with '*' and 'codegen id'
+    assert(plan.contains("* Filter"), plan)
+    assert(plan.contains("codegen id"), plan)
+    assert(df.count() > 0)
+  }
+}
