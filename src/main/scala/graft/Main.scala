@@ -34,6 +34,7 @@ object Main {
       threshold = opts.getOrElse("threshold", "0.1").toDouble
     )
     val starCap = opts.get("star-cap").map(_.toInt)
+    val verifyJaccard = opts.get("verify-jaccard").exists(_.toBoolean)
     // spark-submit injects spark.master as a system property; only default
     // to local[*] when launched directly (sbt runMain / tests).
     val master = sys.props.getOrElse(
@@ -65,7 +66,7 @@ object Main {
       }
 
     val t0 = System.nanoTime()
-    val pipe = new CheckpointedPipeline(spark, cfg, output, starCap)
+    val pipe = new CheckpointedPipeline(spark, cfg, output, starCap, verifyJaccard)
     val (clusters, log) = pipe.run(docs)
     val nDocs = docs.count()
     val nClusters = clusters.select("cluster_id").distinct().count()

@@ -21,7 +21,8 @@ class CheckpointedPipeline(
     spark: SparkSession,
     cfg: MinHashConfig,
     workDir: String,
-    starCapBucketSize: Option[Int] = None
+    starCapBucketSize: Option[Int] = None,
+    verifyExactJaccard: Boolean = false
 ) {
   import CheckpointedPipeline._
 
@@ -59,13 +60,26 @@ class CheckpointedPipeline(
   private def committed(stage: String): Boolean =
     fs.exists(new org.apache.hadoop.fs.Path(s"${stagePath(stage)}/_SUCCESS"))
 
-  private def metricsFor(stage: String, fp: String): Boolean = {
-    if (!fs.exists(new org.apache.hadoop.fs.Path(metricsPath))) return false
-    !spark.read
-      .parquet(metricsPath)
-      .filter(col("stage") === stage && col("input_fingerprint") === fp && col("config") === configTag(stage))
-      .limit(1)
-      .isEmpty
+  /** The tag identifies the CURRENT contents of a stage table (fingerprint
+    * + stage-relevant config). Checking the _metrics history instead would
+    * be wrong: a stage overwritten under config B still has config-A rows
+    * in the history, and a resume under config A must NOT reuse the
+    * config-B table.
+    */
+  private def tagPath(stage: String) = new org.apache.hadoop.fs.Path(s"${stagePath(stage)}/_graft_tag")
+
+  private def writeTag(stage: String, fp: String): Unit = {
+    val out = fs.create(tagPath(stage), true)
+    out.write(s"$fp|${configTag(stage)}".getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def tagMatches(stage: String, fp: String): Boolean = {
+    if (!fs.exists(tagPath(stage))) return false
+    val in = fs.open(tagPath(stage))
+    val content = new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    in.close()
+    content == s"$fp|${configTag(stage)}"
   }
 
   private def appendMetrics(stage: String, df: DataFrame, fp: String): Unit = {
@@ -86,12 +100,13 @@ class CheckpointedPipeline(
     * metrics, read it back; otherwise compute, write, and record metrics.
     */
   private def stage(name: String, fp: String, executed: StageLog)(compute: => DataFrame): DataFrame = {
-    if (committed(name) && metricsFor(name, fp)) {
+    if (committed(name) && tagMatches(name, fp)) {
       executed.skipped += name
       spark.read.parquet(stagePath(name))
     } else {
       val df = compute
       df.write.mode(SaveMode.Overwrite).parquet(stagePath(name))
+      writeTag(name, fp)
       val written = spark.read.parquet(stagePath(name))
       appendMetrics(name, written, fp)
       executed.computed += name
@@ -113,6 +128,14 @@ class CheckpointedPipeline(
     }
     val pairs = stage("pairs", fp, log) {
       MinHashPipeline.pairs(cands, sigs, cfg)
+    }
+    // optional north-star verification stage: exact Jaccard over distinct
+    // shingle-hash sets for every candidate pair (the reference's dead-code
+    // array_similarity semantics, O15b)
+    if (verifyExactJaccard) {
+      stage("jaccard", fp, log) {
+        MinHashPipeline.exactJaccardPairs(cands, docs, cfg)
+      }
     }
     val clusters = stage("clusters", fp, log) {
       ConnectedComponents.cluster(pairs, docs.select(col("doc_id")))

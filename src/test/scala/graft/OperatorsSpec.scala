@@ -154,6 +154,25 @@ class OperatorsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("graft_murmur2 SQL expression matches golden vectors, codegen and interpreted") {
+    graft.functions.Murmur2Expr.register(spark)
+    val got = spark.sql(
+      "SELECT graft_murmur2('the quick brown', 13) AS a, graft_murmur2('', 13) AS b," +
+        " graft_murmur2('abcde', 13) AS c").head()
+    assert(got.getLong(0) == 3138408474L)
+    assert(got.getLong(1) == 2846461888L)
+    assert(got.getLong(2) == 3754285280L)
+    // column API over real data: equal to kernel result
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+      .select(col("text"), graft.functions.Murmur2Expr.murmur2(col("text"), lit(13)).as("h"))
+      .collect()
+    d.foreach { r =>
+      val want = graft.core.Murmur2.asUnsigned(
+        graft.core.Murmur2.hashBytes(r.getString(0).getBytes("UTF-8"), 13))
+      assert(r.getLong(1) == want)
+    }
+  }
+
   test("multimodal: features + frame plan shapes") {
     val assets = Multimodal.synthesizeAssets(docs)
     val feats = Multimodal.extractFeatures(assets).collect()

@@ -48,6 +48,20 @@ class ResumeSpec extends SparkSpec {
     assert(log4.skipped.toSeq == Seq("signatures", "candidates"))
     assert(log4.computed.toSeq == Seq("pairs", "clusters"))
 
+    // switching BACK to the original threshold must recompute pairs too —
+    // the pairs table currently holds threshold-0.9 content (this is the
+    // overwritten-stage case the per-table tag exists for)
+    val (_, logBack) = new CheckpointedPipeline(spark, cfg, work).run(docs)
+    assert(logBack.computed.toSeq == Seq("pairs", "clusters"))
+
+    // enabling the exact-Jaccard verification stage computes ONLY it
+    val (_, logJ) = new CheckpointedPipeline(spark, cfg, work, None, verifyExactJaccard = true).run(docs)
+    assert(logJ.computed.toSeq == Seq("jaccard"))
+    assert(logJ.skipped.toSeq == Seq("signatures", "candidates", "pairs", "clusters"))
+    val jac = spark.read.parquet(s"$work/jaccard")
+    assert(jac.columns.toSet == Set("doc1", "doc2", "jaccard"))
+    assert(jac.count() > 0)
+
     // input change invalidates everything (fingerprint mismatch)
     val docs2 = CorpusGen.withDocIds(CorpusGen.sourceFiles(spark, 301))
     val (_, log5) = new CheckpointedPipeline(spark, cfg, work).run(docs2)
