@@ -127,8 +127,11 @@ object Bench {
     SparkSession.clearDefaultSession()
     val sparkHi = session(coresHi)
     dedupJob(sparkHi, warmPath, scaleFiles / 8)
-    val tHi = math.min(dedupJob(sparkHi, corpusPath, scaleFiles),
-      dedupJob(sparkHi, corpusPath, scaleFiles))
+    // hi-level wall times are noisier (short runs, more concurrent GC/JIT
+    // interplay): min of three
+    val tHi = Seq(dedupJob(sparkHi, corpusPath, scaleFiles),
+      dedupJob(sparkHi, corpusPath, scaleFiles),
+      dedupJob(sparkHi, corpusPath, scaleFiles)).min
     sparkHi.stop()
 
     val thrLo = scaleFiles / tLo

@@ -57,16 +57,22 @@ object CorpusGen {
       case _                => "unique"
     }
     val commit = f"${mix(seed ^ (i * 31 + 7))}%040x".takeRight(40)
+    // clones must point at an index whose OWN file is unique-kind
+    // (i % 20 >= 6), otherwise the planted "dup" duplicates nothing:
+    // the previous block's first unique slot, or this block's for block 0.
+    def cloneBase: Long = {
+      val blockStart = i - (i % 20)
+      if (blockStart >= 20) blockStart - 20 + 6 else blockStart + 6
+    }
     kind match {
       case "license" =>
         SourceFile(repo, s"LICENSE-${i % 3}.txt", commit, "txt", license)
       case "tiny" =>
         SourceFile(repo, s"src/empty_$i.$lang", commit, lang, if (rng.nextBoolean()) "x" else "x y")
       case "exact_dup" =>
-        val base = uniqueBody(i - (i % 20) - 20, seed) // clone of an earlier unique file
-        SourceFile(repo, s"vendor/copy_$i.$lang", commit, lang, base)
+        SourceFile(repo, s"vendor/copy_$i.$lang", commit, lang, uniqueBody(cloneBase, seed))
       case "near_dup" =>
-        val base = uniqueBody(i - (i % 20) - 20, seed)
+        val base = uniqueBody(cloneBase, seed)
         // tail edit: replace the last ~3 tokens — near-dup at high Jaccard
         val toks = base.split(" ")
         val edited = (toks.dropRight(3) ++ Array("patched", s"rev$i", "end")).mkString(" ")
