@@ -72,7 +72,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val scaleFiles = sys.env.getOrElse("SPARK_GRAFT_SCALE_FILES", "400000").toLong
+    val scaleFiles = sys.env.getOrElse("SPARK_GRAFT_SCALE_FILES", "200000").toLong
     // Scaling protocol cores: N vs 4N. Default 2 vs 8 so each measurement
     // leaves the rest of the box idle — a real 4N-executor cluster brings
     // 4x memory bandwidth with it, which 8-vs-32 threads on ONE socket does
