@@ -56,7 +56,7 @@ object Bench {
       seed = 13, threshold = 0.8)
     val t0 = System.nanoTime()
     val docs = spark.read.parquet(corpusPath).select("doc_id", "content")
-    val sigs = MinHashPipeline.signatures(docs, cfg).toDF.persist()
+    val sigs = MinHashPipeline.signatures(docs, cfg).toDF().persist()
     val pairs = MinHashPipeline
       .pairs(MinHashPipeline.candidates(sigs, starCapBucketSize = Some(256)), sigs, cfg)
       .persist()

@@ -43,16 +43,16 @@ object SparkEntry {
     // ---- flagship MinHash/LSH dedup pipeline (reference parity ops) ----
     "q_minhash_signatures" -> ((s, dir) =>
       MinHashPipeline.signatures(docsAsCorpus(s, dir), docCfg)
-        .toDF.select(col("doc_id"), size(col("signature")).as("sig_len"),
+        .toDF().select(col("doc_id"), size(col("signature")).as("sig_len"),
           size(col("bands")).as("n_bands")).orderBy("doc_id")),
     "q_lsh_candidates" -> ((s, dir) =>
       MinHashPipeline.candidates(
-        MinHashPipeline.signatures(docsAsCorpus(s, dir), docCfg).toDF)
+        MinHashPipeline.signatures(docsAsCorpus(s, dir), docCfg).toDF())
         .orderBy("doc1", "doc2")),
     "q_minhash_pairs" -> ((s, dir) => MinHashPipeline.run(docsAsCorpus(s, dir), docCfg)),
     "q_exact_jaccard_verify" -> ((s, dir) => {
       val docs = docsAsCorpus(s, dir)
-      val sigs = MinHashPipeline.signatures(docs, docCfg).toDF
+      val sigs = MinHashPipeline.signatures(docs, docCfg).toDF()
       MinHashPipeline.exactJaccardPairs(MinHashPipeline.candidates(sigs), docs, docCfg)
         .filter(col("jaccard") >= 0.3).orderBy("doc1", "doc2")
     }),

@@ -184,11 +184,17 @@ object MinHashPipeline {
       .toDF("doc_id", "shingle_set")
     val l = sets.select(col("doc_id").as("doc1"), col("shingle_set").as("set1"))
     val r = sets.select(col("doc_id").as("doc2"), col("shingle_set").as("set2"))
-    val joined = cands.join(l, "doc1").join(r, "doc2")
-    val jaccard = udf((a: Array[Int], b: Array[Int]) => SignatureKernel.exactJaccard(a, b))
-    joined
-      .withColumn("jaccard", jaccard(col("set1"), col("set2")))
-      .select(col("doc1"), col("doc2"), col("jaccard"))
+    // typed map (not a UDF): the sorted-merge intersection is a tight
+    // primitive loop over two int arrays
+    cands
+      .join(l, "doc1")
+      .join(r, "doc2")
+      .select(col("doc1").cast("long"), col("doc2").cast("long"), col("set1"), col("set2"))
+      .as[(Long, Long, Array[Int], Array[Int])]
+      .mapPartitions(_.map { case (d1, d2, s1, s2) =>
+        (d1, d2, SignatureKernel.exactJaccard(s1, s2))
+      })
+      .toDF("doc1", "doc2", "jaccard")
   }
 
   /** Full reference-equivalent run: docs(doc_id, content) -> sorted pairs
@@ -196,7 +202,7 @@ object MinHashPipeline {
     * consumed twice (bucket join + similarity join).
     */
   def run(docs: DataFrame, cfg: MinHashConfig, starCapBucketSize: Option[Int] = None): DataFrame = {
-    val sigs = signatures(docs, cfg).toDF.cache()
+    val sigs = signatures(docs, cfg).toDF().cache()
     val out = pairs(candidates(sigs, starCapBucketSize), sigs, cfg)
       .orderBy("doc1", "doc2")
     out

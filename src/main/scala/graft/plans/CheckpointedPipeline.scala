@@ -121,7 +121,7 @@ class CheckpointedPipeline(
     val log = new StageLog
     val fp = fingerprint(docs)
     val sigs = stage("signatures", fp, log) {
-      MinHashPipeline.signatures(docs, cfg).toDF
+      MinHashPipeline.signatures(docs, cfg).toDF()
     }
     val cands = stage("candidates", fp, log) {
       MinHashPipeline.candidates(sigs, starCapBucketSize)

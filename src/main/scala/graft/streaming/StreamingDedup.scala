@@ -53,7 +53,7 @@ object StreamingDedup {
       .option("checkpointLocation", s"$workDir/_stream_checkpoint")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sigs = MinHashPipeline.signatures(batch, cfg).toDF.cache()
+        val sigs = MinHashPipeline.signatures(batch, cfg).toDF().cache()
         try {
           // dedupe WITHIN the batch (full pipeline on the micro-batch)...
           val intraPairs = MinHashPipeline.pairs(

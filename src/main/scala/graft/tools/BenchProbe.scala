@@ -38,7 +38,7 @@ object BenchProbe {
     // JIT warm at small scale
     {
       val wdocs = CorpusGen.sourceFilesWithIds(spark, 50000).select("doc_id", "content")
-      val wsigs = MinHashPipeline.signatures(wdocs, cfg).toDF.persist()
+      val wsigs = MinHashPipeline.signatures(wdocs, cfg).toDF().persist()
       val wp = MinHashPipeline.pairs(MinHashPipeline.candidates(wsigs, Some(256)), wsigs, cfg).persist()
       ConnectedComponents.cluster(wp, wdocs.select("doc_id")).count()
       wsigs.unpersist(); wp.unpersist()
@@ -55,12 +55,12 @@ object BenchProbe {
     val sigs = timed("signatures") {
       val mode = sys.env.getOrElse("SIGMODE", "persist")
       if (mode == "parquet") {
-        MinHashPipeline.signatures(docs, cfg).toDF.write.mode("overwrite").parquet("/tmp/probe_sigs")
+        MinHashPipeline.signatures(docs, cfg).toDF().write.mode("overwrite").parquet("/tmp/probe_sigs")
         spark.read.parquet("/tmp/probe_sigs")
       } else if (mode == "disk") {
-        val s = MinHashPipeline.signatures(docs, cfg).toDF.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY); s.count(); s
+        val s = MinHashPipeline.signatures(docs, cfg).toDF().persist(org.apache.spark.storage.StorageLevel.DISK_ONLY); s.count(); s
       } else {
-        val s = MinHashPipeline.signatures(docs, cfg).toDF.persist(); s.count(); s
+        val s = MinHashPipeline.signatures(docs, cfg).toDF().persist(); s.count(); s
       }
     }
     (1 to 3).foreach { i =>

@@ -26,7 +26,7 @@ object CandProbe {
       println(f"[probe] $name%-14s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
     }
     val docs = CorpusGen.sourceFilesWithIds(spark, n).select("doc_id", "content")
-    val sigs = MinHashPipeline.signatures(docs, cfg).toDF.persist()
+    val sigs = MinHashPipeline.signatures(docs, cfg).toDF().persist()
     println("[probe] sigs " + sigs.count())
     val buckets = sigs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash"))).persist()
     timed("buckets")(println("[probe] n=" + buckets.count()))

@@ -71,7 +71,7 @@ class GoldenPipelineSpec extends SparkSpec {
 
   test("star-capped skew mode preserves clusters (hub-star vs full clique)") {
     val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.0)
-    val sigs = MinHashPipeline.signatures(docs, cfg).toDF.cache()
+    val sigs = MinHashPipeline.signatures(docs, cfg).toDF().cache()
     val full = MinHashPipeline.pairs(MinHashPipeline.candidates(sigs, None), sigs, cfg)
     val star = MinHashPipeline.pairs(MinHashPipeline.candidates(sigs, Some(1)), sigs, cfg)
     val cFull = ConnectedComponents.cluster(full, docs.selectExpr("doc_id"))
@@ -84,7 +84,7 @@ class GoldenPipelineSpec extends SparkSpec {
 
   test("salted full-clique path == streaming path (saltChunkSize forcing splits)") {
     val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.0)
-    val sigs = MinHashPipeline.signatures(docs, cfg).toDF.cache()
+    val sigs = MinHashPipeline.signatures(docs, cfg).toDF().cache()
     val plain = MinHashPipeline.candidates(sigs, None)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val salted = MinHashPipeline.candidates(sigs, None, saltChunkSize = 1)
@@ -95,7 +95,7 @@ class GoldenPipelineSpec extends SparkSpec {
 
   test("exact-Jaccard verification stage: dups 1.0, disjoint docs ~0, Q3 pair 1.0") {
     val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.0)
-    val sigs = MinHashPipeline.signatures(docs, cfg).toDF
+    val sigs = MinHashPipeline.signatures(docs, cfg).toDF()
     val cands = MinHashPipeline.candidates(sigs)
     val j = MinHashPipeline
       .exactJaccardPairs(cands, docs, cfg)

@@ -32,7 +32,7 @@ class PlanSpec extends SparkSpec {
     val cfg = MinHashConfig(3, 32, 4, 13, 0.0)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text").as("content"))
-    val sigs = MinHashPipeline.signatures(docs, cfg).toDF
+    val sigs = MinHashPipeline.signatures(docs, cfg).toDF()
     val planStr = sigs.queryExecution.executedPlan.toString
     assert(!planStr.contains("Exchange"), planStr)
   }
@@ -41,7 +41,7 @@ class PlanSpec extends SparkSpec {
     val cfg = MinHashConfig(3, 32, 4, 13, 0.0)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text").as("content"))
-    val sigs = MinHashPipeline.signatures(docs, cfg).toDF
+    val sigs = MinHashPipeline.signatures(docs, cfg).toDF()
     val cands = MinHashPipeline.candidates(sigs, Some(256))
     // AQE wraps the plan; count Exchange nodes in the printed tree
     val planStr = cands.queryExecution.executedPlan.toString

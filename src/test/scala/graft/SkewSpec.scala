@@ -28,7 +28,7 @@ class SkewSpec extends SparkSpec {
   }
 
   test("star-cap mode: linear pair count, full clique still one cluster") {
-    val sigs = MinHashPipeline.signatures(docs, cfg).toDF.cache()
+    val sigs = MinHashPipeline.signatures(docs, cfg).toDF().cache()
     val cands = MinHashPipeline.candidates(sigs, starCapBucketSize = Some(64))
     val cliqueCands = cands.filter(col("doc1") < cliqueN && col("doc2") < cliqueN)
     // star mode: the mega-bucket contributes (n-1) hub pairs, not C(n,2)
@@ -42,7 +42,7 @@ class SkewSpec extends SparkSpec {
   }
 
   test("salted parity mode: exact C(n,2) clique pairs, distributed generation") {
-    val sigs = MinHashPipeline.signatures(docs, cfg).toDF.cache()
+    val sigs = MinHashPipeline.signatures(docs, cfg).toDF().cache()
     val cands = MinHashPipeline.candidates(sigs, None, saltChunkSize = 128)
     val cliquePairs = cands.filter(col("doc1") < cliqueN && col("doc2") < cliqueN).count()
     assert(cliquePairs == cliqueN.toLong * (cliqueN - 1) / 2)
