@@ -108,6 +108,9 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(embeddings(s, dir), k = 5, dim = 64, nTables = 16, bandBits = 6)
         .orderBy("query_id", "rank")),
+    "q_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(embeddings(s, dir), k = 5, nCentroids = 16, nProbe = 6)
+        .orderBy("query_id", "rank")),
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(embeddings(s, dir), minCosine = 0.4, dim = 64,
         nTables = 12, bandBits = 8).orderBy("doc1", "doc2")),

@@ -148,6 +148,71 @@ object Similarity {
       .select("query_id", "rank", "nbr_id", "cosine")
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer of `nCentroids`
+    * deterministic centroids (unit-normalized sample of the corpus, chosen
+    * by hash order so the "index build" is one tiny collect); every vector
+    * is assigned to its nearest centroid list; a query probes its `nProbe`
+    * nearest centroids and reranks exactly within those lists.
+    *
+    * Scale shape: centroids are a driver-side array baked into the task
+    * closures (they are small BY DESIGN — sqrt(n)-ish); the only shuffle is
+    * the equi-join on centroid_id. Complements the hyperplane-LSH variant:
+    * IVF adapts to the data distribution (clustered embeddings), LSH is
+    * distribution-free.
+    */
+  def ivfTopK(corpus: DataFrame, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus
+      .select(col(idCol).cast("long").as("vid"), asDouble(col(vecCol)).as("vec"))
+      .as[(Long, Array[Double])]
+    // deterministic centroid sample: smallest nCentroids ids by a hash of
+    // the id (≈ uniform random, reproducible, one small collect)
+    val centroids: Array[Array[Double]] = base
+      .map { case (vid, v) => (graft.core.Murmur2.hashString(vid.toString, 7) & 0xffffffffL, v) }
+      .toDF("h", "v").orderBy("h").limit(nCentroids)
+      .select("v").as[Array[Double]].collect()
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0) v else v.map(_ / n)
+      }
+
+    def nearestCentroids(v: Array[Double], m: Int): Array[Int] = {
+      val nv = math.sqrt(v.map(x => x * x).sum)
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < v.length) { d += v(j) * c(j); j += 1 }
+        (if (nv == 0) 0.0 else d / nv, i)
+      }
+      scored.sortBy { case (s, i) => (-s, i) }.take(m).map(_._2)
+    }
+
+    val assigned = base
+      .mapPartitions(_.map { case (vid, v) => (vid, v, nearestCentroids(v, 1)(0)) })
+      .toDF("nbr_id", "nbr_vec", "centroid_id")
+    val probes = base
+      .mapPartitions(_.flatMap { case (vid, v) =>
+        nearestCentroids(v, nProbe).iterator.map(c => (vid, v, c))
+      })
+      .toDF("query_id", "q_vec", "centroid_id")
+    val scored = probes
+      .join(assigned, "centroid_id")
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn(
+        "cosine",
+        dot(col("q_vec"), col("nbr_vec")) / (norm(col("q_vec")) * norm(col("nbr_vec")))
+      )
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nbr_id", "cosine")
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (i < j) pairs with cosine >=
     * minCosine, found through the LSH candidate join (not a cross join).
     */

@@ -86,6 +86,24 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("ivfTopK recall vs brute force on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter($"vec_id" < 20)
+    val bf = Similarity.bruteForceTopK(e, queries, k = 5)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(e, k = 5, nCentroids = 16, nProbe = 6)
+      .filter($"query_id" < 20)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    info(s"IVF ANN recall@5 = $recall (nProbe=6/16 lists)")
+    assert(recall >= 0.3, s"recall $recall")
+    // full probe == exact: probing ALL lists must reproduce brute force
+    val full = Similarity.ivfTopK(e, k = 5, nCentroids = 8, nProbe = 8)
+      .filter($"query_id" < 20)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == bf)
+  }
+
   test("token counts: ws vs bpe-ish") {
     val df = Seq((0L, "hello world"), (1L, "don't stop-me now!"), (2L, ""), (3L, "  "))
       .toDF("doc_id", "text")
