@@ -70,6 +70,9 @@ object SparkEntry {
       Dedup.exactDupGroups(documents(s, dir)).orderBy("content_sha")),
     "q_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashPairs(documents(s, dir), maxHamming = 3).orderBy("doc1", "doc2")),
+    "q_substring_dup" -> ((s, dir) =>
+      Dedup.substringDupPairs(documents(s, dir), minTokens = 12)
+        .orderBy("doc1", "doc2")),
     "q_ngram_jaccard" -> ((s, dir) =>
       // word 3-grams: on the small-vocab documents corpus 2-grams are hot
       // keys (every bigram shared by ~10% of docs -> quadratic join blowup);

@@ -113,6 +113,65 @@ object Dedup {
       .distinct()
   }
 
+  /** Substring-duplication pairs (the suffix-array-style third dedup family
+    * alongside MinHash and SimHash): two docs are substring-dups when they
+    * share at least one run of `minTokens` consecutive normalized tokens.
+    * Instead of building a distributed suffix array, each doc emits one
+    * 64-bit Rabin–Karp rolling hash per token window (O(tokens) total via
+    * the rolling update, not O(tokens × window)); window-hash equi-join +
+    * count of shared windows. The window length plays the suffix-array LCP
+    * threshold role; false positives (hash collisions at 64 bits) are
+    * negligible and can be re-verified by the exact-Jaccard stage.
+    *
+    * Returns (doc1, doc2, n_shared_windows), n_shared_windows counting
+    * DISTINCT window hashes present in both docs.
+    */
+  def substringDupPairs(docs: DataFrame, minTokens: Int,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        maxWindowDocFreq: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val windows = docs
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = Tokenizer.tokenize(if (text == null) "" else text)
+        if (toks.length < minTokens) Iterator.empty
+        else {
+          // polynomial rolling hash over token-level murmur values:
+          // h(w..w+L) = sum tokHash(i) * B^(L-1-(i-w)) in wrapping 64-bit
+          val B = 1000003L
+          var bPow = 1L // B^(L-1)
+          var i = 1
+          while (i < minTokens) { bPow *= B; i += 1 }
+          val tokHash = toks.map(t => (Murmur2.hashString(t, 1315423911.toInt) & 0xffffffffL) | 1L)
+          var h = 0L
+          var w = 0
+          while (w < minTokens) { h = h * B + tokHash(w); w += 1 }
+          val out = new scala.collection.mutable.LinkedHashSet[Long]
+          out += h
+          var start = 1
+          while (start + minTokens <= toks.length) {
+            h = (h - tokHash(start - 1) * bPow) * B + tokHash(start + minTokens - 1)
+            out += h
+            start += 1
+          }
+          out.iterator.map(wh => (id, wh))
+        }
+      }
+      .toDF("doc_id", "window_hash")
+    // hot-window cap: a window shared by >maxWindowDocFreq docs (boilerplate)
+    // adds candidates quadratically but no discrimination — standard drop
+    val df = windows.groupBy("window_hash").agg(count(lit(1)).as("wdf"))
+      .filter(col("wdf") <= maxWindowDocFreq)
+    val filtered = windows.join(df.select("window_hash"), "window_hash")
+    val a = filtered.alias("a")
+    val b = filtered.alias("b")
+    a.join(b, col("a.window_hash") === col("b.window_hash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+  }
+
   /** Word n-gram Jaccard near-dup pairs — the SQL-expressible dedup variant
     * (the DuckDB oracle runs the identical relational plan):
     * distinct n-grams per doc -> equi-join on the n-gram -> pair

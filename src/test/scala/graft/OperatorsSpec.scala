@@ -61,6 +61,31 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("substringDupPairs: shared >= L-token run detected, shorter overlap not") {
+    val d = Seq(
+      (0L, "aa bb cc dd ee ff gg hh unique tail one"),
+      (1L, "prefix other aa bb cc dd ee ff gg hh different end"), // shares an 8-token run with 0
+      (2L, "aa bb cc xx yy zz qq ww completely other words here"), // only 3-token overlap
+      (3L, "nothing in common with anything at all whatsoever truly")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.substringDupPairs(d, minTokens = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((0L, 1L)))
+    // 8-token shared run => 3 distinct 6-token windows
+    assert(pairs((0L, 1L)) == 3L)
+    assert(!pairs.contains((0L, 2L)))
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("substringDupPairs rolling hash == direct window hash (no drift)") {
+    // one long doc vs itself shifted: every window of the overlap matches
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d = Seq((0L, text), (1L, text)).toDF("doc_id", "text")
+    val n = Dedup.substringDupPairs(d, minTokens = 10)
+      .head().getLong(2)
+    assert(n == 31L) // 40 - 10 + 1 distinct windows, all shared
+  }
+
   test("bruteForceTopK: exact ranking on crafted vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -86,6 +86,33 @@ class ReferenceParitySpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("pair output identical at a second config (shingle 2 / sig 96 / rows 3 / seed 7)") {
+    assume(ensureBinary(), "reference binary unavailable")
+    val n = 400
+    val cfg = MinHashConfig(shingleSize = 2, signatureSize = 96, nBandRows = 3,
+      seed = 7, threshold = 0.4)
+    val docs = CorpusGen.sourceFilesWithIds(spark, n).select("doc_id", "content").cache()
+    val dir = java.nio.file.Files.createTempDirectory("refcmpB")
+    docs.collect().foreach { r =>
+      java.nio.file.Files.write(dir.resolve(s"${r.getLong(0)}.txt"),
+        r.getString(1).getBytes("US-ASCII"))
+    }
+    val work = java.nio.file.Files.createTempDirectory("refrunB").toFile
+    val rc = Process(
+      Seq(bin, "-n", "1", "--docs", n.toString, "--offset", "0",
+        "--shingle", "2", "--signature", "96", "--bandrows", "3",
+        "--seed", "7", "--threshold", "0.4", dir.toString + "/"), work).!
+    assert(rc == 0)
+    val refLines = scala.io.Source.fromFile(new java.io.File(work, "results.csv"))
+      .getLines().drop(1).toVector.sorted
+    val ourLines = MinHashPipeline.goldenLines(MinHashPipeline.run(docs, cfg), cfg)
+      .toVector.sorted
+    assert(ourLines == refLines,
+      s"ref=${refLines.size} ours=${ourLines.size} " +
+        s"diff=${(refLines.toSet -- ourLines.toSet).take(3)} | ${(ourLines.toSet -- refLines.toSet).take(3)}")
+    docs.unpersist()
+  }
+
   test("cluster assignments match union-find over reference pairs (recall >= 0.99 rule)") {
     assume(ensureBinary(), "reference binary unavailable")
     val n = 400
