@@ -178,6 +178,8 @@ object Similarity {
         if (n == 0) v else v.map(_ / n)
       }
 
+    require(centroids.nonEmpty, "ivfTopK: empty corpus (no centroids)")
+
     def nearestCentroids(v: Array[Double], m: Int): Array[Int] = {
       val nv = math.sqrt(v.map(x => x * x).sum)
       val scored = centroids.zipWithIndex.map { case (c, i) =>

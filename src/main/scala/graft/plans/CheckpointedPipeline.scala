@@ -106,9 +106,11 @@ class CheckpointedPipeline(
     } else {
       val df = compute
       df.write.mode(SaveMode.Overwrite).parquet(stagePath(name))
-      writeTag(name, fp)
       val written = spark.read.parquet(stagePath(name))
+      // lineage first, tag last: a tag implies table + metrics both durable
+      // (a crash in between leaves no tag -> the stage recomputes, safe)
       appendMetrics(name, written, fp)
+      writeTag(name, fp)
       executed.computed += name
       written
     }
