@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Precompiled whitespace splitter for the gram kernels (String.split
+    * would recompile the regex once per document).
+    */
+  private[operators] val WsPattern: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile("\\s+")
+
   /** Exact duplicate groups by content hash. Single map-side-combinable
     * groupBy; at 100 TB this is the cheapest possible dedup pass
     * (shuffle carries 1 row per distinct text per partition, not the text —
@@ -193,7 +199,6 @@ object Dedup {
     // a plain sliding window over the split tokens is ~10x faster and
     // byte-identical (both sides split on whitespace runs of the trimmed
     // text; the corpus is single-space separated)
-    val ws = "\\s+"
     val grams = docs
       .select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
@@ -201,7 +206,7 @@ object Dedup {
         val t = if (text == null) "" else text.trim
         if (t.isEmpty) Iterator.empty
         else {
-          val toks = t.split(ws)
+          val toks = Dedup.WsPattern.split(t)
           if (toks.length < n) Iterator.empty
           else {
             val set = new scala.collection.mutable.LinkedHashSet[String]
