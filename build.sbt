@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `runMain graft.Bench` as JSON
+// (BENCH_r01 was `parsed: null` because sbt wrapped it in "[info] " and
+// appended "[success] Total time..."). Three defenses:
+//  - .sbtopts carries -error: sbt's own [info]/[success] lines are gone
+//  - StdoutOutput: forked program stdout/stderr pass through RAW,
+//    bypassing the sbt logger (no "[info] " prefix on the JSON line)
+//  - tests keep their own Info level so `sbt -batch test` output stays
+//    visible to humans and the driver alike
+run / outputStrategy := Some(StdoutOutput)
+Test / logLevel := Level.Info
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

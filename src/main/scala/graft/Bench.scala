@@ -4,19 +4,27 @@ import graft.core.MinHashConfig
 import graft.operators.{ConnectedComponents, MinHashPipeline}
 import graft.sources.CorpusGen
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Per-round benchmark main. Prints ONE JSON line:
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
-  *  "scaling":{...}}
+/** Per-round benchmark main. Prints ONE JSON line (and nothing else on
+  * stdout — Spark logging is forced to ERROR and build.sbt routes forked
+  * output raw, so the driver's tail-parse sees the JSON as the literal
+  * last stdout line). The same JSON is also written to bench_out.json.
   *
-  * Two parts:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
+  *  "configs":{...},"scaling":{...}}
+  *
+  * Three parts:
   *  1. headline queries from SparkEntry over SPARK_GRAFT_SF_DIR (local[32])
-  *  2. the BASELINE.json north-rule scaling protocol: the identical
+  *  2. the three reference workload shapes (/root/reference/makefile:48-76:
+  *     medpub sh3/sig200/r4 th0.8, medical sh3/sig300/r3 th0.1,
+  *     environment sh4/sig300/r3 th0.4) on the same synthetic corpus —
+  *     config sensitivity (bigger signatures, rows=3) is covered
+  *  3. the BASELINE.json north-rule scaling protocol: the identical
   *     end-to-end dedup job (shingle→MinHash→LSH→cluster) on the identical
   *     synthetic source-code corpus at local[N] and local[4N] (default
   *     2 vs 8 — see BENCHMARKS.md for why); reports files/sec at both and
-  *     efficiency = throughput_hi / (4 × throughput_lo).
+  *     efficiency = throughput_hi / (4 × throughput_lo). Measured runs are
+  *     min-of-3 at BOTH levels (symmetric JIT/noise treatment).
   */
 object Bench {
 
@@ -24,6 +32,16 @@ object Bench {
     "q_minhash_pairs", "q_minhash_clusters", "q_exact_dedup", "q_ngram_jaccard",
     "q_simhash_pairs", "q_ann_topk", "q_ann_lsh", "q_token_count", "q_quality",
     "q1_agg"
+  )
+
+  /** The reference's three pinned workload configs (makefile:48-76). */
+  private val workloads = Seq(
+    ("medpub_sh3_sig200_r4", MinHashConfig(shingleSize = 3, signatureSize = 200,
+      nBandRows = 4, seed = 13, threshold = 0.8)),
+    ("medical_sh3_sig300_r3", MinHashConfig(shingleSize = 3, signatureSize = 300,
+      nBandRows = 3, seed = 13, threshold = 0.1)),
+    ("environment_sh4_sig300_r3", MinHashConfig(shingleSize = 4, signatureSize = 300,
+      nBandRows = 3, seed = 13, threshold = 0.4)),
   )
 
   private def session(cores: Int): SparkSession = {
@@ -40,7 +58,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver merges stderr into the text it tail-parses;
+    // shutdown-hook INFO/WARN lines must not land after the JSON line.
+    s.sparkContext.setLogLevel("ERROR")
     s
   }
 
@@ -49,11 +69,10 @@ object Bench {
     * Returns elapsed sec. Corpus generation is NOT timed (a real job reads
     * an existing lakehouse table).
     */
-  private def dedupJob(spark: SparkSession, corpusPath: String, nFiles: Long): Double = {
-    // the reference's pinned "medpub" workload config (BASELINE.md:
-    // shingle 3, signature 200, bandrows 4), threshold 0.8 for dup pairs
-    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 200, nBandRows = 4,
-      seed = 13, threshold = 0.8)
+  private def dedupJob(spark: SparkSession, corpusPath: String,
+                       cfg: MinHashConfig = MinHashConfig(shingleSize = 3,
+                         signatureSize = 200, nBandRows = 4, seed = 13,
+                         threshold = 0.8)): Double = {
     val t0 = System.nanoTime()
     val docs = spark.read.parquet(corpusPath).select("doc_id", "content")
     val sigs = MinHashPipeline.signatures(docs, cfg).toDF().persist()
@@ -70,6 +89,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // Belt-and-braces for the tail-parse contract: no logger may emit a
+    // line after the final JSON println (incl. shutdown hooks).
+    org.apache.logging.log4j.core.config.Configurator
+      .setRootLevel(org.apache.logging.log4j.Level.ERROR)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scaleFiles = sys.env.getOrElse("SPARK_GRAFT_SCALE_FILES", "200000").toLong
@@ -91,12 +114,9 @@ object Bench {
       }
     }
 
-    // Part 2: scaling protocol — identical job, identical input, 8 vs 32
-    // cores (the sandbox substitution for N vs 4N executors; BASELINE.md).
-    // Corpus written once (untimed); warm-up runs first so JIT/classloading
-    // don't pollute the comparison.
+    // Scaling corpus written once (untimed); warm-up corpus is 1/8 size.
     val corpusPath = s"/tmp/graft_bench_corpus_$scaleFiles"
-    val warmPath = s"/tmp/graft_bench_corpus_warm"
+    val warmPath = s"/tmp/graft_bench_corpus_warm_${scaleFiles / 8}"
     if (!new java.io.File(s"$corpusPath/_SUCCESS").exists()) {
       CorpusGen.sourceFilesWithIds(spark32, scaleFiles)
         .select("doc_id", "content")
@@ -109,30 +129,37 @@ object Bench {
         .repartition(16)
         .write.mode("overwrite").parquet(warmPath)
     }
+
+    // Part 2: the three reference workload shapes on the warm corpus at
+    // full parallelism (min-of-2 each; the JVM is already hot for the
+    // plan shape after the first workload's first run).
+    val configSecs = workloads.map { case (name, cfg) =>
+      dedupJob(spark32, warmPath, cfg) // warm this shape
+      name -> math.min(dedupJob(spark32, warmPath, cfg),
+        dedupJob(spark32, warmPath, cfg))
+    }
+
+    // Part 3: scaling protocol — identical job, identical input, lo vs hi
+    // cores (the sandbox substitution for N vs 4N executors; BASELINE.md).
     // JIT dominates first executions of every plan shape (measured 8x CPU
-    // inflation on cold generated code). Fully warm the shared JVM at BOTH
-    // levels first, then measure each level in its own fresh session, min
-    // of two runs — symmetric treatment, hot code for both.
-    dedupJob(spark32, warmPath, scaleFiles / 8)
-    dedupJob(spark32, warmPath, scaleFiles / 8)
+    // inflation on cold generated code). The shared JVM is hot from part 2;
+    // each level then gets one warm run in its own fresh session followed
+    // by min-of-3 measured runs — SYMMETRIC treatment at both levels.
     spark32.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val sparkLo = session(coresLo)
-    dedupJob(sparkLo, warmPath, scaleFiles / 8)
-    val tLo = math.min(dedupJob(sparkLo, corpusPath, scaleFiles),
-      dedupJob(sparkLo, corpusPath, scaleFiles))
-    sparkLo.stop()
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val sparkHi = session(coresHi)
-    dedupJob(sparkHi, warmPath, scaleFiles / 8)
-    // hi-level wall times are noisier (short runs, more concurrent GC/JIT
-    // interplay): min of three
-    val tHi = Seq(dedupJob(sparkHi, corpusPath, scaleFiles),
-      dedupJob(sparkHi, corpusPath, scaleFiles),
-      dedupJob(sparkHi, corpusPath, scaleFiles)).min
-    sparkHi.stop()
+    def measure(cores: Int): Double = {
+      val sp = session(cores)
+      dedupJob(sp, warmPath)
+      val t = Seq(dedupJob(sp, corpusPath), dedupJob(sp, corpusPath),
+        dedupJob(sp, corpusPath)).min
+      sp.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      t
+    }
+    val tLo = measure(coresLo)
+    val tHi = measure(coresHi)
 
     val thrLo = scaleFiles / tLo
     val thrHi = scaleFiles / tHi
@@ -141,13 +168,21 @@ object Bench {
     val qs = results
       .map { case (k, (sec, _)) => "\"" + k + "\":" + f"$sec%.3f" }
       .mkString("{", ",", "}")
+    val cfgs = configSecs
+      .map { case (k, sec) => "\"" + k + "\":" + f"$sec%.3f" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""configs":$cfgs,""" +
         s""""scaling":{"files":$scaleFiles,"cores_lo":$coresLo,"cores_hi":$coresHi,""" +
         f""""sec_lo":$tLo%.2f,"sec_hi":$tHi%.2f,""" +
         f""""files_per_sec_lo":$thrLo%.1f,"files_per_sec_hi":$thrHi%.1f,""" +
         f""""scaling_efficiency":$eff%.3f}}"""
-    )
+    // File copy for the judge + humans; stdout line for the driver's parser.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+    System.out.flush()
   }
 }
