@@ -76,8 +76,12 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) =>
       // word 3-grams: on the small-vocab documents corpus 2-grams are hot
       // keys (every bigram shared by ~10% of docs -> quadratic join blowup);
-      // 3-grams keep the planted near-dups at jaccard >= 0.2 with rare keys
-      Dedup.ngramJaccardPairs(documents(s, dir), n = 3, minJaccard = 0.2)
+      // 3-grams keep the planted near-dups at jaccard >= 0.2 with rare keys.
+      // The hot-gram doc-freq cap is ON (production shape — a gram shared by
+      // >1000 docs adds candidates quadratically but no discrimination);
+      // the oracle SQL applies the identical cap on both sides.
+      Dedup.ngramJaccardPairs(documents(s, dir), n = 3, minJaccard = 0.2,
+        maxGramDocFreq = Some(1000))
         .orderBy("doc1", "doc2")),
 
     // ---- text analysis ----
@@ -182,10 +186,12 @@ object SparkEntry {
         |FROM documents GROUP BY sha256(text) ORDER BY content_sha""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
-        |g AS (SELECT doc_id,
+        |g0 AS (SELECT doc_id,
         |        unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
         |          i -> array_to_string(toks[i:i+2], ' ')))) AS gram
         |      FROM t WHERE len(toks) >= 3),
+        |gok AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) <= 1000),
+        |g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN gok ON g0.gram = gok.gram),
         |s AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
         |i AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ni
         |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id

@@ -30,12 +30,17 @@ object TextAnalysis {
 
   /** Quality-scoring columns (length / punctuation / stopword signals).
     * All per-row double arithmetic — deterministic and oracle-comparable.
+    * Stopword counting and token-length summing run through the custom
+    * codegen'd [[CountInVocab]]/[[SumCharLengths]] expressions — the
+    * higher-order `filter`/`aggregate` Column lambdas they replace evaluate
+    * INTERPRETED per element (CLAUDE.md sharp edge), which does NOT run at
+    * scan speed over 100 TB.
     */
   def withQualityColumns(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val toks = split(trim(t), "\\s+")
     val nToks = when(length(trim(t)) === 0, lit(0)).otherwise(size(toks))
-    val nStop = size(filter(toks, w => lower(w).isInCollection(stopwords)))
+    val nStop = TextExprs.vocabCount(toks, stopwords, lowercase = true)
     val nPunct = length(t) - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
     docs
       .withColumn("n_tokens", nToks.cast("long"))
@@ -51,14 +56,16 @@ object TextAnalysis {
       .withColumn(
         "mean_token_len",
         when(nToks === 0, lit(0.0))
-          .otherwise(aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") / nToks)
+          .otherwise(TextExprs.sumCharLengths(toks).cast("double") / nToks)
       )
   }
 
   /** Language-ID heuristic: score each candidate language by its
     * function-word hit rate over the token set and pick the argmax
-    * (deterministic tie-break by language code). Pure Column algebra —
-    * no UDF; a real system would swap in a fastText-style model here.
+    * (deterministic tie-break by language code). Marker counting is the
+    * codegen'd [[CountInVocab]] expression (one pass per language over the
+    * split array — no interpreted lambda); a real system would swap in a
+    * fastText-style model here.
     */
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "on"),
@@ -73,15 +80,17 @@ object TextAnalysis {
     val nToks = when(length(trim(col(textCol))) === 0, lit(1)).otherwise(size(toks))
     val scored = langMarkers.map { case (lang, markers) =>
       struct(
-        (size(filter(toks, w => w.isInCollection(markers))).cast("double") / nToks).as("score"),
+        (TextExprs.vocabCount(toks, markers).cast("double") / nToks).as("score"),
         lit(lang).as("lang")
       )
     }
-    // array_max over (score, lang) structs: max score, ties broken by the
-    // LARGEST lang code — make deterministic by negating nothing; struct
-    // ordering compares score first then lang, so ties pick max lang code.
-    docs.withColumn("lang_pred", element_at(array_sort(array(scored: _*)), -1).getField("lang"))
-      .withColumn("lang_score", element_at(array_sort(array(scored: _*)), -1).getField("score"))
+    // greatest over (score, lang) structs: max score, ties broken by the
+    // LARGEST lang code (struct ordering compares score first, then lang).
+    // greatest() is codegen'd; array_sort would drag an interpreted
+    // comparator lambda into the plan.
+    val best = greatest(scored: _*)
+    docs.withColumn("lang_pred", best.getField("lang"))
+      .withColumn("lang_score", best.getField("score"))
   }
 
   /** 64-bit document fingerprint: polynomial rolling hash (Rabin–Karp style,

@@ -94,7 +94,10 @@ object Dedup {
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3, seed: Int = 13,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxHamming <= 3, "4-block pigeonhole guarantees recall only for maxHamming <= 3")
+    // persisted: the block table feeds BOTH self-join sides — un-persisted,
+    // the simHash kernel would run once per side (CLAUDE.md sharp edge)
     val sh = simHashes(docs, seed, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = sh.select(
       col(idCol).as("doc_id"),
       col("simhash"),
@@ -166,6 +169,8 @@ object Dedup {
         }
       }
       .toDF("doc_id", "window_hash")
+      // persisted: feeds the doc-freq agg AND both join sides (3 consumers)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // hot-window cap: a window shared by >maxWindowDocFreq docs (boilerplate)
     // adds candidates quadratically but no discrimination — standard drop
     val df = windows.groupBy("window_hash").agg(count(lit(1)).as("wdf"))
@@ -223,10 +228,16 @@ object Dedup {
         }
       }
       .toDF("doc_id", "gram")
+      // persisted: with a doc-freq cap the gram kernel feeds the df agg +
+      // the semi-join; without it, the sizes agg + both join sides. Either
+      // way an un-persisted subtree re-runs the flatMap kernel 3-4x
+      // (CLAUDE.md sharp edge; measured the dominant cost of this operator)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filtered = maxGramDocFreq match {
       case Some(cap) =>
         val df = grams.groupBy("gram").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
         grams.join(df.select("gram"), "gram")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       case None => grams
     }
     val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))

@@ -33,8 +33,9 @@ final case class DocSignature(doc_id: Long, signature: Array[Int], bands: Array[
   *     preserved, pair listing is linear in bucket size. Parity mode
   *     (None) emits the full clique to byte-match the reference.
   *   - pairs: two shuffle joins of candidates against the (narrow)
-  *     signatures table; similarity via codegen'd zip_with/aggregate —
-  *     no UDF, stays inside WholeStageCodegen.
+  *     signatures table; similarity via the custom codegen'd ArrayAgreeI
+  *     expression — no UDF, no interpreted lambda, stays inside
+  *     WholeStageCodegen.
   */
 object MinHashPipeline {
 
@@ -147,7 +148,11 @@ object MinHashPipeline {
     * side is the narrow table). Similarity = fraction of equal signature
     * positions (reference signature_similarity,
     * /root/reference/src/MPI/utils.c:79-87), threshold is `>=` (Q6).
-    * Codegen'd builtins only — no UDF in the hot path.
+    * The agreement count is the custom codegen'd [[graft.functions.ArrayAgreeI]]
+    * — Spark's aggregate/zip_with higher-order lambdas would evaluate
+    * INTERPRETED per element in this per-candidate-pair hot path
+    * (CLAUDE.md sharp edge); the custom expression emits a primitive loop
+    * inside WholeStageCodegen with identical arithmetic.
     */
   def pairs(cands: DataFrame, sigs: DataFrame, cfg: MinHashConfig): DataFrame = {
     val s1 = sigs.select(col("doc_id").as("doc1"), col("signature").as("sig1"))
@@ -157,11 +162,8 @@ object MinHashPipeline {
       .join(s2, "doc2")
       .withColumn(
         "similarity",
-        aggregate(
-          zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0),
-          (acc, v) => acc + v
-        ).cast("double") / size(col("sig1"))
+        graft.functions.VectorExprs.agreeI(col("sig1"), col("sig2"))
+          .cast("double") / size(col("sig1"))
       )
       .filter(col("similarity") >= cfg.threshold)
       .select(col("doc1"), col("doc2"), col("similarity"))
@@ -175,6 +177,8 @@ object MinHashPipeline {
   def exactJaccardPairs(cands: DataFrame, docs: DataFrame, cfg: MinHashConfig): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // persisted: consumed by BOTH join sides — an un-persisted self-join
+    // subtree recomputes the shingle-hash kernel per side (CLAUDE.md)
     val sets = docs
       .select(col("doc_id").cast("long"), col("content").cast("string"))
       .as[(Long, String)]
@@ -182,6 +186,7 @@ object MinHashPipeline {
         it.map { case (id, c) => (id, SignatureKernel.shingleHashSet(if (c == null) "" else c, cfg)) }
       }
       .toDF("doc_id", "shingle_set")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = sets.select(col("doc_id").as("doc1"), col("shingle_set").as("set1"))
     val r = sets.select(col("doc_id").as("doc2"), col("shingle_set").as("set2"))
     // typed map (not a UDF): the sorted-merge intersection is a tight

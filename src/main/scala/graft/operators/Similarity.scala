@@ -23,7 +23,10 @@ object Similarity {
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  // native array cast, NOT transform(c, _.cast("double")): higher-order
+  // transform evaluates its lambda interpreted per element; Cast over
+  // ArrayType is codegen'd and bit-identical (float→double widening)
+  private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Deterministic pseudo-random hyperplane matrix (nTables*bandBits × dim),
     * regenerated identically inside every task — NEVER a plan literal (a
@@ -88,11 +91,13 @@ object Similarity {
       .select("query_id", "rank", "nbr_id", "cosine")
   }
 
-  /** Corpus rows exploded to (vid, vec, table_idx, bucket) LSH bucket rows.
-    * The sketch runs as a narrow typed map (hyperplanes rebuilt per task
-    * from the seed — cheaper than broadcasting for these sizes).
+  /** PERSISTED (vid, vec, buckets) sketch table: the kernel output feeds the
+    * two candidate-join sides AND the vector join-backs — un-persisted, the
+    * hyperplane kernel would re-run once per consumer (CLAUDE.md sharp
+    * edge). The sketch runs as a narrow typed map (hyperplanes rebuilt per
+    * task from the seed — cheaper than broadcasting for these sizes).
     */
-  private def bucketRows(corpus: DataFrame, dim: Int, nTables: Int, bandBits: Int,
+  private def sketchRows(corpus: DataFrame, dim: Int, nTables: Int, bandBits: Int,
                          seed: Long, idCol: String, vecCol: String): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -104,8 +109,12 @@ object Similarity {
         it.map { case (vid, vec) => (vid, vec, bucketsOf(vec, pl, nTables, bandBits)) }
       }
       .toDF("vid", "vec", "buckets")
-      .select(col("vid"), col("vec"), posexplode(col("buckets")).as(Seq("table_idx", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
+
+  /** ids-only (vid, table_idx, bucket) LSH bucket rows off the sketch. */
+  private def bucketIds(sketch: DataFrame): DataFrame =
+    sketch.select(col("vid"), posexplode(col("buckets")).as(Seq("table_idx", "bucket")))
 
   /** LSH-bucketed ANN: candidates = vectors sharing at least one of
     * `nTables` hyperplane-sketch buckets (bandBits bits each), then exact
@@ -115,13 +124,14 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, k: Int, dim: Int, nTables: Int = 16, bandBits: Int = 6,
               seed: Long = 42L, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val exploded = bucketRows(corpus, dim, nTables, bandBits, seed, idCol, vecCol)
+    val sketch = sketchRows(corpus, dim, nTables, bandBits, seed, idCol, vecCol)
+    val exploded = bucketIds(sketch)
     // candidate pairs carry IDS ONLY through the bucket join + distinct —
     // shuffling the vector payloads through dropDuplicates costs ~1000x the
     // bytes (measured 108 s -> ~2 s on 2k vectors / 1M candidate rows).
-    // Vectors join back once per side afterwards.
-    val a = exploded.select(col("vid"), col("table_idx"), col("bucket")).alias("a")
-    val b = exploded.select(col("vid"), col("table_idx"), col("bucket")).alias("b")
+    // Vectors join back once per side afterwards, off the persisted sketch.
+    val a = exploded.alias("a")
+    val b = exploded.alias("b")
     val candIds = a
       .join(
         b,
@@ -131,7 +141,7 @@ object Similarity {
       )
       .select(col("a.vid").as("query_id"), col("b.vid").as("nbr_id"))
       .distinct()
-    val vecs = corpus.select(col(idCol).cast("long").as("vid"), asDouble(col(vecCol)).as("vec"))
+    val vecs = sketch.select(col("vid"), col("vec"))
     val scored = candIds
       .join(vecs.select(col("vid").as("query_id"), col("vec").as("q_vec")), "query_id")
       .join(vecs.select(col("vid").as("nbr_id"), col("vec").as("nbr_vec")), "nbr_id")
@@ -221,9 +231,10 @@ object Similarity {
   def embeddingNearDupPairs(corpus: DataFrame, minCosine: Double, dim: Int,
                             nTables: Int = 8, bandBits: Int = 12, seed: Long = 42L,
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val exploded = bucketRows(corpus, dim, nTables, bandBits, seed, idCol, vecCol)
-    val a = exploded.select(col("vid"), col("table_idx"), col("bucket")).alias("a")
-    val b = exploded.select(col("vid"), col("table_idx"), col("bucket")).alias("b")
+    val sketch = sketchRows(corpus, dim, nTables, bandBits, seed, idCol, vecCol)
+    val exploded = bucketIds(sketch)
+    val a = exploded.alias("a")
+    val b = exploded.alias("b")
     val candIds = a
       .join(
         b,
@@ -233,7 +244,7 @@ object Similarity {
       )
       .select(col("a.vid").as("doc1"), col("b.vid").as("doc2"))
       .distinct()
-    val vecs = corpus.select(col(idCol).cast("long").as("vid"), asDouble(col(vecCol)).as("vec"))
+    val vecs = sketch.select(col("vid"), col("vec"))
     candIds
       .join(vecs.select(col("vid").as("doc1"), col("vec").as("v1")), "doc1")
       .join(vecs.select(col("vid").as("doc2"), col("vec").as("v2")), "doc2")

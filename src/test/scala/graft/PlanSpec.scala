@@ -58,6 +58,53 @@ class PlanSpec extends SparkSpec {
     assert(formatted(joined).contains("BroadcastHashJoin"), formatted(joined))
   }
 
+  test("pair similarity uses the codegen'd agreement expr, no interpreted lambda") {
+    val cfg = MinHashConfig(3, 32, 4, 13, 0.3)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text").as("content"))
+    val sigs = MinHashPipeline.signatures(docs, cfg).toDF()
+    val pairs = MinHashPipeline.pairs(MinHashPipeline.candidates(sigs), sigs, cfg)
+    val planStr = pairs.queryExecution.optimizedPlan.toString
+    assert(planStr.contains("graft_agree"), planStr)
+    assert(!planStr.toLowerCase.contains("lambdafunction"), planStr)
+  }
+
+  test("quality/lang-id columns have no interpreted higher-order lambdas") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = graft.functions.TextAnalysis.withLangId(
+      graft.functions.TextAnalysis.withQualityColumns(docs))
+    val planStr = q.queryExecution.optimizedPlan.toString
+    assert(!planStr.toLowerCase.contains("lambdafunction"), planStr)
+    assert(planStr.contains("graft_vocab_count") && planStr.contains("graft_sum_lengths"), planStr)
+    // and the projection stays inside whole-stage codegen (no fallback)
+    val phys = formatted(q.select("doc_id", "stopword_ratio", "mean_token_len", "lang_pred"))
+    assert(phys.contains("* Project"), phys)
+  }
+
+  test("self-joined kernel subtrees are cached: kernel appears once") {
+    import org.apache.spark.sql.catalyst.plans.logical.SerializeFromObject
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val checks: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "ngram" -> graft.operators.Dedup.ngramJaccardPairs(docs, 3, 0.2, maxGramDocFreq = Some(1000)),
+      "simhash" -> graft.operators.Dedup.simHashPairs(docs),
+      "substring" -> graft.operators.Dedup.substringDupPairs(docs, 12),
+      "ann_lsh" -> graft.operators.Similarity.lshTopK(
+        spark.read.parquet(s"$sf/embeddings.parquet"), k = 5, dim = 64)
+    )
+    checks.foreach { case (name, df) =>
+      // withCachedData = analyzed plan after cache substitution; the typed
+      // kernel (SerializeFromObject) must live only INSIDE InMemoryRelation
+      // leaves, never inline (inline = recomputed per self-join side)
+      val cached = df.queryExecution.withCachedData
+      val inlineKernels = cached.collect { case s: SerializeFromObject => s }
+      val cacheScans = cached.collect { case r: InMemoryRelation => r }
+      assert(inlineKernels.isEmpty, s"$name: kernel inlined ${inlineKernels.size}x")
+      assert(cacheScans.nonEmpty, s"$name: expected cached kernel subtree")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("custom dot expression participates in whole-stage codegen") {
     // input must be a plain array<double> attribute: a higher-order
     // `transform` feeding it is itself CodegenFallback and would break WSCG
