@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2 + the training-data-pipeline extensions), with a DuckDB
-  * `oracleSql` for every SQL-expressible one. Hash-kernel operators
-  * (MurmurHash2 MinHash/LSH/SimHash, fingerprints, hyperplane LSH) are not
-  * expressible in DuckDB SQL — they get rows-only checks per the Verify
-  * contract and are instead pinned by the golden reference tests
-  * (GoldenPipelineSpec vs the reference binary's results.csv).
+  * `oracleSql` for every SQL-expressible one — including the rolling-hash
+  * fingerprint (wrapping u64 emulated via HUGEINT in DuckDB). MurmurHash2
+  * kernels (MinHash/LSH/SimHash, hyperplane LSH) are not expressible in
+  * DuckDB SQL — they get rows-only checks per the Verify contract and are
+  * instead pinned by the golden reference tests (GoldenPipelineSpec /
+  * ReferenceParitySpec vs the compiled reference binary's results.csv).
   */
 object SparkEntry {
 
@@ -229,6 +230,70 @@ object SparkEntry {
         |  CASE WHEN n_tokens = 0 THEN 0.0
         |       ELSE CAST(sum_tok_len AS DOUBLE) / n_tokens END AS mean_token_len
         |FROM q ORDER BY doc_id""".stripMargin,
+    "q_minhash_signatures" ->
+      // sig_len / n_bands are config constants (docCfg: signatureSize=128,
+      // nBandRows=4 -> 32 bands) for EVERY doc incl. the Q3 short-doc case
+      """SELECT doc_id, 128 AS sig_len, 32 AS n_bands
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mm_frames" ->
+      // mirrors Multimodal.synthesizeAssets (modality = video iff doc_id%3=2,
+      // duration_ms = 1000 + (doc_id%60)*500) + sampleFramePlan (1 frame per
+      // 1000 ms, cap 32)
+      """WITH v AS (
+        |  SELECT doc_id AS asset_id, 1000 + (doc_id % 60) * 500 AS duration_ms
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT asset_id, unnest(range(0, duration_ms, 1000)) AS ts_ms FROM v)
+        |SELECT asset_id, CAST(ts_ms // 1000 AS INTEGER) AS frame_idx, ts_ms
+        |FROM f WHERE ts_ms // 1000 < 32
+        |ORDER BY asset_id, frame_idx""".stripMargin,
+    "q_lang_id" ->
+      // same marker-hit-rate scores; argmax with ties to the LARGEST lang
+      // code, expressed as a descending-code CASE ladder
+      """WITH q AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+        |    CASE WHEN length(trim(text)) = 0 THEN 1.0
+        |         ELSE CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) END AS nt
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(toks, w -> list_contains(['the','and','of','to','in','is','that','for','with','on'], w))) AS DOUBLE) / nt AS s_en,
+        |  CAST(len(list_filter(toks, w -> list_contains(['el','la','de','que','y','en','un','los','del','por'], w))) AS DOUBLE) / nt AS s_es,
+        |  CAST(len(list_filter(toks, w -> list_contains(['der','die','und','das','ist','nicht','von','mit','den','ein'], w))) AS DOUBLE) / nt AS s_de,
+        |  CAST(len(list_filter(toks, w -> list_contains(['le','la','les','des','et','est','une','dans','que','pour'], w))) AS DOUBLE) / nt AS s_fr,
+        |  CAST(len(list_filter(toks, w -> list_contains(['de','shi','le','zai','wo','you','he','ta','men','zhe'], w))) AS DOUBLE) / nt AS s_zh
+        |  FROM q)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_zh >= greatest(s_en, s_es, s_de, s_fr) THEN 'zh'
+        |       WHEN s_fr >= greatest(s_en, s_es, s_de) THEN 'fr'
+        |       WHEN s_es >= greatest(s_en, s_de) THEN 'es'
+        |       WHEN s_en >= s_de THEN 'en'
+        |       ELSE 'de' END AS lang_pred,
+        |  greatest(s_en, s_es, s_de, s_fr, s_zh) AS lang_score
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      // graft.core.Tokenizer in SQL (split on C whitespace, lowercase, strip
+      // non-[a-z0-9] IN PLACE, drop empties) + the wrapping-u64 polynomial
+      // fold emulated in HUGEINT mod 2^64, mapped back to signed BIGINT
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(
+        |      regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+        |      x -> regexp_replace(lower(x), '[^a-z0-9]', '', 'g')), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(toks) = 0 THEN '' ELSE array_to_string(toks, ' ') || ' ' END AS joined
+        |      FROM t),
+        |f AS (SELECT doc_id,
+        |  CASE WHEN joined = '' THEN CAST(1469598103934665603 AS HUGEINT)
+        |       ELSE list_reduce(
+        |    list_prepend(CAST(1469598103934665603 AS HUGEINT),
+        |      list_transform(string_split(joined, ''), c -> CAST(unicode(c) AS HUGEINT))),
+        |    (acc, x) -> (acc * 1000003 + x) % CAST(18446744073709551616 AS HUGEINT)) END AS h
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+        |            THEN h - CAST(18446744073709551616 AS HUGEINT) ELSE h END AS BIGINT)
+        |    AS fingerprint
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q_doc_stats" ->
       """SELECT lang, count(*) AS n_docs, min(n_chars) AS min_chars,
         |       max(n_chars) AS max_chars, CAST(sum(n_chars) AS BIGINT) AS sum_chars
