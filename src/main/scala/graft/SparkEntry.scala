@@ -144,7 +144,8 @@ object SparkEntry {
       docsAsCorpus(s, dir).repartition(4).write.mode("overwrite").parquet(input)
       val q = graft.streaming.StreamingDedup.start(s, input, work, docCfg)
       q.awaitTermination()
-      s.read.parquet(s"$work/pairs").orderBy("doc1", "doc2")
+      s.read.parquet(s"$work/pairs")
+        .select("doc1", "doc2", "similarity").orderBy("doc1", "doc2")
     }),
 
     // ---- relational sanity (agg + join on the TPC-H-ish tables) ----

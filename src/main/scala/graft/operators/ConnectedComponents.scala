@@ -11,24 +11,43 @@ import org.apache.spark.storage.StorageLevel
   * FIXTURES.md §4.4).
   *
   * Algorithm: every node starts labeled with its own id; each round a node
-  * takes the min of its label and its neighbors' labels; stop when no label
-  * changes. LSH dup-graphs are unions of near-cliques (every bucket emits a
-  * clique / star), so the effective diameter is tiny and this converges in
-  * 2-4 rounds — the right trade against large-star/small-star's extra
-  * shuffles at this graph shape.
+  * takes (1) the min of its label and its neighbors' labels, then (2) a
+  * POINTER JUMP — the label of its new label (labels are always node ids,
+  * so they can be chased). The jump contracts label chains exponentially:
+  * a path graph of diameter D converges in O(log D) rounds instead of O(D),
+  * so star-cap chain components at scale can't blow the iteration budget.
+  * LSH dup-graphs are unions of near-cliques and still converge in 2-4
+  * rounds. Labels only decrease and stay inside the component, so the
+  * fixpoint is the component-min label.
   *
-  * Each iteration materializes via localCheckpoint to truncate lineage
-  * (plan growth is the classic failure of iterative DataFrame jobs); the
-  * checkpointed-pipeline runner persists the *final* labels to a real table
-  * for resume (SURVEY.md §4 physical-execution checklist).
+  * Durability: each iteration materializes to truncate lineage (plan growth
+  * is the classic failure of iterative DataFrame jobs). By default that is
+  * localCheckpoint — executor-local blocks, lost on executor death. For
+  * long cluster runs pass `reliableCheckpointDir`: every `checkpointEvery`
+  * iterations the labels are written to (and re-read from) that directory,
+  * so a lost executor costs at most `checkpointEvery` iterations, not the
+  * job (SURVEY.md §4 physical-execution checklist).
+  *
+  * Non-convergence is an ERROR: silently returning non-minimal labels is
+  * the "recall dies silently" failure mode — we throw instead.
   */
 object ConnectedComponents {
 
   /** @param pairs   (doc1, doc2) undirected dup edges
     * @param allDocs (doc_id) every document (singletons keep their own id)
+    * @param maxIter max propagation rounds; with pointer jumping this
+    *                bounds reachable diameter at ~2^maxIter — hitting it
+    *                means something is wrong, so we THROW rather than
+    *                return non-minimal labels
+    * @param reliableCheckpointDir if set, labels are durably written here
+    *                every `checkpointEvery` iterations (reliable lineage
+    *                cut; survives executor loss, unlike localCheckpoint)
     * @return (doc_id, cluster_id) where cluster_id = min doc_id in component
     */
-  def cluster(pairs: DataFrame, allDocs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def cluster(pairs: DataFrame, allDocs: DataFrame, maxIter: Int = 20,
+              reliableCheckpointDir: Option[String] = None,
+              checkpointEvery: Int = 5): DataFrame = {
+    val spark = pairs.sparkSession
     // Iterate only over nodes that actually appear in an edge; the (vastly
     // larger) singleton population bypasses the loop entirely and is
     // appended at the end with cluster_id = doc_id. On a dedup graph where
@@ -41,10 +60,18 @@ object ConnectedComponents {
 
     val nodes = edges.select(col("src").as("doc_id")).distinct()
 
-    var labels = nodes
-      .select(col("doc_id").cast("long"))
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint()
+    def materialize(df: DataFrame, iter: Int): DataFrame =
+      reliableCheckpointDir match {
+        case Some(dir) if iter % checkpointEvery == 0 =>
+          val path = s"$dir/cc_labels_iter_$iter"
+          df.write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+        case _ => df.localCheckpoint()
+      }
+
+    var labels = materialize(
+      nodes.select(col("doc_id").cast("long")).withColumn("cluster_id", col("doc_id")),
+      0)
 
     var iter = 0
     var converged = false
@@ -54,22 +81,41 @@ object ConnectedComponents {
         .groupBy(col("src"))
         .agg(min(col("cluster_id")).as("neighbor_min"))
 
-      val next = labels
+      val cand = labels
         .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
         .select(
           col("doc_id"),
+          col("cluster_id").as("old_label"),
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
-            .as("cluster_id"),
-          (col("neighbor_min").isNotNull && col("neighbor_min") < col("cluster_id"))
-            .as("changed")
+            .as("cand_label")
         )
-        .localCheckpoint()
 
-      converged = next.filter(col("changed")).limit(1).isEmpty
-      labels = next.select("doc_id", "cluster_id") // next is already materialized
+      // pointer jump: labels are node ids, so chase one level — the label
+      // of my label. Contracts chains exponentially (O(log diameter)).
+      val parents = labels
+        .select(col("doc_id").as("p_id"), col("cluster_id").as("p_label"))
+      val next = cand
+        .join(parents, cand("cand_label") === parents("p_id"), "left")
+        .select(
+          col("doc_id"),
+          least(col("cand_label"), coalesce(col("p_label"), col("cand_label")))
+            .as("cluster_id"),
+          (least(col("cand_label"), coalesce(col("p_label"), col("cand_label")))
+            < col("old_label")).as("changed")
+        )
+
       iter += 1
+      val mat = materialize(next, iter)
+      converged = mat.filter(col("changed")).limit(1).isEmpty
+      labels = mat.select("doc_id", "cluster_id")
     }
     edges.unpersist()
+    if (!converged) {
+      throw new IllegalStateException(
+        s"ConnectedComponents did not converge within $maxIter iterations — " +
+          "returning non-minimal cluster labels would silently merge/split " +
+          "clusters; raise maxIter (pointer jumping makes each round cheap)")
+    }
     // singletons: every doc not in any pair is its own cluster
     val singletons = allDocs
       .select(col("doc_id").cast("long"))

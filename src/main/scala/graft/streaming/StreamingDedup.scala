@@ -16,18 +16,35 @@ import org.apache.spark.sql.types.StructType
   *
   *   readStream(parquet dir of (doc_id, content))
   *     -> foreachBatch:
-  *          1. fused signature kernel over the micro-batch (narrow)
-  *          2. append batch signatures to the signatures table
-  *          3. LSH bucket join of the BATCH's bands against the
-  *             accumulated signatures table -> new dup pairs
-  *          4. similarity >= threshold -> append to the pairs table
+  *          1. fused signature kernel over the micro-batch (narrow) — each
+  *             doc is signed exactly once, ever
+  *          2. LSH bucket join of the batch's bands against the accumulated
+  *             APPEND-ONLY BANDS TABLE -> new cross-history dup pairs
+  *          3. intra-batch pairs via the normal bucket pipeline
+  *          4. append batch signatures + exploded bands + pairs, each under
+  *             a batchId-keyed partition directory
   *
-  * Exactly-once bookkeeping comes from the streaming checkpoint (source
-  * offsets) — on restart, already-processed input files are not re-signed.
-  * The join in step 3 only shuffles the micro-batch's bands plus the
-  * matching buckets of the history table; history never re-shuffles fully
-  * because the bucket join prunes on the batch's (band_idx, band_hash) set
-  * (broadcast when the batch is small).
+  * Scale shape (the fixes for the O(history)-per-batch trap):
+  *   - bands are computed ONCE per doc and persisted exploded
+  *     (doc_id, band_idx, band_hash), partitioned by a band-hash prefix;
+  *     history is never re-kerneled from signatures
+  *   - the history bands scan is PRUNED to the partitions whose prefix
+  *     actually occurs in the micro-batch (partition pruning on
+  *     bh_prefix; the prefix domain is small so the predicate is a
+  *     collected-in-driver isin list), then equi-joined against the
+  *     broadcast batch bands — per-batch cost is O(batch + matched
+  *     buckets), not O(history)
+  *   - the signatures table is read only for the similarity join-back of
+  *     candidate ids (one shuffle; at production scale bucket this table
+  *     by doc_id)
+  *
+  * Delivery semantics: the stream checkpoint makes source offsets
+  * exactly-once, but foreachBatch itself is AT-LEAST-ONCE — a crash between
+  * sink writes replays the batch. Every write here is therefore IDEMPOTENT
+  * per batchId (mode=overwrite into a `batch_id=<id>` directory): a replay
+  * overwrites the same partition instead of appending duplicates, and the
+  * history reads exclude the in-flight batch_id so a partially-written
+  * batch never joins against itself.
   */
 object StreamingDedup {
 
@@ -35,15 +52,84 @@ object StreamingDedup {
     .add("doc_id", "long")
     .add("content", "string")
 
+  /** Number of band-hash prefix partitions for the bands table. Small
+    * enough that one batch's prefix set is a tiny isin list; large enough
+    * that partition pruning skips most history files for small batches.
+    */
+  val NumBandPrefixes = 64
+
+  /** One micro-batch of incremental dedup — public so tests can drive
+    * replays directly. Idempotent in `batchId`.
+    */
+  def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                   workDir: String, cfg: MinHashConfig): Unit = {
+    val sigPath = s"$workDir/signatures"
+    val bandsPath = s"$workDir/bands"
+    val pairsPath = s"$workDir/pairs"
+
+    val sigs = MinHashPipeline.signatures(batch, cfg).toDF().cache()
+    try {
+      val batchBands = MinHashPipeline.bandBuckets(sigs)
+        .withColumn("bh_prefix", pmod(col("band_hash"), lit(NumBandPrefixes)))
+        .cache()
+      try {
+        // intra-batch pairs (full pipeline on the micro-batch)
+        val intraPairs = MinHashPipeline.pairs(
+          MinHashPipeline.candidates(sigs, starCapBucketSize = Some(1024)), sigs, cfg)
+
+        // cross-history pairs: prune the bands table to the batch's prefix
+        // partitions, equi-join against the broadcast batch bands
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(workDir), spark.sparkContext.hadoopConfiguration)
+        val haveHistory =
+          fs.globStatus(new org.apache.hadoop.fs.Path(s"$bandsPath/batch_id=*")) match {
+            case null => false
+            case st   => st.exists(s => s.getPath.getName != s"batch_id=$batchId")
+          }
+        val crossPairs =
+          if (haveHistory) {
+            val prefixes = batchBands.select("bh_prefix").distinct()
+              .collect().map(_.getInt(0)).toSeq // <= NumBandPrefixes values
+            val hBands = spark.read.parquet(bandsPath)
+              .filter(col("batch_id") =!= batchId) // replay safety
+              .filter(col("bh_prefix").isin(prefixes: _*)) // partition pruning
+            val cands = hBands.alias("h")
+              .join(broadcast(batchBands.alias("b")),
+                col("h.band_idx") === col("b.band_idx") &&
+                  col("h.band_hash") === col("b.band_hash") &&
+                  col("h.doc_id") =!= col("b.doc_id"))
+              .select(
+                least(col("h.doc_id"), col("b.doc_id")).as("doc1"),
+                greatest(col("h.doc_id"), col("b.doc_id")).as("doc2"))
+              .distinct()
+            val histSigs = spark.read.parquet(sigPath)
+              .filter(col("batch_id") =!= batchId)
+              .select("doc_id", "signature", "bands")
+            MinHashPipeline.pairs(cands, histSigs.union(sigs), cfg)
+          } else {
+            import spark.implicits._
+            Seq.empty[(Long, Long, Double)].toDF("doc1", "doc2", "similarity")
+          }
+
+        // idempotent per-batch sinks: replays overwrite, never duplicate
+        intraPairs.union(crossPairs).distinct()
+          .write.mode(SaveMode.Overwrite).parquet(s"$pairsPath/batch_id=$batchId")
+        batchBands.select("doc_id", "band_idx", "band_hash", "bh_prefix")
+          .repartition(col("bh_prefix"))
+          .write.mode(SaveMode.Overwrite).partitionBy("bh_prefix")
+          .parquet(s"$bandsPath/batch_id=$batchId")
+        sigs.write.mode(SaveMode.Overwrite).parquet(s"$sigPath/batch_id=$batchId")
+      } finally batchBands.unpersist()
+    } finally sigs.unpersist()
+  }
+
   /** Start the streaming dedup job. Tables live under `workDir`:
-    * signatures/ (append-only), pairs/ (append-only). Returns the query;
-    * callers drive it with processAllAvailable() (tests) or awaitTermination.
+    * signatures/, bands/, pairs/ — all append-only via batchId-keyed
+    * partition dirs. Returns the query; callers drive it with
+    * processAllAvailable() (tests) or awaitTermination.
     */
   def start(spark: SparkSession, inputDir: String, workDir: String,
             cfg: MinHashConfig): StreamingQuery = {
-    val sigPath = s"$workDir/signatures"
-    val pairsPath = s"$workDir/pairs"
-
     val stream = spark.readStream
       .schema(inputSchema)
       .option("maxFilesPerTrigger", "16")
@@ -53,43 +139,7 @@ object StreamingDedup {
       .option("checkpointLocation", s"$workDir/_stream_checkpoint")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sigs = MinHashPipeline.signatures(batch, cfg).toDF().cache()
-        try {
-          // dedupe WITHIN the batch (full pipeline on the micro-batch)...
-          val intraPairs = MinHashPipeline.pairs(
-            MinHashPipeline.candidates(sigs, starCapBucketSize = Some(1024)), sigs, cfg)
-
-          // ...and against history: batch bands join the accumulated table.
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            new java.net.URI(workDir), spark.sparkContext.hadoopConfiguration)
-          val crossPairs =
-            if (fs.exists(new org.apache.hadoop.fs.Path(s"$sigPath/_SUCCESS")) ||
-              fs.globStatus(new org.apache.hadoop.fs.Path(s"$sigPath/*.parquet")) != null &&
-                fs.globStatus(new org.apache.hadoop.fs.Path(s"$sigPath/*.parquet")).nonEmpty) {
-              val history = spark.read.parquet(sigPath)
-              val bBands = MinHashPipeline.bandBuckets(sigs)
-              val hBands = MinHashPipeline.bandBuckets(history)
-              val cands = hBands.alias("h")
-                .join(broadcast(bBands.alias("b")),
-                  col("h.band_idx") === col("b.band_idx") &&
-                    col("h.band_hash") === col("b.band_hash") &&
-                    col("h.doc_id") =!= col("b.doc_id"))
-                .select(
-                  least(col("h.doc_id"), col("b.doc_id")).as("doc1"),
-                  greatest(col("h.doc_id"), col("b.doc_id")).as("doc2"))
-                .distinct()
-              val allSigs = history.union(sigs)
-              MinHashPipeline.pairs(cands, allSigs, cfg)
-            } else spark.emptyDataFrame
-              .withColumn("doc1", lit(0L)).withColumn("doc2", lit(0L))
-              .withColumn("similarity", lit(0.0)).limit(0)
-              .select("doc1", "doc2", "similarity")
-
-          intraPairs.union(crossPairs).distinct()
-            .write.mode(SaveMode.Append).parquet(pairsPath)
-          sigs.write.mode(SaveMode.Append).parquet(sigPath)
-        } finally sigs.unpersist()
-        ()
+        processBatch(spark, batch, batchId, workDir, cfg)
       }
       .start()
   }

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.ConnectedComponents
+import org.apache.spark.sql.functions._
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("50-node path graph converges fast (pointer jumping, O(log D) rounds)") {
+    // a pure chain is the worst case for one-hop min propagation (needs D
+    // rounds); pointer jumping must crush it within a small budget
+    val edges = (0L until 49L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val docs = (0L until 50L).toDF("doc_id")
+    val out = ConnectedComponents.cluster(edges, docs, maxIter = 12)
+    val labels = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 50)
+    assert(labels.forall(_._2 == 0L), labels.filter(_._2 != 0L).take(5).mkString(","))
+  }
+
+  test("two components + singletons get distinct min labels") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc1", "doc2")
+    val docs = (0L until 13L).toDF("doc_id")
+    val out = ConnectedComponents.cluster(edges, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)
+    assert(out(10L) == 10L && out(11L) == 10L)
+    assert(out(0L) == 0L && out(5L) == 5L && out(12L) == 12L)
+  }
+
+  test("non-convergence throws instead of returning silently-wrong labels") {
+    val edges = (0L until 30L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val docs = (0L until 31L).toDF("doc_id")
+    intercept[IllegalStateException] {
+      ConnectedComponents.cluster(edges, docs, maxIter = 1)
+    }
+  }
+
+  test("reliable checkpoint mode survives and matches localCheckpoint mode") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val edges = (0L until 20L).map(i => (i * 3, i * 3 + 3)).toDF("doc1", "doc2")
+    val docs = (0L to 60L).toDF("doc_id")
+    val a = ConnectedComponents.cluster(edges, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = ConnectedComponents.cluster(edges, docs,
+        reliableCheckpointDir = Some(dir), checkpointEvery = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    // the durable lineage cuts actually hit disk
+    val written = new java.io.File(dir).listFiles().map(_.getName)
+    assert(written.exists(_.startsWith("cc_labels_iter_")), written.mkString(","))
+  }
+}
