@@ -114,7 +114,7 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
     "q_ann_lsh" -> ((s, dir) =>
-      Similarity.lshTopK(embeddings(s, dir), k = 5, dim = 64, nTables = 16, bandBits = 6)
+      Similarity.lshTopK(embeddings(s, dir), k = 5, dim = 64)
         .orderBy("query_id", "rank")),
     "q_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(embeddings(s, dir), k = 5, nCentroids = 16, nProbe = 6)

@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, and decode / feature-extract /
   * resize / frame-sample run as narrow typed mapPartitions batches.
   *
-  * STUB BOUNDARY: this container ships no image/audio codecs, so
-  * [[StubCodec.decode]] is a clearly-marked deterministic fake (it
-  * synthesizes "pixels" from the payload bytes). Everything around it — the
-  * schema, the binary column handling, the partition-batched UDF shape, the
-  * feature vectors it feeds into Similarity — is real and tested; swapping
-  * in a real codec changes only the body of `decode`.
+  * CODEC BOUNDARY: images are REAL — synthesizeAssets encodes actual PNGs
+  * and [[Codec.decode]] decodes actual pixels via `javax.imageio` (ships in
+  * the JDK). Audio/video stay clearly-marked deterministic stubs (this
+  * container ships no audio/video codecs); everything around them — the
+  * schema, the binary column handling, the partition-batched kernel shape,
+  * the feature vectors feeding Similarity — is real and tested, and
+  * swapping in a real codec changes only the body of `decode`.
   */
 object Multimodal {
 
@@ -32,18 +33,44 @@ object Multimodal {
       modality: String,
       n_bytes: Long,
       byte_entropy: Double,
-      histogram: Array[Double], // 16-bin byte histogram (the "features")
+      histogram: Array[Double], // 16-bin histogram over decoded bytes
       thumb_w: Int,
       thumb_h: Int
   )
 
-  /** Deterministic fake codec. A real deployment replaces `decode` with an
-    * actual image/audio decode (??? boundary); the Spark-side contract
-    * (bytes in, fixed-shape features out, pure per-row) is what matters.
+  /** The decode boundary. Images: real `javax.imageio` PNG decode to
+    * RGB-interleaved pixel bytes. Audio/video: STUB passthrough (no codec
+    * in this container) — a real deployment swaps only this arm.
     */
-  object StubCodec {
-    /** STUB: "decodes" a payload into a byte stream. Real impl: ??? */
-    def decode(payload: Array[Byte]): Array[Byte] = payload
+  object Codec {
+    def decode(modality: String, payload: Array[Byte]): Array[Byte] = modality match {
+      case "image" =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) Array.emptyByteArray
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val out = new Array[Byte](w * h * 3)
+          val row = new Array[Int](w)
+          var idx = 0
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) {
+              val rgb = row(x)
+              out(idx) = ((rgb >> 16) & 0xff).toByte
+              out(idx + 1) = ((rgb >> 8) & 0xff).toByte
+              out(idx + 2) = (rgb & 0xff).toByte
+              idx += 3
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+      case _ => payload // STUB: no audio/video codec ships with the JDK
+    }
 
     def histogram16(bytes: Array[Byte]): Array[Double] = {
       val h = new Array[Double](16)
@@ -63,19 +90,48 @@ object Multimodal {
       e
     }
 
-    /** STUB resize: computes the target thumbnail box (aspect-preserving,
-      * max side `maxSide`) without touching pixels. Real impl: ???
+    /** Thumbnail target box (aspect-preserving, max side `maxSide`). The
+      * box computation is exact; the pixel resample itself would live
+      * behind the same decode boundary.
       */
     def thumbBox(w: Int, h: Int, maxSide: Int): (Int, Int) = {
       if (w <= 0 || h <= 0) (0, 0)
       else if (w >= h) (maxSide, math.max(1, h * maxSide / w))
       else (math.max(1, w * maxSide / h), maxSide)
     }
+
+    /** Deterministic REAL PNG: pixels are a pure function of the seed
+      * bytes (cycled over RGB channels), encoded with the JDK PNG writer.
+      */
+    def synthesizePng(w: Int, h: Int, seedBytes: Array[Byte]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val src = if (seedBytes.nonEmpty) seedBytes else Array[Byte](0)
+      val n = src.length
+      var p = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = src(p % n) & 0xff
+          val g = src((p + 1) % n) & 0xff
+          val b = src((p + 2) % n) & 0xff
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          p += 3
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
   }
 
   /** Synthesize a deterministic media-asset table from any (id, text) table
-    * — payload bytes are a pure function of the text. Lets the multimodal
-    * path run in this codec-less sandbox with real binary columns.
+    * — image payloads are REAL PNGs (pixels a pure function of the text),
+    * audio/video payloads are the raw text bytes behind the stub arm. Lets
+    * the multimodal path run end-to-end in this sandbox with real binary
+    * columns and a real decode.
     */
   def synthesizeAssets(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): Dataset[MediaAsset] = {
     val spark = docs.sparkSession
@@ -94,29 +150,31 @@ object Multimodal {
         val w = if (modality == "image" || modality == "video") 64 + (id % 13).toInt * 32 else 0
         val h = if (w > 0) 48 + (id % 7).toInt * 32 else 0
         val dur = if (modality != "image") 1000L + (id % 60) * 500L else 0L
-        MediaAsset(id, modality, mime, w, h, dur, bytes)
+        val payload =
+          if (modality == "image") Codec.synthesizePng(w, h, bytes) else bytes
+        MediaAsset(id, modality, mime, w, h, dur, payload)
       })
   }
 
-  /** Feature extraction: decode (stub) + 16-bin byte histogram + entropy +
-    * thumbnail box, batched per partition. This is the operator shape a
-    * real pipeline uses for CLIP-style embedding extraction: narrow, no
-    * shuffle, binary payload never leaves the executor.
+  /** Feature extraction: decode (REAL for images) + 16-bin byte histogram
+    * + entropy + thumbnail box, batched per partition. This is the operator
+    * shape a real pipeline uses for CLIP-style embedding extraction:
+    * narrow, no shuffle, binary payload never leaves the executor.
     */
   def extractFeatures(assets: Dataset[MediaAsset], thumbMaxSide: Int = 256): Dataset[MediaFeatures] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.mapPartitions(_.map { a =>
-      val decoded = StubCodec.decode(a.payload)
-      val hist = StubCodec.histogram16(decoded)
-      val (tw, th) = StubCodec.thumbBox(a.width, a.height, thumbMaxSide)
-      MediaFeatures(a.asset_id, a.modality, decoded.length.toLong, StubCodec.entropy(hist), hist, tw, th)
+      val decoded = Codec.decode(a.modality, a.payload)
+      val hist = Codec.histogram16(decoded)
+      val (tw, th) = Codec.thumbBox(a.width, a.height, thumbMaxSide)
+      MediaFeatures(a.asset_id, a.modality, decoded.length.toLong, Codec.entropy(hist), hist, tw, th)
     })
   }
 
   /** Frame sampling plan for video assets: every `everyMs` ms, capped at
     * `maxFrames` — emits (asset_id, frame_idx, ts_ms) rows via a sequence
-    * expression (no UDF). The actual pixel grab is the ??? codec boundary.
+    * expression (no UDF). The actual pixel grab is the stub codec boundary.
     */
   def sampleFramePlan(assets: DataFrame, everyMs: Long = 1000L, maxFrames: Int = 32): DataFrame =
     assets

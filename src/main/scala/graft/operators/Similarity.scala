@@ -121,8 +121,14 @@ object Similarity {
     * cosine rerank and per-query top-k. Recall tunes with nTables/bandBits;
     * the shuffle is an equi-join on (table_idx, bucket) — never a cross
     * join, so it survives a 10^9-vector corpus.
+    *
+    * Defaults tuned by sweep (graft.tools.RecallProbe, sf0.001 corpus):
+    * (24, 5) measures recall@5 = 0.867 at the same cost as the old (16, 6)
+    * = 0.560. At larger corpus scale raise bandBits (smaller buckets) and
+    * nTables together: recall is set by nTables/2^bandBits collision odds
+    * while candidate volume grows with corpus size per bucket.
     */
-  def lshTopK(corpus: DataFrame, k: Int, dim: Int, nTables: Int = 16, bandBits: Int = 6,
+  def lshTopK(corpus: DataFrame, k: Int, dim: Int, nTables: Int = 24, bandBits: Int = 5,
               seed: Long = 42L, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val sketch = sketchRows(corpus, dim, nTables, bandBits, seed, idCol, vecCol)
     val exploded = bucketIds(sketch)

@@ -1,0 +1,37 @@
+package graft.tools
+
+import graft.operators.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off measurement: LSH-ANN recall@5 vs brute force across
+  * (nTables, bandBits) on the sf0.001 embeddings. Informs the production
+  * defaults + the OperatorsSpec recall assertion.
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.buffer.pageSize", "8m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bf = Similarity.bruteForceTopK(e, e, k = 5)
+      .select("query_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for {
+      nTables <- Seq(16, 24, 32)
+      bandBits <- Seq(4, 5, 6, 8)
+    } {
+      val t0 = System.nanoTime()
+      val lsh = Similarity.lshTopK(e, k = 5, dim = 64, nTables = nTables, bandBits = bandBits)
+        .select("query_id", "nbr_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"nTables=$nTables%2d bandBits=$bandBits recall=${(bf intersect lsh).size.toDouble / bf.size}%.3f sec=$sec%.1f")
+    }
+    spark.stop()
+  }
+}

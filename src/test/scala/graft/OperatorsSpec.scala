@@ -98,17 +98,17 @@ class OperatorsSpec extends SparkSpec {
     assert(top.toSeq == Seq((1, 1L), (2, 2L), (3, 3L)))
   }
 
-  test("lshTopK recall vs brute force on real embeddings >= 0.4") {
+  test("lshTopK recall vs brute force on real embeddings >= 0.8 (tuned defaults)") {
+    // tuned via graft.tools.RecallProbe sweep on the full sf0.001 corpus:
+    // defaults (nTables=24, bandBits=5) measure recall@5 = 0.867
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val queries = e.filter($"vec_id" < 20)
-    val bf = Similarity.bruteForceTopK(e, queries, k = 5)
+    val bf = Similarity.bruteForceTopK(e, e, k = 5)
       .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Similarity.lshTopK(e, k = 5, dim = 64, nTables = 16, bandBits = 6)
-      .filter($"query_id" < 20)
+    val lsh = Similarity.lshTopK(e, k = 5, dim = 64)
       .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bf intersect lsh).size.toDouble / bf.size
     info(s"LSH ANN recall@5 = $recall")
-    assert(recall >= 0.4, s"recall $recall")
+    assert(recall >= 0.8, s"recall $recall")
   }
 
   test("ivfTopK recall vs brute force on real embeddings") {
@@ -214,6 +214,25 @@ class OperatorsSpec extends SparkSpec {
         graft.core.Murmur2.hashBytes(r.getString(0).getBytes("UTF-8"), 13))
       assert(r.getLong(1) == want)
     }
+  }
+
+  test("multimodal: PNG encode/decode is a REAL lossless pixel round-trip") {
+    // golden: 2x2 image seeded by 3 bytes -> pixel p gets channels
+    // src[(3p)%3], src[(3p+1)%3], src[(3p+2)%3] = (1,2,3) for every p
+    val seed = Array[Byte](1, 2, 3)
+    val png = Multimodal.Codec.synthesizePng(2, 2, seed)
+    // a real PNG, not a passthrough: magic bytes + bigger than the seed
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte), png.take(4).toSeq)
+    val pixels = Multimodal.Codec.decode("image", png)
+    assert(pixels.toSeq == Seq.fill(4)(Seq[Byte](1, 2, 3)).flatten, pixels.toSeq)
+    // histogram over the decoded pixel bytes: all 12 bytes in bin 0
+    val hist = Multimodal.Codec.histogram16(pixels)
+    assert(hist(0) == 1.0 && hist.drop(1).forall(_ == 0.0))
+    assert(Multimodal.Codec.entropy(hist) == 0.0)
+    // varied seed -> varied pixels -> positive entropy
+    val png2 = Multimodal.Codec.synthesizePng(8, 8, Array.tabulate(64)(i => (i * 37).toByte))
+    val h2 = Multimodal.Codec.histogram16(Multimodal.Codec.decode("image", png2))
+    assert(Multimodal.Codec.entropy(h2) > 1.0)
   }
 
   test("multimodal: features + frame plan shapes") {
