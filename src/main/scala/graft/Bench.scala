@@ -161,6 +161,19 @@ object Bench {
     val tLo = measure(coresLo)
     val tHi = measure(coresHi)
 
+    // Optional 1..P sweep (the reference's report harness shape,
+    // /root/reference/makefile:113-142): SPARK_GRAFT_SCALE_SWEEP="1,2,4,8,16"
+    // measures each level and appends reference-style CSV rows to
+    // bench_sweep.csv. Off by default so driver rounds stay fast.
+    val sweep = sys.env.get("SPARK_GRAFT_SCALE_SWEEP").map { levels =>
+      val rows = levels.split(",").map(_.trim.toInt).map { c => c -> measure(c) }
+      val csv = new StringBuilder("cores,files,sec,files_per_sec\n")
+      rows.foreach { case (c, t) => csv.append(f"$c,$scaleFiles,$t%.2f,${scaleFiles / t}%.1f\n") }
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_sweep.csv"),
+        csv.toString.getBytes("UTF-8"))
+      rows
+    }
+
     val thrLo = scaleFiles / tLo
     val thrHi = scaleFiles / tHi
     val ratio = coresHi.toDouble / coresLo
@@ -172,13 +185,16 @@ object Bench {
       .map { case (k, sec) => "\"" + k + "\":" + f"$sec%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
+    val sweepJson = sweep.map { rows =>
+      rows.map { case (c, t) => f""""$c":$t%.2f""" }.mkString(""","sweep":{""", ",", "}")
+    }.getOrElse("")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""configs":$cfgs,""" +
         s""""scaling":{"files":$scaleFiles,"cores_lo":$coresLo,"cores_hi":$coresHi,""" +
         f""""sec_lo":$tLo%.2f,"sec_hi":$tHi%.2f,""" +
         f""""files_per_sec_lo":$thrLo%.1f,"files_per_sec_hi":$thrHi%.1f,""" +
-        f""""scaling_efficiency":$eff%.3f}}"""
+        f""""scaling_efficiency":$eff%.3f}$sweepJson}"""
     // File copy for the judge + humans; stdout line for the driver's parser.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (json + "\n").getBytes("UTF-8"))

@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   *   graft.Main --input <parquet path | synth:<nFiles>> --output <dir>
   *     [--shingle 3] [--signature 100] [--bandrows 4] [--seed 13]
   *     [--threshold 0.1] [--star-cap N] [--text-col content] [--id-col doc_id]
+  *     [--verbose true]
+  *
+  * `--verbose` is the reference's every-N-docs progress prints
+  * (/root/reference/src/MPI/io_interface.c) re-expressed for Spark: a
+  * stage-completion listener streaming per-stage progress (tasks, records,
+  * wall time) to stderr — per-row executor printing is an anti-pattern.
   *
   * `synth:<n>` generates the deterministic source-code corpus (CorpusGen)
   * in-flight — no external data. A parquet input is any table with an id
@@ -52,6 +58,23 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (opts.get("verbose").exists(_.toBoolean)) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = ev.stageInfo
+          val sec = (for {
+            end <- si.completionTime; start <- si.submissionTime
+          } yield (end - start) / 1000.0).getOrElse(0.0)
+          System.err.println(
+            f"[graft] stage ${si.stageId}%3d done: tasks=${si.numTasks}%4d " +
+              f"in=${si.taskMetrics.inputMetrics.recordsRead}%9d recs " +
+              f"shuffleOut=${si.taskMetrics.shuffleWriteMetrics.recordsWritten}%9d recs " +
+              f"$sec%6.1fs  ${si.name.takeWhile(_ != '\n').take(80)}")
+        }
+      })
+    }
 
     val docs =
       if (input.startsWith("synth:")) {

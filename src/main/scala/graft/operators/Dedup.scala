@@ -134,6 +134,16 @@ object Dedup {
     *
     * Returns (doc1, doc2, n_shared_windows), n_shared_windows counting
     * DISTINCT window hashes present in both docs.
+    *
+    * Residual skew note: the doc-freq cap bounds but does not eliminate the
+    * quadratic — a window at the cap still emits ~cap²/2 pairs on one join
+    * key (1000 -> ~500k rows in one task's key group). Because the output
+    * contract is the exact per-pair shared-window COUNT, a cluster-
+    * preserving star rewrite (as in MinHashPipeline.candidates) would
+    * change the semantics, not just the plan. At production scale size the
+    * cap to the pair budget (cap ~ sqrt(2 × acceptable pairs per hot
+    * window), e.g. 100 for ~5k) or pre-drop boilerplate with exact dedup;
+    * AQE skew-join splitting handles the join-side imbalance either way.
     */
   def substringDupPairs(docs: DataFrame, minTokens: Int,
                         idCol: String = "doc_id", textCol: String = "text",

@@ -204,7 +204,10 @@ object MinHashPipeline {
 
   /** Full reference-equivalent run: docs(doc_id, content) -> sorted pairs
     * (doc1, doc2, similarity). Caches the signatures Dataset because it is
-    * consumed twice (bucket join + similarity join).
+    * consumed twice (bucket join + similarity join). Cache lifetime is the
+    * CALLER's: the returned frame is lazy, so run() cannot unpersist
+    * without recomputing — Verify clears the cache between queries,
+    * Bench/Main manage their own persistence explicitly.
     */
   def run(docs: DataFrame, cfg: MinHashConfig, starCapBucketSize: Option[Int] = None): DataFrame = {
     val sigs = signatures(docs, cfg).toDF().cache()
