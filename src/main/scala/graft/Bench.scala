@@ -103,8 +103,20 @@ object Bench {
     val coresLo = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES_LO", "2").toInt
     val coresHi = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES_HI", "8").toInt
 
-    // Part 1: headline queries at full parallelism
+    // Part 1: headline queries at full parallelism. One untimed warm pass
+    // at the smallest SF first: cold generated-code compilation + kernel
+    // JIT dominate first executions of every plan shape (measured 8x CPU
+    // inflation; BENCHMARKS.md §pathologies), and the benchmark's job is
+    // steady-state throughput, not classloading.
     val spark32 = session(cpus)
+    val warmSf = "/root/testdata/sf0.001"
+    headline.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        try { fn(spark32, warmSf).count(); () }
+        catch { case _: Throwable => () }
+      }
+    }
+    spark32.catalog.clearCache()
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
@@ -113,6 +125,7 @@ object Bench {
         name -> ((System.nanoTime() - t0) / 1e9, n)
       }
     }
+    spark32.catalog.clearCache()
 
     // Scaling corpus written once (untimed); warm-up corpus is 1/8 size.
     val corpusPath = s"/tmp/graft_bench_corpus_$scaleFiles"

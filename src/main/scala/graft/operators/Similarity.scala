@@ -116,27 +116,43 @@ object Similarity {
   private def bucketIds(sketch: DataFrame): DataFrame =
     sketch.select(col("vid"), posexplode(col("buckets")).as(Seq("table_idx", "bucket")))
 
+  /** Multiprobe expansion of the PROBE side: each bucket row additionally
+    * probes every bucket at Hamming distance 1 (flip each of the bandBits
+    * sign bits). One probe row fans to bandBits+1 rows, but each table's
+    * buckets can be 2^bandBits-fold smaller for the same recall, so total
+    * candidate volume DROPS — the standard multiprobe trade.
+    */
+  private def multiProbeIds(exploded: DataFrame, bandBits: Int): DataFrame =
+    exploded.select(
+      col("vid"), col("table_idx"),
+      explode(array(
+        (Seq(col("bucket")) ++
+          (0 until bandBits).map(b => col("bucket").bitwiseXOR(lit(1L << b)))): _*
+      )).as("bucket"))
+
   /** LSH-bucketed ANN: candidates = vectors sharing at least one of
     * `nTables` hyperplane-sketch buckets (bandBits bits each), then exact
     * cosine rerank and per-query top-k. Recall tunes with nTables/bandBits;
     * the shuffle is an equi-join on (table_idx, bucket) — never a cross
     * join, so it survives a 10^9-vector corpus.
     *
-    * Defaults tuned by sweep (graft.tools.RecallProbe, sf0.001 corpus):
-    * (24, 5) measures recall@5 = 0.867 at the same cost as the old (16, 6)
-    * = 0.560. At larger corpus scale raise bandBits (smaller buckets) and
-    * nTables together: recall is set by nTables/2^bandBits collision odds
-    * while candidate volume grows with corpus size per bucket.
+    * Defaults tuned by sweep (graft.tools.RecallProbe): multiprobe
+    * (16, 8, mp) measures recall@5 = 0.847 @ sf0.001 / 0.893 @ sf0.1 —
+    * equal to the best non-multiprobe config (24, 5) but ~1.7x faster and
+    * with 2^3-fold smaller buckets, which is what survives corpus growth
+    * (candidate volume per vector ~ nTables × (1+bandBits) × n / 2^bandBits).
+    * At larger corpus scale raise bandBits and nTables together.
     */
-  def lshTopK(corpus: DataFrame, k: Int, dim: Int, nTables: Int = 24, bandBits: Int = 5,
-              seed: Long = 42L, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  def lshTopK(corpus: DataFrame, k: Int, dim: Int, nTables: Int = 16, bandBits: Int = 8,
+              seed: Long = 42L, multiProbe: Boolean = true,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val sketch = sketchRows(corpus, dim, nTables, bandBits, seed, idCol, vecCol)
     val exploded = bucketIds(sketch)
     // candidate pairs carry IDS ONLY through the bucket join + distinct —
     // shuffling the vector payloads through dropDuplicates costs ~1000x the
     // bytes (measured 108 s -> ~2 s on 2k vectors / 1M candidate rows).
     // Vectors join back once per side afterwards, off the persisted sketch.
-    val a = exploded.alias("a")
+    val a = (if (multiProbe) multiProbeIds(exploded, bandBits) else exploded).alias("a")
     val b = exploded.alias("b")
     val candIds = a
       .join(

@@ -16,21 +16,25 @@ object RecallProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val bf = Similarity.bruteForceTopK(e, e, k = 5)
       .select("query_id", "nbr_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     for {
-      nTables <- Seq(16, 24, 32)
-      bandBits <- Seq(4, 5, 6, 8)
+      (nTables, bandBits, mp) <- Seq(
+        (24, 5, false), (32, 5, false), // current defaults + denser
+        (8, 8, true), (12, 8, true), (16, 8, true),
+        (8, 10, true), (16, 10, true), (24, 10, true))
     } {
       val t0 = System.nanoTime()
-      val lsh = Similarity.lshTopK(e, k = 5, dim = 64, nTables = nTables, bandBits = bandBits)
+      val lsh = Similarity.lshTopK(e, k = 5, dim = 64, nTables = nTables,
+          bandBits = bandBits, multiProbe = mp)
         .select("query_id", "nbr_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      println(f"nTables=$nTables%2d bandBits=$bandBits recall=${(bf intersect lsh).size.toDouble / bf.size}%.3f sec=$sec%.1f")
+      println(f"nTables=$nTables%2d bandBits=$bandBits%2d mp=$mp%5s recall=${(bf intersect lsh).size.toDouble / bf.size}%.3f sec=$sec%.1f")
     }
     spark.stop()
   }

@@ -99,8 +99,8 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("lshTopK recall vs brute force on real embeddings >= 0.8 (tuned defaults)") {
-    // tuned via graft.tools.RecallProbe sweep on the full sf0.001 corpus:
-    // defaults (nTables=24, bandBits=5) measure recall@5 = 0.867
+    // tuned via graft.tools.RecallProbe sweep: multiprobe defaults
+    // (nTables=16, bandBits=8, mp) measure recall@5 = 0.847 on this corpus
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val bf = Similarity.bruteForceTopK(e, e, k = 5)
       .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
