@@ -41,6 +41,9 @@ object Main {
     )
     val starCap = opts.get("star-cap").map(_.toInt)
     val verifyJaccard = opts.get("verify-jaccard").exists(_.toBoolean)
+    // resume fingerprint level: metadata (file stats, default) vs full
+    // content scan (--content-fingerprint true)
+    val contentFp = opts.get("content-fingerprint").exists(_.toBoolean)
     // spark-submit injects spark.master as a system property; only default
     // to local[*] when launched directly (sbt runMain / tests).
     val master = sys.props.getOrElse(
@@ -89,7 +92,7 @@ object Main {
       }
 
     val t0 = System.nanoTime()
-    val pipe = new CheckpointedPipeline(spark, cfg, output, starCap, verifyJaccard)
+    val pipe = new CheckpointedPipeline(spark, cfg, output, starCap, verifyJaccard, contentFp)
     val (clusters, log) = pipe.run(docs)
     val nDocs = docs.count()
     val nClusters = clusters.select("cluster_id").distinct().count()

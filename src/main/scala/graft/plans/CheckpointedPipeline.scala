@@ -22,7 +22,8 @@ class CheckpointedPipeline(
     cfg: MinHashConfig,
     workDir: String,
     starCapBucketSize: Option[Int] = None,
-    verifyExactJaccard: Boolean = false
+    verifyExactJaccard: Boolean = false,
+    contentFingerprint: Boolean = false
 ) {
   import CheckpointedPipeline._
 
@@ -34,14 +35,34 @@ class CheckpointedPipeline(
   private def stagePath(stage: String) = s"$workDir/$stage"
   private def metricsPath = s"$workDir/_metrics"
 
-  /** Cheap order-insensitive input fingerprint: row count + sum of a 32-bit
-    * content hash. Good enough to detect "same input table" for resume.
+  /** Input fingerprint for resume. Two levels:
+    *
+    *   - METADATA (default, file-backed inputs): crc over the sorted
+    *     (path, length, mtime) of the input files — the Iceberg
+    *     snapshot-id analog. Driver-side file stats only; at 100 TB this
+    *     costs a directory listing, NOT a full data pass per run (the old
+    *     content scan re-read the entire input even when every stage
+    *     resumed).
+    *   - CONTENT (`contentFingerprint = true`, and the automatic fallback
+    *     for non-file inputs like the synthetic corpus): row count + sum
+    *     of a 32-bit content hash. Order-insensitive, one full pass.
     */
   def fingerprint(docs: DataFrame): String = {
-    val row = docs
-      .agg(count(lit(1)).as("n"), sum(crc32(col("content").cast("string"))).as("h"))
-      .head()
-    s"n=${row.getLong(0)};h=${row.get(1)}"
+    val files = docs.inputFiles
+    if (files.nonEmpty && !contentFingerprint) {
+      val crc = new java.util.zip.CRC32
+      files.sorted.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
+        crc.update(s"$f:${st.getLen}:${st.getModificationTime};".getBytes("UTF-8"))
+      }
+      s"files=${files.length};meta=${crc.getValue}"
+    } else {
+      val row = docs
+        .agg(count(lit(1)).as("n"), sum(crc32(col("content").cast("string"))).as("h"))
+        .head()
+      s"n=${row.getLong(0)};h=${row.get(1)}"
+    }
   }
 
   /** Per-stage config tag: a stage is only invalidated by the parameters it

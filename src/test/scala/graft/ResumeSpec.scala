@@ -70,6 +70,33 @@ class ResumeSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("metadata fingerprint: file-backed input resumes without a data pass; rewrite invalidates") {
+    val work = java.nio.file.Files.createTempDirectory("graft_meta_fp").toString
+    val inDir = java.nio.file.Files.createTempDirectory("graft_meta_in").toString
+    CorpusGen.withDocIds(CorpusGen.sourceFiles(spark, 200))
+      .write.mode("overwrite").parquet(inDir)
+    def docs = spark.read.parquet(inDir)
+
+    val p = new CheckpointedPipeline(spark, cfg, work)
+    // file-backed input -> metadata-level fingerprint (no content scan)
+    assert(p.fingerprint(docs).startsWith("files="), p.fingerprint(docs))
+    // ...and the content level stays available on demand
+    assert(new CheckpointedPipeline(spark, cfg, work, contentFingerprint = true)
+      .fingerprint(docs).startsWith("n="))
+
+    val (_, log1) = p.run(docs)
+    assert(log1.computed.size == 4)
+    val (_, log2) = new CheckpointedPipeline(spark, cfg, work).run(docs)
+    assert(log2.computed.isEmpty && log2.skipped.size == 4, log2.toString)
+
+    // rewriting the input (different content => different sizes/files)
+    // invalidates every stage through the metadata fingerprint alone
+    CorpusGen.withDocIds(CorpusGen.sourceFiles(spark, 201))
+      .write.mode("overwrite").parquet(inDir)
+    val (_, log3) = new CheckpointedPipeline(spark, cfg, work).run(docs)
+    assert(log3.computed.size == 4, log3.toString)
+  }
+
   test("pipeline output invariant under shuffle-partition count (reference report-check)") {
     val docs = CorpusGen.goldenCorpus(spark)
     val cfgA = MinHashConfig(3, 64, 4, 13, 0.0)
