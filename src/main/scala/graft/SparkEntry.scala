@@ -134,6 +134,9 @@ object SparkEntry {
       Multimodal.sampleFramePlan(
         Multimodal.synthesizeAssets(documents(s, dir)).toDF()
       ).orderBy("asset_id", "frame_idx")),
+    "q_mm_thumbs" -> ((s, dir) =>
+      Multimodal.thumbnails(Multimodal.synthesizeAssets(documents(s, dir)))
+        .toDF().select("asset_id", "thumb_w", "thumb_h").orderBy("asset_id")),
 
     // ---- streaming ingest (incremental dedup over micro-batches) ----
     "q_streaming_dedup" -> ((s, dir) => {
@@ -247,6 +250,18 @@ object SparkEntry {
         |SELECT asset_id, CAST(ts_ms // 1000 AS INTEGER) AS frame_idx, ts_ms
         |FROM f WHERE ts_ms // 1000 < 32
         |ORDER BY asset_id, frame_idx""".stripMargin,
+    "q_mm_thumbs" ->
+      // mirrors synthesizeAssets dims (image iff doc_id%3=0; w=64+(id%13)*32,
+      // h=48+(id%7)*32) + Codec.thumbBox integer arithmetic at maxSide=256
+      """WITH i AS (
+        |  SELECT doc_id AS asset_id,
+        |         64 + (doc_id % 13) * 32 AS w,
+        |         48 + (doc_id % 7) * 32 AS h
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT asset_id,
+        |  CAST(CASE WHEN w >= h THEN 256 ELSE greatest(1, (w * 256) // h) END AS INTEGER) AS thumb_w,
+        |  CAST(CASE WHEN w >= h THEN greatest(1, (h * 256) // w) ELSE 256 END AS INTEGER) AS thumb_h
+        |FROM i ORDER BY asset_id""".stripMargin,
     "q_lang_id" ->
       // same marker-hit-rate scores; argmax with ties to the LARGEST lang
       // code, expressed as a descending-code CASE ladder

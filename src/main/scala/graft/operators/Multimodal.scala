@@ -90,14 +90,35 @@ object Multimodal {
       e
     }
 
-    /** Thumbnail target box (aspect-preserving, max side `maxSide`). The
-      * box computation is exact; the pixel resample itself would live
-      * behind the same decode boundary.
-      */
+    /** Thumbnail target box (aspect-preserving, max side `maxSide`). */
     def thumbBox(w: Int, h: Int, maxSide: Int): (Int, Int) = {
       if (w <= 0 || h <= 0) (0, 0)
       else if (w >= h) (maxSide, math.max(1, h * maxSide / w))
       else (math.max(1, w * maxSide / h), maxSide)
+    }
+
+    /** REAL aspect-preserving image resize (bilinear, JDK Graphics2D):
+      * PNG bytes in, thumbnail PNG bytes out. Empty on undecodable input.
+      */
+    def resizePng(payload: Array[Byte], maxSide: Int): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) Array.emptyByteArray
+      else {
+        val (tw, th) = thumbBox(img.getWidth, img.getHeight, maxSide)
+        if (tw == 0 || th == 0) Array.emptyByteArray
+        else {
+          val out = new java.awt.image.BufferedImage(tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, tw, th, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          bos.toByteArray
+        }
+      }
     }
 
     /** Deterministic REAL PNG: pixels are a pure function of the seed
@@ -170,6 +191,28 @@ object Multimodal {
       val (tw, th) = Codec.thumbBox(a.width, a.height, thumbMaxSide)
       MediaFeatures(a.asset_id, a.modality, decoded.length.toLong, Codec.entropy(hist), hist, tw, th)
     })
+  }
+
+  /** Row of the thumbnails table. */
+  final case class Thumbnail(asset_id: Long, thumb_png: Array[Byte], thumb_w: Int, thumb_h: Int)
+
+  /** REAL thumbnail generation for image assets: decode + bilinear resize +
+    * PNG re-encode, batched per partition (narrow, no shuffle; payloads
+    * never leave the executor). Non-image assets are filtered out.
+    */
+  def thumbnails(assets: Dataset[MediaAsset], maxSide: Int = 256): Dataset[Thumbnail] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .filter(_.modality == "image")
+      .mapPartitions(_.flatMap { a =>
+        val png = Codec.resizePng(a.payload, maxSide)
+        if (png.isEmpty) Iterator.empty
+        else {
+          val (tw, th) = Codec.thumbBox(a.width, a.height, maxSide)
+          Iterator.single(Thumbnail(a.asset_id, png, tw, th))
+        }
+      })
   }
 
   /** Frame sampling plan for video assets: every `everyMs` ms, capped at

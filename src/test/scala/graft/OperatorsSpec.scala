@@ -235,6 +235,19 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.Codec.entropy(h2) > 1.0)
   }
 
+  test("multimodal: thumbnails are REAL resized PNGs with the exact box dims") {
+    val assets = Multimodal.synthesizeAssets(docs)
+    val th = Multimodal.thumbnails(assets).collect()
+    assert(th.nonEmpty)
+    th.foreach { t =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(t.thumb_png))
+      assert(img != null, s"asset ${t.asset_id}: thumb not decodable")
+      assert(img.getWidth == t.thumb_w && img.getHeight == t.thumb_h,
+        s"asset ${t.asset_id}: ${img.getWidth}x${img.getHeight} vs ${t.thumb_w}x${t.thumb_h}")
+      assert(math.max(t.thumb_w, t.thumb_h) == 256)
+    }
+  }
+
   test("multimodal: features + frame plan shapes") {
     val assets = Multimodal.synthesizeAssets(docs)
     val feats = Multimodal.extractFeatures(assets).collect()
