@@ -178,8 +178,16 @@ object Bench {
     // /root/reference/makefile:113-142): SPARK_GRAFT_SCALE_SWEEP="1,2,4,8,16"
     // measures each level and appends reference-style CSV rows to
     // bench_sweep.csv. Off by default so driver rounds stay fast.
+    // malformed env must not cost the round's JSON line (the work above is
+    // tens of minutes) — bad tokens are skipped with a stderr note
     val sweep = sys.env.get("SPARK_GRAFT_SCALE_SWEEP").map { levels =>
-      val rows = levels.split(",").map(_.trim.toInt).map { c => c -> measure(c) }
+      val parsed = levels.split(",").map(_.trim).filter(_.nonEmpty).flatMap { t =>
+        t.toIntOption match {
+          case ok @ Some(_) => ok
+          case None => System.err.println(s"[bench] ignoring bad sweep level '$t'"); None
+        }
+      }
+      val rows = parsed.toSeq.map { c => c -> measure(c) }
       val csv = new StringBuilder("cores,files,sec,files_per_sec\n")
       rows.foreach { case (c, t) => csv.append(f"$c,$scaleFiles,$t%.2f,${scaleFiles / t}%.1f\n") }
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_sweep.csv"),

@@ -209,21 +209,21 @@ object SparkEntry {
     "q_token_count" ->
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
-        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+        |       ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_quality" ->
       """WITH q AS (
         |  SELECT doc_id, text,
         |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-        |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS n_punct,
-        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |         ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS n_tokens,
+        |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \t\n\x0b\f\r]', '', 'g')) AS n_punct,
+        |    len(list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
         |      w -> lower(w) IN ('the','a','an','and','or','of','to','in','on','is','it',
         |                        'for','with','as','at','by','be','this','that','are','was')))
         |      AS n_stop,
         |    list_reduce(list_prepend(0, list_transform(
-        |      regexp_split_to_array(trim(text), '\s+'), w -> length(w))),
+        |      regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'), w -> length(w))),
         |      (acc, x) -> acc + x) AS sum_tok_len
         |  FROM documents)
         |SELECT doc_id, n_tokens, n_punct,
@@ -266,9 +266,9 @@ object SparkEntry {
       // same marker-hit-rate scores; argmax with ties to the LARGEST lang
       // code, expressed as a descending-code CASE ladder
       """WITH q AS (
-        |  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+        |  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS toks,
         |    CASE WHEN length(trim(text)) = 0 THEN 1.0
-        |         ELSE CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) END AS nt
+        |         ELSE CAST(len(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS DOUBLE) END AS nt
         |  FROM documents),
         |s AS (SELECT doc_id, lang,
         |  CAST(len(list_filter(toks, w -> list_contains(['the','and','of','to','in','is','that','for','with','on'], w))) AS DOUBLE) / nt AS s_en,

@@ -23,10 +23,12 @@ import org.apache.spark.storage.StorageLevel
   * Durability: each iteration materializes to truncate lineage (plan growth
   * is the classic failure of iterative DataFrame jobs). By default that is
   * localCheckpoint — executor-local blocks, lost on executor death. For
-  * long cluster runs pass `reliableCheckpointDir`: every `checkpointEvery`
-  * iterations the labels are written to (and re-read from) that directory,
-  * so a lost executor costs at most `checkpointEvery` iterations, not the
-  * job (SURVEY.md §4 physical-execution checklist).
+  * long cluster runs pass `reliableCheckpointDir`: EVERY iteration's labels
+  * are then a parquet table (written + read back), so any lost partition
+  * recomputes from files rather than from dead executors' blocks — a lost
+  * executor costs a re-read, not the job. The previous iteration's table
+  * is deleted once the next one is committed, so the scratch dir holds at
+  * most two label tables (SURVEY.md §4 physical-execution checklist).
   *
   * Non-convergence is an ERROR: silently returning non-minimal labels is
   * the "recall dies silently" failure mode — we throw instead.
@@ -39,14 +41,14 @@ object ConnectedComponents {
     *                bounds reachable diameter at ~2^maxIter — hitting it
     *                means something is wrong, so we THROW rather than
     *                return non-minimal labels
-    * @param reliableCheckpointDir if set, labels are durably written here
-    *                every `checkpointEvery` iterations (reliable lineage
-    *                cut; survives executor loss, unlike localCheckpoint)
+    * @param reliableCheckpointDir if set, every iteration's labels live in
+    *                a parquet table under this scratch dir (survives
+    *                executor loss, unlike localCheckpoint); at most two
+    *                tables exist at a time
     * @return (doc_id, cluster_id) where cluster_id = min doc_id in component
     */
   def cluster(pairs: DataFrame, allDocs: DataFrame, maxIter: Int = 20,
-              reliableCheckpointDir: Option[String] = None,
-              checkpointEvery: Int = 5): DataFrame = {
+              reliableCheckpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     // Iterate only over nodes that actually appear in an edge; the (vastly
     // larger) singleton population bypasses the loop entirely and is
@@ -62,11 +64,18 @@ object ConnectedComponents {
 
     def materialize(df: DataFrame, iter: Int): DataFrame =
       reliableCheckpointDir match {
-        case Some(dir) if iter % checkpointEvery == 0 =>
+        case Some(dir) =>
           val path = s"$dir/cc_labels_iter_$iter"
           df.write.mode("overwrite").parquet(path)
-          spark.read.parquet(path)
-        case _ => df.localCheckpoint()
+          val back = spark.read.parquet(path)
+          if (iter > 0) { // previous table no longer referenced; bound the dir
+            val prev = new org.apache.hadoop.fs.Path(s"$dir/cc_labels_iter_${iter - 1}")
+            val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            fs.delete(prev, true)
+            ()
+          }
+          back
+        case None => df.localCheckpoint()
       }
 
     var labels = materialize(

@@ -241,13 +241,16 @@ object Dedup {
       // persisted: with a doc-freq cap the gram kernel feeds the df agg +
       // the semi-join; without it, the sizes agg + both join sides. Either
       // way an un-persisted subtree re-runs the flatMap kernel 3-4x
-      // (CLAUDE.md sharp edge; measured the dominant cost of this operator)
+      // (CLAUDE.md sharp edge; measured the dominant cost of this operator).
+      // ONLY grams is persisted — `filtered` below is a join off this cache
+      // whose a/b sides are identical subtrees (ReuseExchange collapses
+      // them); double-caching grams AND filtered would pin ~2x the operator
+      // footprint for the session lifetime.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filtered = maxGramDocFreq match {
       case Some(cap) =>
         val df = grams.groupBy("gram").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
         grams.join(df.select("gram"), "gram")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       case None => grams
     }
     val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))

@@ -50,13 +50,33 @@ class CheckpointedPipeline(
   def fingerprint(docs: DataFrame): String = {
     val files = docs.inputFiles
     if (files.nonEmpty && !contentFingerprint) {
+      // plan hash first: two reads of the SAME files that project different
+      // source columns (--text-col body vs title) are different inputs —
+      // file stats alone cannot see that, the canonicalized analyzed plan
+      // can. Without it a rerun with a changed projection would silently
+      // resume stages computed from the old column.
+      // crc of the canonicalized plan STRING (exprIds normalized): stable
+      // across JVM restarts, unlike object hashCodes of relation nodes
+      val planCrc = new java.util.zip.CRC32
+      planCrc.update(docs.queryExecution.analyzed.canonicalized.toString.getBytes("UTF-8"))
+      val planHash = planCrc.getValue
+      // file stats via one listStatus per parent DIRECTORY (batched RPCs),
+      // not one getFileStatus per file — 10^6 input files must cost
+      // thousands of listing calls, not millions of point lookups
+      val conf = spark.sparkContext.hadoopConfiguration
       val crc = new java.util.zip.CRC32
+      val parents = files.map(f => new org.apache.hadoop.fs.Path(f).getParent).distinct
+      val statByPath: Map[String, (Long, Long)] = parents.iterator.flatMap { parent =>
+        parent.getFileSystem(conf).listStatus(parent).iterator
+          .map(st => st.getPath.toUri.getPath ->
+            ((st.getLen, st.getModificationTime)))
+      }.toMap
       files.sorted.foreach { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
-        crc.update(s"$f:${st.getLen}:${st.getModificationTime};".getBytes("UTF-8"))
+        val key = new org.apache.hadoop.fs.Path(f).toUri.getPath
+        val (len, mtime) = statByPath.getOrElse(key, (-1L, -1L))
+        crc.update(s"$f:$len:$mtime;".getBytes("UTF-8"))
       }
-      s"files=${files.length};meta=${crc.getValue}"
+      s"files=${files.length};plan=$planHash;meta=${crc.getValue}"
     } else {
       val row = docs
         .agg(count(lit(1)).as("n"), sum(crc32(col("content").cast("string"))).as("h"))
@@ -161,7 +181,11 @@ class CheckpointedPipeline(
       }
     }
     val clusters = stage("clusters", fp, log) {
-      ConnectedComponents.cluster(pairs, docs.select(col("doc_id")))
+      // durable per-iteration labels under the work dir: on a real cluster
+      // a lost executor re-reads parquet instead of killing the stage
+      // (the `_`-prefixed scratch dir is invisible to parquet readers)
+      ConnectedComponents.cluster(pairs, docs.select(col("doc_id")),
+        reliableCheckpointDir = Some(s"$workDir/_cc_scratch"))
     }
     (clusters, log)
   }

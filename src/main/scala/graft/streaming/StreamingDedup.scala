@@ -67,6 +67,17 @@ object StreamingDedup {
     val bandsPath = s"$workDir/bands"
     val pairsPath = s"$workDir/pairs"
 
+    // Replay hygiene FIRST: a crash mid-write can leave a truncated part
+    // file under this batch's own dirs; reading the bands/signature tables
+    // with that corpse present can fail schema inference before any
+    // batch_id filter prunes it. Idempotent overwrite starts from a clean
+    // slate for this batchId.
+    val fsw = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(workDir), spark.sparkContext.hadoopConfiguration)
+    Seq(bandsPath, sigPath, pairsPath).foreach { root =>
+      fsw.delete(new org.apache.hadoop.fs.Path(s"$root/batch_id=$batchId"), true)
+    }
+
     val sigs = MinHashPipeline.signatures(batch, cfg).toDF().cache()
     try {
       val batchBands = MinHashPipeline.bandBuckets(sigs)
@@ -79,10 +90,8 @@ object StreamingDedup {
 
         // cross-history pairs: prune the bands table to the batch's prefix
         // partitions, equi-join against the broadcast batch bands
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(workDir), spark.sparkContext.hadoopConfiguration)
         val haveHistory =
-          fs.globStatus(new org.apache.hadoop.fs.Path(s"$bandsPath/batch_id=*")) match {
+          fsw.globStatus(new org.apache.hadoop.fs.Path(s"$bandsPath/batch_id=*")) match {
             case null => false
             case st   => st.exists(s => s.getPath.getName != s"batch_id=$batchId")
           }

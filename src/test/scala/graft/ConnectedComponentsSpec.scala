@@ -42,11 +42,13 @@ class ConnectedComponentsSpec extends SparkSpec {
     val a = ConnectedComponents.cluster(edges, docs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val b = ConnectedComponents.cluster(edges, docs,
-        reliableCheckpointDir = Some(dir), checkpointEvery = 2)
+        reliableCheckpointDir = Some(dir))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b)
-    // the durable lineage cuts actually hit disk
+    // every iteration is parquet-backed AND superseded tables are cleaned:
+    // exactly one labels table (the final iteration) remains
     val written = new java.io.File(dir).listFiles().map(_.getName)
-    assert(written.exists(_.startsWith("cc_labels_iter_")), written.mkString(","))
+      .filter(_.startsWith("cc_labels_iter_"))
+    assert(written.length == 1, written.mkString(","))
   }
 }
