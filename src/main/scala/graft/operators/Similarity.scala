@@ -251,11 +251,16 @@ object Similarity {
     * minCosine, found through the LSH candidate join (not a cross join).
     */
   def embeddingNearDupPairs(corpus: DataFrame, minCosine: Double, dim: Int,
-                            nTables: Int = 8, bandBits: Int = 12, seed: Long = 42L,
+                            nTables: Int = 12, bandBits: Int = 8, seed: Long = 42L,
+                            multiProbe: Boolean = true,
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val sketch = sketchRows(corpus, dim, nTables, bandBits, seed, idCol, vecCol)
     val exploded = bucketIds(sketch)
-    val a = exploded.alias("a")
+    // multiprobe matters MORE here than for top-k: near-dup thresholds like
+    // cosine 0.4 are far pairs (per-hyperplane agreement ~0.63), where exact
+    // bucket collision is rare (p^bits) — measured recall 0.20 without
+    // multiprobe vs 0.94 with, at identical table count (RecallProbe)
+    val a = (if (multiProbe) multiProbeIds(exploded, bandBits) else exploded).alias("a")
     val b = exploded.alias("b")
     val candIds = a
       .join(
