@@ -63,6 +63,15 @@ object SparkEntry {
         .cluster(MinHashPipeline.run(docs, docCfg), docs.select("doc_id"))
         .orderBy("doc_id")
     }),
+    "q_dedup_corpus" -> ((s, dir) => {
+      // the end product: one representative doc per near-dup cluster
+      val docs = docsAsCorpus(s, dir)
+      val clusters = ConnectedComponents
+        .cluster(MinHashPipeline.run(docs, docCfg), docs.select("doc_id"))
+      Dedup.keepRepresentatives(docs, clusters)
+        .select(col("doc_id"), length(col("content")).as("n_chars"))
+        .orderBy("doc_id")
+    }),
 
     // ---- dedup family ----
     "q_exact_dedup" -> ((s, dir) =>

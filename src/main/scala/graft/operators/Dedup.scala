@@ -46,6 +46,24 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
+  /** The deduped corpus: keep exactly one representative document per
+    * cluster — the end product a training-data pipeline actually feeds
+    * downstream (pairs/clusters are diagnostics; this is the data).
+    * Representative = the doc whose id IS the cluster_id (the component
+    * min, so the choice is deterministic and join-free to identify).
+    *
+    * Scale shape: one broadcast-able-or-shuffled equi-join of the corpus
+    * against the (doc_id == cluster_id) representative ids; no
+    * per-cluster aggregation over document payloads.
+    */
+  def keepRepresentatives(docs: DataFrame, clusters: DataFrame,
+                          idCol: String = "doc_id"): DataFrame = {
+    val reps = clusters
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(reps, Seq(idCol), "left_semi")
+  }
+
   /** 64-bit SimHash over the normalized token stream: per token, a 64-bit
     * hash (two murmur2 passes, seeds s and s+0x9e3779b9) votes ±1 per bit;
     * the sign vector is the fingerprint. Near-dups differ in few bits.

@@ -27,6 +27,17 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(out(0L) == 0L && out(5L) == 5L && out(12L) == 12L)
   }
 
+  test("keepRepresentatives: one doc per cluster survives, dups dropped") {
+    val docs = Seq((0L, "a"), (1L, "a"), (2L, "a"), (5L, "b"), (6L, "b"), (9L, "c"))
+      .toDF("doc_id", "content")
+    // clusters: {0,1,2} -> 0, {5,6} -> 5, {9} singleton
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (5L, 5L), (6L, 5L), (9L, 9L))
+      .toDF("doc_id", "cluster_id")
+    val kept = graft.operators.Dedup.keepRepresentatives(docs, clusters)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 5L, 9L), kept.toString)
+  }
+
   test("non-convergence throws instead of returning silently-wrong labels") {
     val edges = (0L until 30L).map(i => (i, i + 1)).toDF("doc1", "doc2")
     val docs = (0L until 31L).toDF("doc_id")
