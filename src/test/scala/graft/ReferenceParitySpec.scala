@@ -113,6 +113,71 @@ class ReferenceParitySpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("pair output identical on a punctuation/case/whitespace-hostile corpus") {
+    assume(ensureBinary(), "reference binary unavailable")
+    // the keyword-soup corpus never exercises the tokenizer's normalization
+    // edges END-TO-END vs the binary (unit golden vectors do, but this is
+    // the stronger check): mixed case, intra-word punctuation, \t \v \f
+    // \r\n whitespace, digits, strip-to-empty tokens, punctuation-only
+    // variants of other docs (which must come out as EXACT dups, sim 1.0)
+    val vocab = Array("Don't", "STOP-me", "qu1ck", "(brown)", "fox;", "jumps!",
+      "over___the", "lazy", "DOG", "42", "times,", "C++", "a&b", "x=y+1;",
+      "___", "!!!", "Hello,World", "tab\tsep", "mixedCASE", "0xDEADbeef")
+    val ws = Array(" ", "  ", "\t", "\n", "\r\n", "", "\f", " \t ")
+    def doc(i: Int): String = {
+      val rng = new java.util.Random(1234L + i)
+      val sb = new StringBuilder
+      (0 until 40 + rng.nextInt(40)).foreach { t =>
+        sb.append(vocab(rng.nextInt(vocab.length)))
+        if (t % 9 == 4) sb.append(s" tok${rng.nextInt(200)}")
+        sb.append(ws(rng.nextInt(ws.length)))
+      }
+      sb.toString
+    }
+    val n = 60
+    val texts = (0 until n).map { i =>
+      (i % 5) match {
+        case 3 => doc(i - 1) // exact dup
+        case 4 =>
+          // punctuation/case/whitespace variant of doc(i-2): identical
+          // normalized token stream => the engines must score it 1.0
+          doc(i - 2).toUpperCase.replace(" ", "\t").replace("'", "@")
+        case _ => doc(i)
+      }
+    }
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4,
+      seed = 13, threshold = 0.3)
+    import spark.implicits._
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "content").cache()
+    val dir = java.nio.file.Files.createTempDirectory("refcmpN")
+    texts.zipWithIndex.foreach { case (t, i) =>
+      java.nio.file.Files.write(dir.resolve(s"$i.txt"), t.getBytes("US-ASCII"))
+    }
+    assert(CorpusGen.ingestShaMismatches(docs, dir.toString) == 0)
+    val work = java.nio.file.Files.createTempDirectory("refrunN").toFile
+    val rc = Process(
+      Seq(bin, "-n", "1", "--docs", n.toString, "--offset", "0",
+        "--shingle", "3", "--signature", "64", "--bandrows", "4",
+        "--seed", "13", "--threshold", "0.3", dir.toString + "/"), work).!
+    assert(rc == 0)
+    val refLines = scala.io.Source.fromFile(new java.io.File(work, "results.csv"))
+      .getLines().drop(1).toVector.sorted
+    val ourLines = MinHashPipeline.goldenLines(MinHashPipeline.run(docs, cfg), cfg)
+      .toVector.sorted
+    assert(ourLines.nonEmpty)
+    assert(ourLines == refLines,
+      s"ref=${refLines.size} ours=${ourLines.size} " +
+        s"diff=${(refLines.toSet -- ourLines.toSet).take(3)} | ${(ourLines.toSet -- refLines.toSet).take(3)}")
+    // the punctuation-variant plants really are exact dups after
+    // normalization: their pair must appear with similarity 1.0000
+    val variantPairs = (0 until n).filter(_ % 5 == 4).map(i => (i - 2, i))
+    variantPairs.foreach { case (a, b) =>
+      assert(ourLines.contains(s"$a,$b,1.0000"), s"variant pair ($a,$b) not 1.0")
+    }
+    docs.unpersist()
+  }
+
   test("cluster assignments match union-find over reference pairs (recall >= 0.99 rule)") {
     assume(ensureBinary(), "reference binary unavailable")
     val n = 400
