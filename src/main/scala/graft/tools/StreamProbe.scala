@@ -1,0 +1,75 @@
+package graft.tools
+
+import graft.core.MinHashConfig
+import graft.sources.CorpusGen
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Measures StreamingDedup per-batch cost as history grows — the evidence
+  * for the O(batch + matched buckets) claim: with a constant batch size,
+  * per-batch wall time must stay FLAT while accumulated history grows
+  * linearly (the pre-fix design re-kerneled the whole history per batch,
+  * i.e. linear growth per batch / quadratic total).
+  *
+  * Prints one line per batch: batch id, input rows, duration ms.
+  */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    org.apache.logging.log4j.core.config.Configurator
+      .setRootLevel(org.apache.logging.log4j.Level.ERROR)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.buffer.pageSize", "8m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val nBatches = args.headOption.map(_.toInt).getOrElse(12)
+    val perBatch = args.lift(1).map(_.toLong).getOrElse(5000L)
+    val input = java.nio.file.Files.createTempDirectory("probe_in").toString
+    val work = java.nio.file.Files.createTempDirectory("probe_work").toString
+    // one file per intended micro-batch (maxFilesPerTrigger=1 below is
+    // implied by writing + draining one file at a time)
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 128, nBandRows = 4,
+      seed = 13, threshold = 0.8)
+
+    val durations = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.numInputRows > 0)
+          durations += ((p.batchId, p.numInputRows, p.batchDuration))
+      }
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
+
+    val compactEvery = args.lift(2).map(_.toInt).getOrElse(0) // 0 = never
+    (0 until nBatches).foreach { b =>
+      // unique-kind docs ONLY (doc_id % 20 >= 6): the full synth corpus
+      // plants license clones identical ACROSS batches — a true dup clique
+      // whose per-batch pair output grows linearly by design, which would
+      // mask the table-scan growth this probe isolates
+      CorpusGen.sourceFilesWithIds(spark, perBatch, seed = 1000L + b)
+        .filter($"doc_id" % 20 >= 6)
+        .select(($"doc_id" + b * perBatch).as("doc_id"), $"content")
+        .coalesce(1).write.mode("append").parquet(input)
+      val q = graft.streaming.StreamingDedup.start(spark, input, work, cfg)
+      q.awaitTermination()
+      if (compactEvery > 0 && (b + 1) % compactEvery == 0)
+        graft.streaming.StreamingDedup.compact(spark, work)
+    }
+    Thread.sleep(500) // let the last progress event land
+    durations.foreach { case (id, rows, ms) =>
+      println(f"batch=$id%3d rows=$rows%7d ms=$ms%6d")
+    }
+    val ms = durations.map(_._3.toDouble)
+    if (ms.length >= 6) {
+      val firstHalf = ms.slice(1, ms.length / 2).sum / (ms.length / 2 - 1)
+      val secondHalf = ms.drop(ms.length / 2).sum / (ms.length - ms.length / 2)
+      println(f"avg_first_half=$firstHalf%.0f ms avg_second_half=$secondHalf%.0f ms ratio=${secondHalf / firstHalf}%.2f")
+    }
+    spark.stop()
+  }
+}

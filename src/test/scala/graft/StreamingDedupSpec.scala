@@ -96,11 +96,46 @@ class StreamingDedupSpec extends SparkSpec {
     val pairs = spark.read.parquet(s"$work/pairs")
       .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((7L, 1000L)), pairs.toString)
-    // pruning: batch bands span <= 16 prefixes, so the bands table read for
-    // batch 1 can touch at most that many of the 64 partition dirs. Verify
-    // the partition layout exists for pruning to act on.
-    val dirs = new java.io.File(s"$work/bands/batch_id=0").listFiles()
-      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("bh_prefix="))
-    assert(dirs.length > 16, s"expected many prefix dirs, got ${dirs.length}")
+    // file hygiene: a batch writes a FEW range-sorted files, not one dir
+    // per prefix (64 dirs/batch was a measured small-file explosion)
+    val files = new java.io.File(s"$work/bands/batch_id=0").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(files.length <= 4, s"expected <= 4 band files per batch, got ${files.length}")
+    // prune-ability: the prefix isin filter reaches the parquet scan
+    // (row-group skipping off the bh_prefix-sorted files)
+    val pruned = spark.read.parquet(s"$work/bands")
+      .filter(col("bh_prefix").isin(1, 2, 3))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(bh_prefix"), plan)
+  }
+
+  test("compact merges batch band dirs into one sorted table; dedup still works") {
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
+    val work = java.nio.file.Files.createTempDirectory("stream_compact").toString
+    val mk = (id: Long, salt: Int) =>
+      (id, s"compact probe text number $salt with enough words to shingle repeatedly " * 3)
+    (0 until 5).foreach { b =>
+      StreamingDedup.processBatch(spark,
+        (0 until 10).map(i => mk(b * 100L + i, b * 100 + i)).toDF("doc_id", "content"),
+        b.toLong, work, cfg)
+    }
+    val before = spark.read.parquet(s"$work/bands")
+      .select("doc_id", "band_idx", "band_hash").collect().toSet
+    StreamingDedup.compact(spark, work)
+    val dirs = new java.io.File(s"$work/bands").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch_id="))
+    assert(dirs.toSeq == Seq("batch_id=-1"), dirs.mkString(","))
+    val after = spark.read.parquet(s"$work/bands")
+      .select("doc_id", "band_idx", "band_hash").collect().toSet
+    assert(after == before)
+    // compact is idempotent
+    StreamingDedup.compact(spark, work)
+    assert(spark.read.parquet(s"$work/bands").count() == before.size)
+    // and a post-compaction batch still finds its cross-history dup
+    StreamingDedup.processBatch(spark,
+      Seq(mk(9999L, 103)).toDF("doc_id", "content"), 5L, work, cfg)
+    val pairs = spark.read.parquet(s"$work/pairs")
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((103L, 9999L)), pairs.toString)
   }
 }
