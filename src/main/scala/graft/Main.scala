@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   *   graft.Main --input <parquet path | synth:<nFiles>> --output <dir>
   *     [--shingle 3] [--signature 100] [--bandrows 4] [--seed 13]
   *     [--threshold 0.1] [--star-cap N] [--text-col content] [--id-col doc_id]
-  *     [--verbose true]
+  *     [--verbose true] [--dedup-corpus true] [--content-fingerprint true]
   *
   * `--verbose` is the reference's every-N-docs progress prints
   * (/root/reference/src/MPI/io_interface.c) re-expressed for Spark: a
@@ -44,6 +44,9 @@ object Main {
     // resume fingerprint level: metadata (file stats, default) vs full
     // content scan (--content-fingerprint true)
     val contentFp = opts.get("content-fingerprint").exists(_.toBoolean)
+    // --dedup-corpus true: also write the deduplicated corpus table (one
+    // representative doc per cluster) — the end product, not a diagnostic
+    val emitCorpus = opts.get("dedup-corpus").exists(_.toBoolean)
     // spark-submit injects spark.master as a system property; only default
     // to local[*] when launched directly (sbt runMain / tests).
     val master = sys.props.getOrElse(
@@ -92,7 +95,8 @@ object Main {
       }
 
     val t0 = System.nanoTime()
-    val pipe = new CheckpointedPipeline(spark, cfg, output, starCap, verifyJaccard, contentFp)
+    val pipe = new CheckpointedPipeline(spark, cfg, output, starCap, verifyJaccard,
+      contentFp, emitCorpus)
     val (clusters, log) = pipe.run(docs)
     val nDocs = docs.count()
     val nClusters = clusters.select("cluster_id").distinct().count()

@@ -23,7 +23,8 @@ class CheckpointedPipeline(
     workDir: String,
     starCapBucketSize: Option[Int] = None,
     verifyExactJaccard: Boolean = false,
-    contentFingerprint: Boolean = false
+    contentFingerprint: Boolean = false,
+    emitDedupCorpus: Boolean = false
 ) {
   import CheckpointedPipeline._
 
@@ -186,6 +187,13 @@ class CheckpointedPipeline(
       // (the `_`-prefixed scratch dir is invisible to parquet readers)
       ConnectedComponents.cluster(pairs, docs.select(col("doc_id")),
         reliableCheckpointDir = Some(s"$workDir/_cc_scratch"))
+    }
+    // optional end-product stage: the deduplicated corpus itself (one
+    // representative document per cluster)
+    if (emitDedupCorpus) {
+      stage("dedup_corpus", fp, log) {
+        graft.operators.Dedup.keepRepresentatives(docs, clusters)
+      }
     }
     (clusters, log)
   }

@@ -70,6 +70,25 @@ class ResumeSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("dedup_corpus stage: representatives only, resumable like any stage") {
+    val work = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    val docs = CorpusGen.withDocIds(CorpusGen.sourceFiles(spark, 200)).cache()
+    val p = new CheckpointedPipeline(spark, cfg, work, emitDedupCorpus = true)
+    val (clusters, log1) = p.run(docs)
+    assert(log1.computed.contains("dedup_corpus"))
+    val kept = spark.read.parquet(s"$work/dedup_corpus")
+    val nClusters = clusters.select("cluster_id").distinct().count()
+    assert(kept.count() == nClusters, s"${kept.count()} vs $nClusters clusters")
+    // representatives ARE cluster ids
+    val repIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val clusterIds = clusters.select("cluster_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(repIds == clusterIds)
+    // resumes with everything else
+    val (_, log2) = new CheckpointedPipeline(spark, cfg, work, emitDedupCorpus = true).run(docs)
+    assert(log2.computed.isEmpty && log2.skipped.contains("dedup_corpus"))
+    docs.unpersist()
+  }
+
   test("metadata fingerprint: file-backed input resumes without a data pass; rewrite invalidates") {
     val work = java.nio.file.Files.createTempDirectory("graft_meta_fp").toString
     val inDir = java.nio.file.Files.createTempDirectory("graft_meta_in").toString
