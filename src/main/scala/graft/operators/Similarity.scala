@@ -247,6 +247,24 @@ object Similarity {
       .select("query_id", "rank", "nbr_id", "cosine")
   }
 
+  /** Driver-side exact cosine-threshold pairs over a small collected vector
+    * set — the oracle for recall tests and probes (RecallProbe,
+    * OperatorsSpec). O(n²); zero-norm vectors never match.
+    */
+  def exactCosinePairsLocal(vecs: Array[(Long, Array[Double])],
+                            minCosine: Double): Set[(Long, Long)] = {
+    val out = scala.collection.mutable.Set[(Long, Long)]()
+    val sorted = vecs.sortBy(_._1)
+    for (i <- sorted.indices; j <- (i + 1) until sorted.length) {
+      val (ia, va) = sorted(i); val (ib, vb) = sorted(j)
+      var d = 0.0; var na = 0.0; var nb = 0.0; var k = 0
+      while (k < va.length) { d += va(k) * vb(k); na += va(k) * va(k); nb += vb(k) * vb(k); k += 1 }
+      if (na > 0 && nb > 0 && d / (math.sqrt(na) * math.sqrt(nb)) >= minCosine)
+        out += ((ia, ib))
+    }
+    out.toSet
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (i < j) pairs with cosine >=
     * minCosine, found through the LSH candidate join (not a cross join).
     */

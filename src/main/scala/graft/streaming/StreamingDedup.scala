@@ -31,10 +31,13 @@ import org.apache.spark.sql.types.StructType
   *     small-file explosion, 2x per-batch growth over 11 batches); history
   *     is never re-kerneled from signatures
   *   - the history bands scan is pruned by the batch's prefix set via
-  *     parquet ROW-GROUP skipping (the files are sorted by bh_prefix, the
-  *     isin filter pushes to min/max stats) — decisive for trickle
-  *     batches, a no-op for batches that cover every prefix; those still
-  *     pay one narrow columnar scan of history per batch, which is the
+  *     parquet ROW-GROUP skipping: the files are sorted by bh_prefix and
+  *     the isin filter pushes to min/max stats (processBatch raises
+  *     spark.sql.parquet.pushdown.inFilterThreshold to the prefix domain —
+  *     the default of 10 would demote a >10-value In to a useless 0..63
+  *     range). The skip bites on COMPACTED history (large multi-row-group
+  *     sorted files) and on trickle batches; a batch whose prefixes cover
+  *     the domain still pays one narrow columnar scan of history, the
   *     honest floor without an external index
   *   - [[compact]] periodically merges the per-batch band files into one
   *     sorted table (standard lakehouse compaction), keeping the file
@@ -57,9 +60,11 @@ object StreamingDedup {
     .add("doc_id", "long")
     .add("content", "string")
 
-  /** Number of band-hash prefix partitions for the bands table. Small
+  /** Domain size of the bh_prefix SORT/PRUNE column on the bands table
+    * (a data column, not a partition dir — see the class doc). Small
     * enough that one batch's prefix set is a tiny isin list; large enough
-    * that partition pruning skips most history files for small batches.
+    * that row-group/file stats can skip most of a sorted history table
+    * when a batch touches few prefixes.
     */
   val NumBandPrefixes = 64
 
@@ -104,6 +109,10 @@ object StreamingDedup {
           if (haveHistory) {
             val prefixes = batchBands.select("bh_prefix").distinct()
               .collect().map(_.getInt(0)).toSeq // <= NumBandPrefixes values
+            // default inFilterThreshold (10) would demote this In to a
+            // min/max range over scattered prefixes — i.e. no skipping
+            spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold",
+              NumBandPrefixes.toString)
             val hBands = spark.read.parquet(bandsPath)
               .filter(col("batch_id") =!= batchId) // replay safety
               .filter(col("bh_prefix").isin(prefixes: _*)) // partition pruning
@@ -141,12 +150,27 @@ object StreamingDedup {
   }
 
   /** Lakehouse-style compaction of the bands table: merge every per-batch
-    * directory into one bh_prefix-sorted table under the reserved
-    * `batch_id=-1` partition, then drop the merged batch dirs. Run it
-    * periodically (e.g. every N batches) to keep the file count O(1)
-    * instead of O(batches). Crash-safe by idempotence: the consolidated
-    * write lands BEFORE the old dirs are deleted, and dropDuplicates makes
-    * a rerun after a partial delete converge to the same table.
+    * directory (and any previous consolidated generation) into ONE
+    * bh_prefix-sorted table under a fresh negative `batch_id=-(g+1)`
+    * generation, then drop the merged source dirs. Keeps the file count
+    * O(1) instead of O(batches); post-compaction files are large enough to
+    * hold many row groups, which is where the bh_prefix row-group skipping
+    * actually bites.
+    *
+    * MUST run while the stream is quiesced (between start()/termination,
+    * as tests and StreamProbe do, or with the query stopped): an in-flight
+    * processBatch that already listed the source dirs would hit
+    * FileNotFoundException when they are deleted under it.
+    *
+    * Crash-safe protocol — the consolidated data is ALWAYS visible before
+    * any source dir is touched:
+    *   1. write to an underscore staging dir (invisible to parquet reads)
+    *   2. atomic rename staging -> batch_id=-(g+1) (target never existed;
+    *      rename failure aborts with sources untouched)
+    *   3. only then delete the merged source dirs
+    * A crash between 2 and 3 leaves duplicate rows (old + new generation):
+    * benign — candidate pairs are distinct()'d and the next compact's
+    * dropDuplicates converges the table.
     */
   def compact(spark: SparkSession, workDir: String): Unit = {
     val bandsPath = s"$workDir/bands"
@@ -154,23 +178,23 @@ object StreamingDedup {
       new java.net.URI(workDir), spark.sparkContext.hadoopConfiguration)
     val dirs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$bandsPath/batch_id=*")))
       .map(_.toSeq).getOrElse(Seq.empty)
-    val toMerge = dirs.filter(_.getPath.getName != "batch_id=-1")
-    if (toMerge.isEmpty) return
-    val all = spark.read.parquet(bandsPath)
+    if (dirs.size <= 1) return // nothing to merge
+    val gens = dirs.map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+    val nextGen = math.min(-1L, gens.min - 1L)
+    // staging write materializes the merged table; no source dir is touched
+    // until the atomic rename has succeeded
+    val staging = s"$bandsPath/_compact_staging"
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true) // stale crash leftovers
+    spark.read.parquet(bandsPath)
       .select("doc_id", "band_idx", "band_hash", "bh_prefix")
-      .dropDuplicates("doc_id", "band_idx") // rerun-after-partial-delete safe
+      .dropDuplicates("doc_id", "band_idx") // converges reruns after partial deletes
       .repartitionByRange(col("bh_prefix"))
       .sortWithinPartitions("bh_prefix")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    all.count() // materialize BEFORE touching any source dir
-    val staging = s"$bandsPath/_compact_staging"
-    all.write.mode(SaveMode.Overwrite).parquet(staging)
-    all.unpersist()
-    // swap: consolidated table in, merged batch dirs out
-    val target = new org.apache.hadoop.fs.Path(s"$bandsPath/batch_id=-1")
-    fs.delete(target, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), target)
-    toMerge.foreach(d => fs.delete(d.getPath, true))
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    val target = new org.apache.hadoop.fs.Path(s"$bandsPath/batch_id=$nextGen")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), target),
+      s"compact: rename $staging -> $target failed; source dirs left untouched")
+    dirs.foreach(d => fs.delete(d.getPath, true))
     ()
   }
 

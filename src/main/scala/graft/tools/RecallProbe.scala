@@ -48,20 +48,14 @@ object RecallProbe {
     // embedding near-dup pair recall: exact threshold pairs vs LSH-candidate pairs
     import spark.implicits._
     val vecs = e.select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
-      .as[(Long, Array[Double])].collect().sortBy(_._1)
-    val exact = scala.collection.mutable.Set[(Long, Long)]()
-    for (i <- vecs.indices; j <- (i + 1) until vecs.length) {
-      val (ia, va) = vecs(i); val (ib, vb) = vecs(j)
-      var d = 0.0; var na = 0.0; var nb = 0.0; var k = 0
-      while (k < va.length) { d += va(k) * vb(k); na += va(k) * va(k); nb += vb(k) * vb(k); k += 1 }
-      if (d / (math.sqrt(na) * math.sqrt(nb)) >= 0.4) exact += ((ia, ib))
-    }
+      .as[(Long, Array[Double])].collect()
+    val exact = Similarity.exactCosinePairsLocal(vecs, 0.4)
     for ((nt, bb) <- Seq((12, 8), (8, 8), (16, 10))) {
       val got = Similarity.embeddingNearDupPairs(e, minCosine = 0.4, dim = 64,
           nTables = nt, bandBits = bb)
         .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       spark.catalog.clearCache()
-      println(f"neardup nt=$nt bb=$bb exact=${exact.size} found=${got.size} recall=${(exact.toSet intersect got).size.toDouble / math.max(1, exact.size)}%.3f")
+      println(f"neardup nt=$nt bb=$bb exact=${exact.size} found=${got.size} recall=${(exact intersect got).size.toDouble / math.max(1, exact.size)}%.3f")
     }
     spark.stop()
   }

@@ -3,7 +3,6 @@ package graft.tools
 import graft.core.MinHashConfig
 import graft.sources.CorpusGen
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.streaming.StreamingQueryListener
 
 /** Measures StreamingDedup per-batch cost as history grows — the evidence
   * for the O(batch + matched buckets) claim: with a constant batch size,
@@ -34,17 +33,11 @@ object StreamProbe {
     val cfg = MinHashConfig(shingleSize = 3, signatureSize = 128, nBandRows = 4,
       seed = 13, threshold = 0.8)
 
+    // NOT a StreamingQueryListener: listener-bus delivery is async, so the
+    // last batches' events could land after the loop (or racy += could drop
+    // them), skewing exactly the second-half average the probe exists to
+    // measure. recentProgress on the terminated query is synchronous.
     val durations = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
-    spark.streams.addListener(new StreamingQueryListener {
-      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-        val p = e.progress
-        if (p.numInputRows > 0)
-          durations += ((p.batchId, p.numInputRows, p.batchDuration))
-      }
-      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-    })
-
     val compactEvery = args.lift(2).map(_.toInt).getOrElse(0) // 0 = never
     (0 until nBatches).foreach { b =>
       // unique-kind docs ONLY (doc_id % 20 >= 6): the full synth corpus
@@ -57,10 +50,12 @@ object StreamProbe {
         .coalesce(1).write.mode("append").parquet(input)
       val q = graft.streaming.StreamingDedup.start(spark, input, work, cfg)
       q.awaitTermination()
+      q.recentProgress.filter(_.numInputRows > 0).foreach { p =>
+        durations += ((p.batchId, p.numInputRows, p.batchDuration))
+      }
       if (compactEvery > 0 && (b + 1) % compactEvery == 0)
         graft.streaming.StreamingDedup.compact(spark, work)
     }
-    Thread.sleep(500) // let the last progress event land
     durations.foreach { case (id, rows, ms) =>
       println(f"batch=$id%3d rows=$rows%7d ms=$ms%6d")
     }

@@ -133,20 +133,14 @@ class OperatorsSpec extends SparkSpec {
     // exact pairs at cosine >= 0.4 computed driver-side (2.5k vectors)
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val vecs = e.select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
-      .as[(Long, Array[Double])].collect().sortBy(_._1)
-    val exact = scala.collection.mutable.Set[(Long, Long)]()
-    for (i <- vecs.indices; j <- (i + 1) until vecs.length) {
-      val (ia, va) = vecs(i); val (ib, vb) = vecs(j)
-      var d = 0.0; var na = 0.0; var nb = 0.0; var k = 0
-      while (k < va.length) { d += va(k) * vb(k); na += va(k) * va(k); nb += vb(k) * vb(k); k += 1 }
-      if (d / (math.sqrt(na) * math.sqrt(nb)) >= 0.4) exact += ((ia, ib))
-    }
+      .as[(Long, Array[Double])].collect()
+    val exact = Similarity.exactCosinePairsLocal(vecs, 0.4)
     val got = Similarity.embeddingNearDupPairs(e, minCosine = 0.4, dim = 64)
       .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // no false positives (candidates are exactly reranked)...
-    assert(got.subsetOf(exact.toSet), (got -- exact).take(3).toString)
+    assert(got.subsetOf(exact), (got -- exact).take(3).toString)
     // ...and multiprobe recall holds (measured 0.939 on this corpus)
-    val recall = (exact.toSet intersect got).size.toDouble / math.max(1, exact.size)
+    val recall = (exact intersect got).size.toDouble / math.max(1, exact.size)
     info(s"near-dup pair recall = $recall (${got.size}/${exact.size})")
     assert(recall >= 0.85, s"recall $recall")
   }

@@ -101,10 +101,15 @@ class StreamingDedupSpec extends SparkSpec {
     val files = new java.io.File(s"$work/bands/batch_id=0").listFiles()
       .map(_.getName).filter(_.endsWith(".parquet"))
     assert(files.length <= 4, s"expected <= 4 band files per batch, got ${files.length}")
-    // prune-ability: the prefix isin filter reaches the parquet scan
-    // (row-group skipping off the bh_prefix-sorted files)
+    // prune-ability: a REALISTIC prefix set (a batch touches 20-30 of 64)
+    // must still reach the scan as an In filter — Spark's default
+    // inFilterThreshold (10) would demote it to a useless 0..63 range;
+    // processBatch raises the threshold for exactly this reason
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold",
+      StreamingDedup.NumBandPrefixes.toString)
+    val manyPrefixes = (0 until 25).map(i => (i * 7) % 64) // scattered, > 10 values
     val pruned = spark.read.parquet(s"$work/bands")
-      .filter(col("bh_prefix").isin(1, 2, 3))
+      .filter(col("bh_prefix").isin(manyPrefixes: _*))
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [In(bh_prefix"), plan)
   }
