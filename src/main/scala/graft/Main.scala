@@ -9,10 +9,17 @@ import org.apache.spark.sql.functions._
 /** spark-submit entry point: the production near-dup + clustering job.
   *
   * Usage:
-  *   graft.Main --input <parquet path | synth:<nFiles>> --output <dir>
+  *   graft.Main --input <parquet path | synth:<nFiles> | textdir:<dir>> --output <dir>
   *     [--shingle 3] [--signature 100] [--bandrows 4] [--seed 13]
   *     [--threshold 0.1] [--star-cap N] [--text-col content] [--id-col doc_id]
   *     [--verbose true] [--dedup-corpus true] [--content-fingerprint true]
+  *     [--pairs-csv true]
+  *
+  * `textdir:<dir>` reads the reference's native input layout — a directory
+  * of `<doc_id>.txt` files — through the binaryFile source (whole-file
+  * rows, distributed, no driver listing of contents). `--pairs-csv` also
+  * writes the pairs in the reference's CSV shape (header
+  * doc1,doc2,similarity; %.4f; doc1 < doc2).
   *
   * `--verbose` is the reference's every-N-docs progress prints
   * (/root/reference/src/MPI/io_interface.c) re-expressed for Spark: a
@@ -82,22 +89,17 @@ object Main {
       })
     }
 
-    val docs =
-      if (input.startsWith("synth:")) {
-        val n = input.stripPrefix("synth:").toLong
-        CorpusGen.withDocIds(CorpusGen.sourceFiles(spark, n))
-      } else {
-        val idCol = opts.getOrElse("id-col", "doc_id")
-        val textCol = opts.getOrElse("text-col", "content")
-        spark.read
-          .parquet(input)
-          .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("content"))
-      }
+    val docs = readDocs(spark, input,
+      opts.getOrElse("id-col", "doc_id"), opts.getOrElse("text-col", "content"))
 
     val t0 = System.nanoTime()
     val pipe = new CheckpointedPipeline(spark, cfg, output, starCap, verifyJaccard,
       contentFp, emitCorpus)
     val (clusters, log) = pipe.run(docs)
+    if (opts.get("pairs-csv").exists(_.toBoolean)) {
+      graft.operators.MinHashPipeline.writeReferenceCsv(
+        spark.read.parquet(s"$output/pairs"), s"$output/pairs_csv", cfg)
+    }
     val nDocs = docs.count()
     val nClusters = clusters.select("cluster_id").distinct().count()
     val nPairs = spark.read.parquet(s"$output/pairs").count()
@@ -108,6 +110,29 @@ object Main {
     )
     spark.stop()
   }
+
+  /** Input resolution: synth:<n> (generated), textdir:<dir> (the
+    * reference's native <doc_id>.txt layout via the binaryFile source —
+    * whole-file rows, distributed), or a parquet table.
+    */
+  private[graft] def readDocs(spark: SparkSession, input: String,
+                              idCol: String, textCol: String) =
+    if (input.startsWith("synth:")) {
+      val n = input.stripPrefix("synth:").toLong
+      CorpusGen.withDocIds(CorpusGen.sourceFiles(spark, n))
+    } else if (input.startsWith("textdir:")) {
+      val dir = input.stripPrefix("textdir:")
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(dir)
+        .select(
+          regexp_extract(col("path"), "(\\d+)\\.txt$", 1).cast("long").as("doc_id"),
+          decode(col("content"), "UTF-8").as("content"))
+    } else {
+      spark.read
+        .parquet(input)
+        .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("content"))
+    }
 
   @annotation.tailrec
   private def parse(args: List[String], acc: Map[String, String]): Map[String, String] =

@@ -216,6 +216,30 @@ object MinHashPipeline {
     out
   }
 
+  /** Distributed sink in the reference's CSV shape (O16): header
+    * doc1,doc2,similarity; rows %d,%d,%.4f with HALF_EVEN rounding
+    * (FIXTURES.md §5); sorted doc1,doc2. coalesce(1) mirrors the
+    * reference's merge-to-one-file contract — pass singleFile = false for
+    * a sharded write when the pair set is huge.
+    */
+  def writeReferenceCsv(pairsDF: DataFrame, path: String, cfg: MinHashConfig,
+                        singleFile: Boolean = true): Unit = {
+    val spark = pairsDF.sparkSession
+    import spark.implicits._
+    val formatted = pairsDF
+      .select(col("doc1").cast("long"), col("doc2").cast("long"),
+        col("similarity").cast("double"))
+      .as[(Long, Long, Double)]
+      .map { case (d1, d2, s) =>
+        (d1 + cfg.docOffset, d2 + cfg.docOffset,
+          BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_EVEN).toString)
+      }
+      .toDF("doc1", "doc2", "similarity")
+      .orderBy("doc1", "doc2")
+    (if (singleFile) formatted.coalesce(1) else formatted)
+      .write.mode("overwrite").option("header", "true").csv(path)
+  }
+
   /** Reference CSV formatting for golden comparison: ids with doc_offset,
     * similarity rounded half-even to 4 decimals (FIXTURES.md §5).
     */

@@ -93,6 +93,30 @@ class GoldenPipelineSpec extends SparkSpec {
     sigs.unpersist()
   }
 
+  test("textdir source (reference-native <id>.txt layout) == in-memory corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("golden_txt")
+    CorpusGen.goldenDocs.foreach { case (id, content) =>
+      java.nio.file.Files.write(dir.resolve(s"$id.txt"), content.getBytes("UTF-8"))
+    }
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.0)
+    val fromTxt = Main.readDocs(spark, s"textdir:$dir", "doc_id", "content")
+    val a = MinHashPipeline.goldenLines(MinHashPipeline.run(fromTxt, cfg), cfg)
+    val b = MinHashPipeline.goldenLines(MinHashPipeline.run(docs, cfg), cfg)
+    assert(a == b)
+  }
+
+  test("writeReferenceCsv: header + %.4f HALF_EVEN rows, sorted, one file") {
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.0)
+    val out = java.nio.file.Files.createTempDirectory("pairs_csv").toString + "/csv"
+    val pairs = MinHashPipeline.run(docs, cfg)
+    MinHashPipeline.writeReferenceCsv(pairs, out, cfg)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length == 1, files.mkString(","))
+    val lines = scala.io.Source.fromFile(files.head).getLines().toVector
+    assert(lines.head == "doc1,doc2,similarity")
+    assert(lines.drop(1) == MinHashPipeline.goldenLines(pairs, cfg).toVector)
+  }
+
   test("exact-Jaccard verification stage: dups 1.0, disjoint docs ~0, Q3 pair 1.0") {
     val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.0)
     val sigs = MinHashPipeline.signatures(docs, cfg).toDF()
