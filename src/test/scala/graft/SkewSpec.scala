@@ -27,6 +27,34 @@ class SkewSpec extends SparkSpec {
     rows.toDF("doc_id", "content").repartition(8).cache()
   }
 
+  test("candidates() == naive ∃-band gate on RANDOM band matrices (both paths)") {
+    // not corpus-derived: random bands over a tiny hash domain force heavy
+    // collisions, multi-band hits, and mega-buckets, exercising the whole
+    // bucket-join plan (positional band_idx semantics, ∃-band distinct,
+    // and the salted chunk-pair path) against the reference's gate
+    // (is_candidate_pair, /root/reference/src/MPI/utils.c:89-96)
+    val rng = new scala.util.Random(99)
+    val n = 120
+    val nBands = 6
+    val rows = (0 until n).map { i =>
+      (i.toLong, Array.fill(8)(rng.nextInt()), Array.fill(nBands)(rng.nextInt(8)))
+    }
+    val sigs = rows.toDF("doc_id", "signature", "bands")
+    val expected = (for {
+      i <- 0 until n; j <- (i + 1) until n
+      if (0 until nBands).exists(b => rows(i)._3(b) == rows(j)._3(b))
+    } yield (i.toLong, j.toLong)).toSet
+    assert(expected.nonEmpty && expected.size < n * (n - 1) / 2) // non-trivial
+    val plain = MinHashPipeline.candidates(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain == expected,
+      s"plain: missing=${(expected -- plain).take(3)} extra=${(plain -- expected).take(3)}")
+    // salted path forced onto every bucket (chunk size 4 << bucket sizes)
+    val salted = MinHashPipeline.candidates(sigs, None, saltChunkSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == expected)
+  }
+
   test("star-cap mode: linear pair count, full clique still one cluster") {
     val sigs = MinHashPipeline.signatures(docs, cfg).toDF().cache()
     val cands = MinHashPipeline.candidates(sigs, starCapBucketSize = Some(64))
