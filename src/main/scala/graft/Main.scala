@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   *     [--verbose true] [--dedup-corpus true] [--content-fingerprint true]
   *     [--pairs-csv true]
   *
+  * `--derive-ids true` ingests the BASELINE input_hint table shape —
+  * (repo, path, commit, lang, content), no id column — assigning doc_id by
+  * stable natural-key row number over (repo, path, commit).
+  *
   * `textdir:<dir>` reads the reference's native input layout — a directory
   * of `<doc_id>.txt` files — through the binaryFile source (whole-file
   * rows, distributed, no driver listing of contents). `--pairs-csv` also
@@ -90,7 +94,8 @@ object Main {
     }
 
     val docs = readDocs(spark, input,
-      opts.getOrElse("id-col", "doc_id"), opts.getOrElse("text-col", "content"))
+      opts.getOrElse("id-col", "doc_id"), opts.getOrElse("text-col", "content"),
+      deriveIds = opts.get("derive-ids").exists(_.toBoolean))
 
     val t0 = System.nanoTime()
     val pipe = new CheckpointedPipeline(spark, cfg, output, starCap, verifyJaccard,
@@ -113,10 +118,15 @@ object Main {
 
   /** Input resolution: synth:<n> (generated), textdir:<dir> (the
     * reference's native <doc_id>.txt layout via the binaryFile source —
-    * whole-file rows, distributed), or a parquet table.
+    * whole-file rows, distributed), or a parquet table. A parquet table in
+    * the BASELINE input_hint shape — (repo, path, commit, lang, content)
+    * with NO id column — is ingested with `deriveIds = true`: doc_id =
+    * stable natural-key row number over (repo, path, commit), the same
+    * scalable range-partition + zipWithIndex scheme the synth corpus uses.
     */
   private[graft] def readDocs(spark: SparkSession, input: String,
-                              idCol: String, textCol: String) =
+                              idCol: String, textCol: String,
+                              deriveIds: Boolean = false) =
     if (input.startsWith("synth:")) {
       val n = input.stripPrefix("synth:").toLong
       CorpusGen.withDocIds(CorpusGen.sourceFiles(spark, n))
@@ -128,6 +138,9 @@ object Main {
         .select(
           regexp_extract(col("path"), "(\\d+)\\.txt$", 1).cast("long").as("doc_id"),
           decode(col("content"), "UTF-8").as("content"))
+    } else if (deriveIds) {
+      CorpusGen.withDocIds(spark.read.parquet(input))
+        .select(col("doc_id"), col(textCol).as("content"))
     } else {
       spark.read
         .parquet(input)

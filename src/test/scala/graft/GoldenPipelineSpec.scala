@@ -105,6 +105,19 @@ class GoldenPipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("derive-ids ingest: id-less input_hint table gets stable natural-key doc_ids") {
+    // the BASELINE input_hint shape has NO id column
+    val dir = java.nio.file.Files.createTempDirectory("idless").toString
+    CorpusGen.sourceFiles(spark, 100).write.mode("overwrite").parquet(dir)
+    val a = Main.readDocs(spark, dir, "doc_id", "content", deriveIds = true)
+    val b = Main.readDocs(spark, dir, "doc_id", "content", deriveIds = true)
+    val rowsA = a.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val rowsB = b.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rowsA.length == 100)
+    assert(rowsA.map(_._1).toSeq == (0L until 100L)) // dense, zero-based
+    assert(rowsA.toSeq == rowsB.toSeq) // stable across reads
+  }
+
   test("writeReferenceCsv: header + %.4f HALF_EVEN rows, sorted, one file") {
     val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.0)
     val out = java.nio.file.Files.createTempDirectory("pairs_csv").toString + "/csv"
