@@ -94,6 +94,16 @@ object SparkEntry {
         maxGramDocFreq = Some(1000))
         .orderBy("doc1", "doc2")),
 
+    "q_contamination" -> ((s, dir) => {
+      // benchmark decontamination: every 25th doc plays the eval set; the
+      // full table plays the training corpus (verbatim leakage included —
+      // that's the point). containment = benchmark grams found / total.
+      val docs = documents(s, dir)
+      Dedup.ngramContainment(docs, docs.filter(col("doc_id") % 25 === 0),
+        n = 3, minContainment = 0.5)
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // ---- text analysis ----
     "q_token_count" -> ((s, dir) =>
       documents(s, dir).select(
@@ -218,6 +228,21 @@ object SparkEntry {
         |FROM i JOIN s sa ON i.d1 = sa.doc_id JOIN s sb ON i.d2 = sb.doc_id
         |WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.2
         |ORDER BY doc1, doc2""".stripMargin,
+    "q_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |          i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+        |      FROM t WHERE len(toks) >= 3),
+        |b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 25 = 0),
+        |bs AS (SELECT bench_id, count(*) AS nb FROM b GROUP BY bench_id),
+        |i AS (SELECT g.doc_id, b.bench_id, count(*) AS ni
+        |      FROM g JOIN b ON g.gram = b.gram GROUP BY 1, 2)
+        |SELECT i.doc_id AS doc_id, i.bench_id AS bench_id,
+        |       CAST(ni AS DOUBLE) / CAST(nb AS DOUBLE) AS containment
+        |FROM i JOIN bs ON i.bench_id = bs.bench_id
+        |WHERE CAST(ni AS DOUBLE) / CAST(nb AS DOUBLE) >= 0.5
+        |ORDER BY i.doc_id, i.bench_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0

@@ -211,28 +211,46 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_windows"))
   }
 
-  /** Word n-gram Jaccard near-dup pairs — the SQL-expressible dedup variant
-    * (the DuckDB oracle runs the identical relational plan):
-    * distinct n-grams per doc -> equi-join on the n-gram -> pair
-    * intersection counts -> |A∩B| / (|A|+|B|-|A∩B|) >= minJaccard.
+  /** Benchmark decontamination: for every (training doc, benchmark doc)
+    * pair, the CONTAINMENT of the benchmark doc's word n-grams in the
+    * training doc — |grams(bench) ∩ grams(doc)| / |grams(bench)|. A
+    * training doc with high containment of any benchmark doc leaks eval
+    * data and must be dropped before training. Asymmetric by design
+    * (Jaccard under-flags when the training doc is much longer than the
+    * benchmark item — the common case).
     *
-    * Shuffle profile: one groupBy(gram) join keyed on the gram (hot grams =
-    * skew; at production scale drop grams with doc-frequency above a cap —
-    * they contribute candidates, not discrimination), one groupBy(pair).
-    * The per-row division is exact IEEE in both engines, so results
-    * hash-match the oracle.
+    * Scale shape: grams of both sides equi-join on the gram (benchmark
+    * side is small by definition — broadcast-able); one groupBy(pair);
+    * per-row IEEE division, so the result is DuckDB-oracle-comparable.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
-                        idCol: String = "doc_id", textCol: String = "text",
-                        maxGramDocFreq: Option[Int] = None): DataFrame = {
+  def ngramContainment(docs: DataFrame, benchmark: DataFrame, n: Int,
+                       minContainment: Double,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val docGrams = gramRows(docs, n, idCol, textCol).toDF("doc_id", "gram")
+    val benchGrams = gramRows(benchmark, n, idCol, textCol).toDF("bench_id", "gram")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val benchSizes = benchGrams.groupBy("bench_id").agg(count(lit(1)).as("n_bench_grams"))
+    val inter = docGrams
+      .join(broadcast(benchGrams), "gram")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(benchSizes), "bench_id")
+      .withColumn("containment",
+        col("n_inter").cast("double") / col("n_bench_grams").cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select("doc_id", "bench_id", "containment")
+  }
+
+  /** Distinct word n-grams per doc as a typed Dataset — the shared kernel
+    * behind ngramJaccardPairs and ngramContainment (LinkedHashSet dedupe,
+    * precompiled whitespace split; higher-order Column lambdas would run
+    * interpreted here).
+    */
+  private def gramRows(docs: DataFrame, n: Int, idCol: String, textCol: String) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // typed kernel for gram construction: Spark's higher-order
-    // transform/sequence/slice lambdas evaluate interpreted per element —
-    // a plain sliding window over the split tokens is ~10x faster and
-    // byte-identical (both sides split on whitespace runs of the trimmed
-    // text; the corpus is single-space separated)
-    val grams = docs
+    docs
       .select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
@@ -255,6 +273,28 @@ object Dedup {
           }
         }
       }
+  }
+
+  /** Word n-gram Jaccard near-dup pairs — the SQL-expressible dedup variant
+    * (the DuckDB oracle runs the identical relational plan):
+    * distinct n-grams per doc -> equi-join on the n-gram -> pair
+    * intersection counts -> |A∩B| / (|A|+|B|-|A∩B|) >= minJaccard.
+    *
+    * Shuffle profile: one groupBy(gram) join keyed on the gram (hot grams =
+    * skew; at production scale drop grams with doc-frequency above a cap —
+    * they contribute candidates, not discrimination), one groupBy(pair).
+    * The per-row division is exact IEEE in both engines, so results
+    * hash-match the oracle.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        maxGramDocFreq: Option[Int] = None): DataFrame = {
+    // typed kernel for gram construction (gramRows): Spark's higher-order
+    // transform/sequence/slice lambdas evaluate interpreted per element —
+    // a plain sliding window over the split tokens is ~10x faster and
+    // byte-identical (both sides split on whitespace runs of the trimmed
+    // text; the corpus is single-space separated)
+    val grams = gramRows(docs, n, idCol, textCol)
       .toDF("doc_id", "gram")
       // persisted: with a doc-freq cap the gram kernel feeds the df agg +
       // the semi-join; without it, the sizes agg + both join sides. Either

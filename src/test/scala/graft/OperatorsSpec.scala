@@ -53,6 +53,18 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)))
   }
 
+  test("ngramContainment: benchmark leakage flagged, partial overlap below threshold dropped") {
+    val corpus = Seq(
+      (1L, "x a b c d e y"), // contains ALL of bench 100's 3-grams -> 1.0
+      (2L, "a b c something else entirely here"), // 1 of 3 -> 0.333, dropped
+      (3L, "nothing shared at all in this one")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text") // grams: abc,bcd,cde
+    val out = Dedup.ngramContainment(corpus, bench, n = 3, minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 100L, 1.0)), out.mkString(","))
+  }
+
   test("gram doc-frequency cap drops only hot grams") {
     // 'the quick' appears in 3 docs; cap=2 removes it but near-dup pairs
     // survive via the remaining grams
