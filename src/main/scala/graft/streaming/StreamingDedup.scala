@@ -43,8 +43,12 @@ import org.apache.spark.sql.types.StructType
   *     sorted table (standard lakehouse compaction), keeping the file
   *     count O(1) instead of O(batches)
   *   - the signatures table is read only for the similarity join-back of
-  *     candidate ids (broadcast candidate side; at production scale bucket
-  *     this table by doc_id)
+  *     candidate ids, and that read is PRUNED the same way: signature files
+  *     are range-sorted by did_prefix (doc_id mod [[NumDocPrefixes]]), the
+  *     candidates' prefix set pushes down as an isin (row-group skip), and
+  *     an exact broadcast semi-join on the candidate doc ids cuts the rest
+  *     before the similarity shuffle — per-batch signature-join cost is
+  *     O(candidates), not O(history)
   *
   * Delivery semantics: the stream checkpoint makes source offsets
   * exactly-once, but foreachBatch itself is AT-LEAST-ONCE — a crash between
@@ -68,6 +72,43 @@ object StreamingDedup {
     */
   val NumBandPrefixes = 64
 
+  /** Domain size of the did_prefix (doc_id mod) SORT/PRUNE column on the
+    * SIGNATURES table — same trick as bh_prefix on bands: each batch's
+    * signature files are range-sorted by did_prefix, so the per-batch
+    * history-signature read can row-group-skip everything outside the
+    * candidate doc ids' prefix set (a bounded <=64-value isin).
+    */
+  val NumDocPrefixes = 64
+
+  private val InFilterThresholdKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+
+  /** Maintenance fence (see [[compact]]): compact holds this lock for its
+    * whole run; processBatch fails fast while it exists instead of hitting
+    * FileNotFoundException when the merged source dirs vanish mid-scan.
+    */
+  private def compactLockPath(workDir: String) =
+    new org.apache.hadoop.fs.Path(s"$workDir/bands/_compact_lock")
+
+  /** Ingest fence: processBatch holds this for its whole run; compact fails
+    * fast while it exists instead of deleting dirs under an in-flight scan.
+    */
+  private def ingestLockPath(workDir: String) =
+    new org.apache.hadoop.fs.Path(s"$workDir/bands/_ingest_lock")
+
+  /** Take `lock` atomically (create-if-absent) or throw naming the holder.
+    * A crash leaves the lock behind BY DESIGN — fail-fast beats silently
+    * racing a maybe-still-running job; the error says how to clear it.
+    */
+  private def acquire(fs: org.apache.hadoop.fs.FileSystem,
+                      lock: org.apache.hadoop.fs.Path, what: String): Unit = {
+    val created =
+      try { val out = fs.create(lock, false); out.write(what.getBytes("UTF-8")); out.close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!created) throw new IllegalStateException(
+      s"$what: lock $lock is held (concurrent maintenance/ingest, or a crashed " +
+        "run left it behind — verify no job is running, then delete the lock file)")
+  }
+
   /** One micro-batch of incremental dedup — public so tests can drive
     * replays directly. Idempotent in `batchId`.
     */
@@ -77,18 +118,36 @@ object StreamingDedup {
     val bandsPath = s"$workDir/bands"
     val pairsPath = s"$workDir/pairs"
 
+    val fsw = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(workDir), spark.sparkContext.hadoopConfiguration)
+    // fail fast against a concurrent compact (which deletes band dirs we are
+    // about to scan), and fence compact out for the rest of this batch
+    if (fsw.exists(compactLockPath(workDir)))
+      throw new IllegalStateException(
+        s"processBatch($batchId): compaction in progress (${compactLockPath(workDir)})")
+    fsw.mkdirs(new org.apache.hadoop.fs.Path(bandsPath))
+    acquire(fsw, ingestLockPath(workDir), s"processBatch($batchId)")
+    // scoped conf override: the history reads below want a >NumBandPrefixes
+    // In-filter pushdown threshold; restore the caller's value on exit (the
+    // restore must happen AFTER the sink writes — pushdown is resolved at
+    // execution time, not DataFrame construction)
+    val priorInFilter = spark.conf.getOption(InFilterThresholdKey)
+    try {
+
     // Replay hygiene FIRST: a crash mid-write can leave a truncated part
     // file under this batch's own dirs; reading the bands/signature tables
     // with that corpse present can fail schema inference before any
     // batch_id filter prunes it. Idempotent overwrite starts from a clean
     // slate for this batchId.
-    val fsw = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(workDir), spark.sparkContext.hadoopConfiguration)
     Seq(bandsPath, sigPath, pairsPath).foreach { root =>
       fsw.delete(new org.apache.hadoop.fs.Path(s"$root/batch_id=$batchId"), true)
     }
 
     val sigs = MinHashPipeline.signatures(batch, cfg).toDF().cache()
+    // cross-history candidate pairs are persisted because they feed BOTH the
+    // history-signature prune (prefix collect + semi-join) and the pairs
+    // join — un-persisted, the history-bands scan would re-run per consumer
+    var candsHandle: Option[DataFrame] = None
     try {
       val batchBands = MinHashPipeline.bandBuckets(sigs)
         .withColumn("bh_prefix", pmod(col("band_hash"), lit(NumBandPrefixes)))
@@ -111,8 +170,7 @@ object StreamingDedup {
               .collect().map(_.getInt(0)).toSeq // <= NumBandPrefixes values
             // default inFilterThreshold (10) would demote this In to a
             // min/max range over scattered prefixes — i.e. no skipping
-            spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold",
-              NumBandPrefixes.toString)
+            spark.conf.set(InFilterThresholdKey, NumBandPrefixes.toString)
             val hBands = spark.read.parquet(bandsPath)
               .filter(col("batch_id") =!= batchId) // replay safety
               .filter(col("bh_prefix").isin(prefixes: _*)) // partition pruning
@@ -125,14 +183,22 @@ object StreamingDedup {
                 least(col("h.doc_id"), col("b.doc_id")).as("doc1"),
                 greatest(col("h.doc_id"), col("b.doc_id")).as("doc2"))
               .distinct()
-            val histSigs = spark.read.parquet(sigPath)
-              .filter(col("batch_id") =!= batchId)
-              .select("doc_id", "signature", "bands")
-            MinHashPipeline.pairs(cands, histSigs.union(sigs), cfg)
-          } else {
-            import spark.implicits._
-            Seq.empty[(Long, Long, Double)].toDF("doc1", "doc2", "similarity")
-          }
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            candsHandle = Some(cands)
+            val candIds = cands.select(col("doc1").as("doc_id"))
+              .union(cands.select(col("doc2").as("doc_id"))).distinct()
+            // bounded collect (<= NumDocPrefixes ints): which signature
+            // row-group prefix ranges can hold a candidate doc at all
+            val docPrefixes = candIds
+              .select(pmod(col("doc_id"), lit(NumDocPrefixes.toLong)).cast("int").as("p"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            if (docPrefixes.isEmpty) emptyPairs(spark)
+            else {
+              val histSigs =
+                prunedHistorySignatures(spark, sigPath, batchId, candIds, docPrefixes)
+              MinHashPipeline.pairs(cands, histSigs.union(sigs), cfg)
+            }
+          } else emptyPairs(spark)
 
         // idempotent per-batch sinks: replays overwrite, never duplicate.
         // Bands: a few files RANGE-SORTED by bh_prefix, so the next batch's
@@ -144,9 +210,50 @@ object StreamingDedup {
           .repartitionByRange(4, col("bh_prefix"))
           .sortWithinPartitions("bh_prefix")
           .write.mode(SaveMode.Overwrite).parquet(s"$bandsPath/batch_id=$batchId")
-        sigs.write.mode(SaveMode.Overwrite).parquet(s"$sigPath/batch_id=$batchId")
+        // signatures: same sort/prune treatment keyed by doc_id prefix, so
+        // future batches' candidate join-backs skip non-candidate row groups
+        sigs.withColumn("did_prefix",
+            pmod(col("doc_id"), lit(NumDocPrefixes.toLong)).cast("int"))
+          .repartitionByRange(4, col("did_prefix"))
+          .sortWithinPartitions("did_prefix")
+          .write.mode(SaveMode.Overwrite).parquet(s"$sigPath/batch_id=$batchId")
       } finally batchBands.unpersist()
-    } finally sigs.unpersist()
+    } finally {
+      candsHandle.foreach(_.unpersist())
+      sigs.unpersist()
+    }
+
+    } finally {
+      priorInFilter match {
+        case Some(v) => spark.conf.set(InFilterThresholdKey, v)
+        case None    => spark.conf.unset(InFilterThresholdKey)
+      }
+      fsw.delete(ingestLockPath(workDir), false)
+    }
+  }
+
+  /** The pruned history-signature read — the similarity join-back reads
+    * ONLY candidate signatures: prefix isin -> parquet row-group skip on the
+    * did_prefix-sorted files, then an exact semi-join (broadcast: candIds is
+    * batch-bounded) cuts the remainder before the pairs shuffle. Without
+    * this the join scanned + shuffled O(history) signature rows per batch.
+    *
+    * Package-private so StreamingDedupSpec/StreamProbe drive the EXACT
+    * production expression to assert scanned rows << history rows. Callers
+    * must hold the raised inFilterThreshold conf (processBatch does) or the
+    * >10-value isin is demoted to a useless min/max range at pushdown.
+    */
+  private[graft] def prunedHistorySignatures(spark: SparkSession, sigPath: String,
+      excludeBatchId: Long, candIds: DataFrame, docPrefixes: Seq[Int]): DataFrame =
+    spark.read.parquet(sigPath)
+      .filter(col("batch_id") =!= excludeBatchId)
+      .filter(col("did_prefix").isin(docPrefixes: _*))
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select("doc_id", "signature", "bands")
+
+  private def emptyPairs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Double)].toDF("doc1", "doc2", "similarity")
   }
 
   /** Lakehouse-style compaction of the bands table: merge every per-batch
@@ -160,7 +267,11 @@ object StreamingDedup {
     * MUST run while the stream is quiesced (between start()/termination,
     * as tests and StreamProbe do, or with the query stopped): an in-flight
     * processBatch that already listed the source dirs would hit
-    * FileNotFoundException when they are deleted under it.
+    * FileNotFoundException when they are deleted under it. That rule is
+    * ENFORCED, not conventional: compact takes `_compact_lock` for its whole
+    * run and fails fast if `_ingest_lock` is present; processBatch does the
+    * mirror check, so a concurrent caller gets an immediate
+    * IllegalStateException instead of a mid-scan FileNotFoundException.
     *
     * Crash-safe protocol — the consolidated data is ALWAYS visible before
     * any source dir is touched:
@@ -176,26 +287,35 @@ object StreamingDedup {
     val bandsPath = s"$workDir/bands"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(workDir), spark.sparkContext.hadoopConfiguration)
-    val dirs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$bandsPath/batch_id=*")))
-      .map(_.toSeq).getOrElse(Seq.empty)
-    if (dirs.size <= 1) return // nothing to merge
-    val gens = dirs.map(_.getPath.getName.stripPrefix("batch_id=").toLong)
-    val nextGen = math.min(-1L, gens.min - 1L)
-    // staging write materializes the merged table; no source dir is touched
-    // until the atomic rename has succeeded
-    val staging = s"$bandsPath/_compact_staging"
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true) // stale crash leftovers
-    spark.read.parquet(bandsPath)
-      .select("doc_id", "band_idx", "band_hash", "bh_prefix")
-      .dropDuplicates("doc_id", "band_idx") // converges reruns after partial deletes
-      .repartitionByRange(col("bh_prefix"))
-      .sortWithinPartitions("bh_prefix")
-      .write.mode(SaveMode.Overwrite).parquet(staging)
-    val target = new org.apache.hadoop.fs.Path(s"$bandsPath/batch_id=$nextGen")
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), target),
-      s"compact: rename $staging -> $target failed; source dirs left untouched")
-    dirs.foreach(d => fs.delete(d.getPath, true))
-    ()
+    // concurrency fence (see class doc): never delete dirs under a running
+    // processBatch, and never let one start while we hold the table
+    if (fs.exists(ingestLockPath(workDir)))
+      throw new IllegalStateException(
+        s"compact: ingest in progress (${ingestLockPath(workDir)})")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(bandsPath))
+    acquire(fs, compactLockPath(workDir), "compact")
+    try {
+      val dirs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$bandsPath/batch_id=*")))
+        .map(_.toSeq).getOrElse(Seq.empty)
+      if (dirs.size <= 1) return // nothing to merge
+      val gens = dirs.map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+      val nextGen = math.min(-1L, gens.min - 1L)
+      // staging write materializes the merged table; no source dir is touched
+      // until the atomic rename has succeeded
+      val staging = s"$bandsPath/_compact_staging"
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true) // stale crash leftovers
+      spark.read.parquet(bandsPath)
+        .select("doc_id", "band_idx", "band_hash", "bh_prefix")
+        .dropDuplicates("doc_id", "band_idx") // converges reruns after partial deletes
+        .repartitionByRange(col("bh_prefix"))
+        .sortWithinPartitions("bh_prefix")
+        .write.mode(SaveMode.Overwrite).parquet(staging)
+      val target = new org.apache.hadoop.fs.Path(s"$bandsPath/batch_id=$nextGen")
+      require(fs.rename(new org.apache.hadoop.fs.Path(staging), target),
+        s"compact: rename $staging -> $target failed; source dirs left untouched")
+      dirs.foreach(d => fs.delete(d.getPath, true))
+      ()
+    } finally fs.delete(compactLockPath(workDir), false)
   }
 
   /** Start the streaming dedup job. Tables live under `workDir`:

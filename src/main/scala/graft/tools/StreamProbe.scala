@@ -65,6 +65,35 @@ object StreamProbe {
       val secondHalf = ms.drop(ms.length / 2).sum / (ms.length - ms.length / 2)
       println(f"avg_first_half=$firstHalf%.0f ms avg_second_half=$secondHalf%.0f ms ratio=${secondHalf / firstHalf}%.2f")
     }
+
+    // signature-prune evidence: replay the LAST batch's candidate discovery
+    // against its prior history and count how many history signature rows
+    // the pruned production read (prunedHistorySignatures) actually joins —
+    // must be << the history signature count (the old code joined ALL of it)
+    import org.apache.spark.sql.functions._
+    val lastBatch = spark.read.parquet(s"$work/bands").agg(max("batch_id")).head().getInt(0).toLong
+    val batchBands = spark.read.parquet(s"$work/bands").filter($"batch_id" === lastBatch)
+    val histBands = spark.read.parquet(s"$work/bands").filter($"batch_id" =!= lastBatch)
+    val cands = histBands.alias("h")
+      .join(broadcast(batchBands.alias("b")),
+        col("h.band_idx") === col("b.band_idx") &&
+          col("h.band_hash") === col("b.band_hash") &&
+          col("h.doc_id") =!= col("b.doc_id"))
+      .select(col("h.doc_id").as("doc_id")).distinct()
+      .union(batchBands.select("doc_id").distinct()).distinct()
+    val prefixes = cands
+      .select(pmod($"doc_id", lit(graft.streaming.StreamingDedup.NumDocPrefixes.toLong))
+        .cast("int").as("p")).distinct().collect().map(_.getInt(0)).toSeq
+    val prunedRows =
+      if (prefixes.isEmpty) 0L
+      else graft.streaming.StreamingDedup.prunedHistorySignatures(
+        spark, s"$work/signatures", lastBatch, cands, prefixes).count()
+    val histRows = spark.read.parquet(s"$work/signatures")
+      .filter($"batch_id" =!= lastBatch).count()
+    println(f"sig_prune: history_rows=$histRows%d joined_rows=$prunedRows%d " +
+      f"fraction=${if (histRows == 0) 0.0 else prunedRows.toDouble / histRows}%.4f")
+    assert(histRows == 0 || prunedRows <= histRows / 2,
+      s"signature prune ineffective: $prunedRows of $histRows history rows joined")
     spark.stop()
   }
 }

@@ -112,6 +112,61 @@ class StreamingDedupSpec extends SparkSpec {
       .filter(col("bh_prefix").isin(manyPrefixes: _*))
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [In(bh_prefix"), plan)
+
+    // signatures side: the similarity join-back must NOT scan+shuffle the
+    // whole history signature table. Drive the exact production read
+    // (prunedHistorySignatures) with batch 1's real candidate set {7, 1000}:
+    //   - scanned-to-joined rows << history rows (1 of 40 here)
+    //   - the prefix In filter reaches the parquet scan
+    import spark.implicits._
+    val candIds = Seq(7L, 1000L).toDF("doc_id")
+    val docPrefixes = Seq((7L % 64).toInt, (1000L % 64).toInt).distinct
+    val histSigs = StreamingDedup.prunedHistorySignatures(
+      spark, s"$work/signatures", 1L, candIds, docPrefixes)
+    val histTotal = spark.read.parquet(s"$work/signatures")
+      .filter(col("batch_id") =!= 1L).count()
+    assert(histTotal == 40L, histTotal)
+    assert(histSigs.count() == 1L, "prune must reduce the join-back to candidates only")
+    val sigPlan = histSigs.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*did_prefix".r.findFirstIn(sigPlan).isDefined, sigPlan)
+  }
+
+  test("compact and processBatch fence each other out (no mid-scan FileNotFound)") {
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
+    val work = java.nio.file.Files.createTempDirectory("stream_lock").toString
+    val one = Seq((1L, "locking fence probe text with enough words to shingle " * 3))
+      .toDF("doc_id", "content")
+    StreamingDedup.processBatch(spark, one, 0L, work, cfg)
+
+    // a (stale or live) compact lock blocks ingest fast
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(work), spark.sparkContext.hadoopConfiguration)
+    val compactLock = new org.apache.hadoop.fs.Path(s"$work/bands/_compact_lock")
+    fs.create(compactLock, false).close()
+    val e1 = intercept[IllegalStateException] {
+      StreamingDedup.processBatch(spark, one, 1L, work, cfg)
+    }
+    assert(e1.getMessage.contains("compaction in progress"), e1.getMessage)
+    fs.delete(compactLock, false)
+
+    // an ingest lock blocks compact fast
+    val ingestLock = new org.apache.hadoop.fs.Path(s"$work/bands/_ingest_lock")
+    fs.create(ingestLock, false).close()
+    val e2 = intercept[IllegalStateException] {
+      StreamingDedup.compact(spark, work)
+    }
+    assert(e2.getMessage.contains("ingest in progress"), e2.getMessage)
+    fs.delete(ingestLock, false)
+
+    // normal operation takes AND releases both locks
+    StreamingDedup.processBatch(spark, one, 1L, work, cfg)
+    StreamingDedup.compact(spark, work)
+    assert(!fs.exists(compactLock) && !fs.exists(ingestLock))
+    // and double-compaction (crash leftovers) self-reports instead of racing
+    fs.create(compactLock, false).close()
+    val e3 = intercept[IllegalStateException] { StreamingDedup.compact(spark, work) }
+    assert(e3.getMessage.contains("lock"), e3.getMessage)
+    fs.delete(compactLock, false)
   }
 
   test("compact merges batch band dirs into one sorted table; dedup still works") {
