@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * Usage:
   *   graft.Main --input <parquet path | synth:<nFiles> | textdir:<dir>> --output <dir>
   *     [--shingle 3] [--signature 100] [--bandrows 4] [--seed 13]
-  *     [--threshold 0.1] [--star-cap N] [--text-col content] [--id-col doc_id]
+  *     [--threshold 0.1] [--offset 0] [--star-cap N] [--text-col content] [--id-col doc_id]
   *     [--verbose true] [--dedup-corpus true] [--content-fingerprint true]
   *     [--pairs-csv true]
   *
@@ -48,9 +48,17 @@ object Main {
       signatureSize = opts.getOrElse("signature", "100").toInt,
       nBandRows = opts.getOrElse("bandrows", "4").toInt,
       seed = opts.getOrElse("seed", "13").toInt,
-      threshold = opts.getOrElse("threshold", "0.1").toDouble
+      threshold = opts.getOrElse("threshold", "0.1").toDouble,
+      // the reference's --offset (ids start at offset; all three pinned
+      // workloads in /root/reference/makefile:48-76 pass --offset 1):
+      // applied at the CSV/golden boundary, exactly like the reference
+      // applies it at print time (src/MPI/minhash.c:301)
+      docOffset = opts.getOrElse("offset", "0").toLong
     )
     val starCap = opts.get("star-cap").map(_.toInt)
+    // per-stage shuffle width for the bucket-key exchange (the pipeline's
+    // big shuffle); other stages keep spark.sql.shuffle.partitions
+    val candParts = opts.get("candidate-partitions").map(_.toInt)
     val verifyJaccard = opts.get("verify-jaccard").exists(_.toBoolean)
     // resume fingerprint level: metadata (file stats, default) vs full
     // content scan (--content-fingerprint true)
@@ -99,7 +107,7 @@ object Main {
 
     val t0 = System.nanoTime()
     val pipe = new CheckpointedPipeline(spark, cfg, output, starCap, verifyJaccard,
-      contentFp, emitCorpus)
+      contentFp, emitCorpus, candParts)
     val (clusters, log) = pipe.run(docs)
     if (opts.get("pairs-csv").exists(_.toBoolean)) {
       graft.operators.MinHashPipeline.writeReferenceCsv(
@@ -132,12 +140,23 @@ object Main {
       CorpusGen.withDocIds(CorpusGen.sourceFiles(spark, n))
     } else if (input.startsWith("textdir:")) {
       val dir = input.stripPrefix("textdir:")
-      spark.read.format("binaryFile")
+      val raw = spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.txt")
         .load(dir)
+        // the id is the WHOLE basename (anchored): "v2_123.txt" must not
+        // silently collide with "123.txt", and a digit-less name must not
+        // become a null id — both fail fast below instead
         .select(
-          regexp_extract(col("path"), "(\\d+)\\.txt$", 1).cast("long").as("doc_id"),
+          element_at(split(col("path"), "/"), -1).as("base"),
           decode(col("content"), "UTF-8").as("content"))
+      val bad = raw.filter(!col("base").rlike("^[0-9]+\\.txt$"))
+        .select("base").limit(5).collect().map(_.getString(0))
+      require(bad.isEmpty,
+        s"textdir ingest: ${bad.length}+ .txt files whose names are not pure " +
+          s"<digits>.txt (reference layout): ${bad.mkString(", ")}")
+      raw.select(
+        regexp_extract(col("base"), "^([0-9]+)\\.txt$", 1).cast("long").as("doc_id"),
+        col("content"))
     } else if (deriveIds) {
       CorpusGen.withDocIds(spark.read.parquet(input))
         .select(col("doc_id"), col(textCol).as("content"))

@@ -136,8 +136,12 @@ object SparkEntry {
       Similarity.lshTopK(embeddings(s, dir), k = 5, dim = 64)
         .orderBy("query_id", "rank")),
     "q_ann_ivf" -> ((s, dir) =>
-      // nProbe 8/16: measured recall@5 0.73 (6/16 was 0.60; full probe = 1.0)
-      Similarity.ivfTopK(embeddings(s, dir), k = 5, nCentroids = 16, nProbe = 8)
+      // nProbe 10/16 + 2 Lloyd passes: measured recall@5 0.886 (hash-seeded
+      // centroids without refinement were 0.73 at nProbe 8). The high
+      // nProbe/nCentroids ratio is an artifact of tiny nCentroids at test
+      // scale; production sizes nCentroids ~ sqrt(n) with nProbe a small
+      // constant fraction.
+      Similarity.ivfTopK(embeddings(s, dir), k = 5, nCentroids = 16, nProbe = 10)
         .orderBy("query_id", "rank")),
     "q_embed_neardup" -> ((s, dir) =>
       // multiprobe defaults (12 tables, 8 bits): measured pair recall 0.94
@@ -325,7 +329,12 @@ object SparkEntry {
     "q_fingerprint" ->
       // graft.core.Tokenizer in SQL (split on C whitespace, lowercase, strip
       // non-[a-z0-9] IN PLACE, drop empties) + the wrapping-u64 polynomial
-      // fold emulated in HUGEINT mod 2^64, mapped back to signed BIGINT
+      // fold emulated in HUGEINT mod 2^64, mapped back to signed BIGINT.
+      // ASCII-ONLY PARITY (here and q_lang_id): DuckDB's lower() Unicode-
+      // folds a few non-ASCII codepoints into ASCII (e.g. U+212A -> 'k')
+      // while graft.core.Tokenizer drops all bytes >= 0x80 — equivalent on
+      // the (ASCII by construction) synthetic corpus; on arbitrary input,
+      // pre-strip non-ASCII in the SQL before lower() to keep byte parity
       """WITH t AS (
         |  SELECT doc_id,
         |    list_filter(list_transform(

@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   *
   * Embedding-cosine near-dup lives in Similarity (shared LSH machinery).
   * All shuffles are key-partitioned equi-joins/groupBys — no cross joins.
+  *
+  * CACHE LIFETIME CONTRACT (applies to simHashPairs, ngramJaccardPairs,
+  * substringDupPairs, ngramContainment — same as MinHashPipeline.run): each
+  * persists its kernel output because the lazy result frame consumes it
+  * from several join sides; the operator cannot unpersist without
+  * recomputing, so the CALLER owns the release — unpersist after the
+  * terminal action, or spark.catalog.clearCache() between queries (Verify
+  * and the specs do). A long-lived session calling these repeatedly without
+  * clearing pins one kernel table per call.
   */
 object Dedup {
 
@@ -96,8 +105,7 @@ object Dedup {
   def simHashes(docs: DataFrame, seed: Int = 13, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+    Spread(docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, simHash64(t, seed)) })
       .toDF(idCol, "simhash")
@@ -151,25 +159,31 @@ object Dedup {
     * negligible and can be re-verified by the exact-Jaccard stage.
     *
     * Returns (doc1, doc2, n_shared_windows), n_shared_windows counting
-    * DISTINCT window hashes present in both docs.
+    * DISTINCT window hashes present in both docs — or just the distinct
+    * (doc1, doc2) pair set with `existsMode = true` (cheaper: the count
+    * aggregation over the joined window rows is replaced by a distinct,
+    * for callers that only need pairhood, e.g. as a candidate gate before
+    * exact verification).
     *
     * Residual skew note: the doc-freq cap bounds but does not eliminate the
     * quadratic — a window at the cap still emits ~cap²/2 pairs on one join
-    * key (1000 -> ~500k rows in one task's key group). Because the output
-    * contract is the exact per-pair shared-window COUNT, a cluster-
-    * preserving star rewrite (as in MinHashPipeline.candidates) would
-    * change the semantics, not just the plan. At production scale size the
-    * cap to the pair budget (cap ~ sqrt(2 × acceptable pairs per hot
-    * window), e.g. 100 for ~5k) or pre-drop boilerplate with exact dedup;
-    * AQE skew-join splitting handles the join-side imbalance either way.
+    * key. Because the output contract is the exact per-pair shared-window
+    * relation, a cluster-preserving star rewrite (as in
+    * MinHashPipeline.candidates) would change the semantics, not just the
+    * plan — so the default cap IS the pair budget: cap ~ sqrt(2 × accepted
+    * pairs per hot window); the default 100 bounds any one window's key
+    * group to ~5k joined rows (the previous 1000 allowed ~500k, a
+    * one-task straggler at scale). Raise it only with a measured budget, or
+    * pre-drop boilerplate with exact dedup first; AQE skew-join splitting
+    * handles the join-side imbalance either way.
     */
   def substringDupPairs(docs: DataFrame, minTokens: Int,
                         idCol: String = "doc_id", textCol: String = "text",
-                        maxWindowDocFreq: Int = 1000): DataFrame = {
+                        maxWindowDocFreq: Int = 100,
+                        existsMode: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val windows = docs
-      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+    val windows = Spread(docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = Tokenizer.tokenize(if (text == null) "" else text)
@@ -206,9 +220,11 @@ object Dedup {
     val filtered = windows.join(df.select("window_hash"), "window_hash")
     val a = filtered.alias("a")
     val b = filtered.alias("b")
-    a.join(b, col("a.window_hash") === col("b.window_hash") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-      .agg(count(lit(1)).as("n_shared_windows"))
+    val joined = a.join(b,
+      col("a.window_hash") === col("b.window_hash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+    if (existsMode) joined.distinct()
+    else joined.groupBy("doc1", "doc2").agg(count(lit(1)).as("n_shared_windows"))
   }
 
   /** Benchmark decontamination: for every (training doc, benchmark doc)
@@ -222,20 +238,30 @@ object Dedup {
     * Scale shape: grams of both sides equi-join on the gram (benchmark
     * side is small by definition — broadcast-able); one groupBy(pair);
     * per-row IEEE division, so the result is DuckDB-oracle-comparable.
+    *
+    * The broadcast hint is SIZE-GATED, not unconditional: a caller passing
+    * an oversized "benchmark" frame must degrade to a plain shuffle
+    * equi-join (AQE decides), not OOM the driver materializing the gram
+    * table as a broadcast relation. The gate's count() doubles as the
+    * materialization of the persisted gram kernel (one extra job, no extra
+    * pass). Cache lifetime is CALLER-owned: clearCache()/unpersist when done.
     */
   def ngramContainment(docs: DataFrame, benchmark: DataFrame, n: Int,
                        minContainment: Double,
-                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                       idCol: String = "doc_id", textCol: String = "text",
+                       maxBroadcastGrams: Long = 1000000L): DataFrame = {
     val docGrams = gramRows(docs, n, idCol, textCol).toDF("doc_id", "gram")
     val benchGrams = gramRows(benchmark, n, idCol, textCol).toDF("bench_id", "gram")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hintable = benchGrams.count() <= maxBroadcastGrams
+    def hinted(df: DataFrame): DataFrame = if (hintable) broadcast(df) else df
     val benchSizes = benchGrams.groupBy("bench_id").agg(count(lit(1)).as("n_bench_grams"))
     val inter = docGrams
-      .join(broadcast(benchGrams), "gram")
+      .join(hinted(benchGrams), "gram")
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("n_inter"))
     inter
-      .join(broadcast(benchSizes), "bench_id")
+      .join(hinted(benchSizes), "bench_id")
       .withColumn("containment",
         col("n_inter").cast("double") / col("n_bench_grams").cast("double"))
       .filter(col("containment") >= minContainment)
@@ -250,8 +276,7 @@ object Dedup {
   private def gramRows(docs: DataFrame, n: Int, idCol: String, textCol: String) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+    Spread(docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val t = if (text == null) "" else text.trim

@@ -45,8 +45,7 @@ object MinHashPipeline {
   def signatures(docs: DataFrame, cfg: MinHashConfig): Dataset[DocSignature] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(col("doc_id").cast("long"), col("content").cast("string"))
+    Spread(docs.select(col("doc_id").cast("long"), col("content").cast("string")))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, content) =>
@@ -81,19 +80,31 @@ object MinHashPipeline {
     *   (min_doc, member) instead of the full clique — cluster-preserving
     *   skew armor (output linear, not quadratic, in bucket size). None =
     *   exact reference parity (full clique, quadratic in the bucket).
+    * @param candidatePartitions per-STAGE width of the bucket-key shuffle
+    *   (the pipeline's big exchange). Inherits spark.sql.shuffle.partitions
+    *   when None — right for a single-job session, wrong at 100 TB where
+    *   the exploded-bands stage wants many times the width of the final
+    *   aggregations; this overrides just this exchange, leaving the
+    *   session conf to the other stages. (The distinct's exchange stays
+    *   conf-sized; AQE coalesces it by output volume.)
     */
   def candidates(sigs: DataFrame, starCapBucketSize: Option[Int] = None,
-                 saltChunkSize: Int = 2048): DataFrame = {
+                 saltChunkSize: Int = 2048,
+                 candidatePartitions: Option[Int] = None): DataFrame = {
     val spark = sigs.sparkSession
     import spark.implicits._
+    def byKeys(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+      candidatePartitions match {
+        case Some(n) => df.repartition(n, cols: _*)
+        case None    => df.repartition(cols: _*)
+      }
     val buckets = bandBuckets(sigs)
       .select(col("band_idx").cast("int"), col("band_hash").cast("int"),
         col("doc_id").cast("long"))
     starCapBucketSize match {
       case Some(cap) =>
-        buckets
+        byKeys(buckets, col("band_idx"), col("band_hash"))
           .as[(Int, Int, Long)]
-          .repartition(col("band_idx"), col("band_hash"))
           .sortWithinPartitions("band_idx", "band_hash", "doc_id")
           .mapPartitions(rows => graft.core.BucketPairs.emit(rows, cap))
           .toDF("doc1", "doc2")
@@ -111,16 +122,15 @@ object MinHashPipeline {
         val sizes = buckets.groupBy("band_idx", "band_hash").agg(count(lit(1)).as("bn"))
         val small = buckets.join(sizes.filter(col("bn") <= saltChunkSize),
           Seq("band_idx", "band_hash"), "left_semi")
-        val smallPairs = small
+        val smallPairs = byKeys(small, col("band_idx"), col("band_hash"))
           .as[(Int, Int, Long)]
-          .repartition(col("band_idx"), col("band_hash"))
           .sortWithinPartitions("band_idx", "band_hash", "doc_id")
           .mapPartitions(rows => graft.core.BucketPairs.emit(rows, Int.MaxValue))
           .toDF("doc1", "doc2")
         val big = buckets.join(sizes.filter(col("bn") > saltChunkSize), Seq("band_idx", "band_hash"))
           .withColumn("s", ceil(col("bn").cast("double") / saltChunkSize).cast("int"))
           .withColumn("chunk", pmod(xxhash64(col("doc_id")), col("s")).cast("int"))
-        val bigPairs = big
+        val bigPairs = byKeys(big
           .select(col("band_idx"), col("band_hash"), col("doc_id"), col("s"), col("chunk"))
           .as[(Int, Int, Long, Int, Int)]
           .flatMap { case (bi, bh, doc, s, chunk) =>
@@ -131,8 +141,8 @@ object MinHashPipeline {
               (bi, bh, ci, cj, doc, chunk)
             }
           }
-          .toDF("band_idx", "band_hash", "ci", "cj", "doc_id", "chunk")
-          .repartition(col("band_idx"), col("band_hash"), col("ci"), col("cj"))
+          .toDF("band_idx", "band_hash", "ci", "cj", "doc_id", "chunk"),
+          col("band_idx"), col("band_hash"), col("ci"), col("cj"))
           .sortWithinPartitions("band_idx", "band_hash", "ci", "cj", "doc_id")
           .select(col("band_idx"), col("band_hash"), col("ci"), col("cj"),
             col("doc_id"), col("chunk"))
@@ -179,8 +189,7 @@ object MinHashPipeline {
     import spark.implicits._
     // persisted: consumed by BOTH join sides — an un-persisted self-join
     // subtree recomputes the shingle-hash kernel per side (CLAUDE.md)
-    val sets = docs
-      .select(col("doc_id").cast("long"), col("content").cast("string"))
+    val sets = Spread(docs.select(col("doc_id").cast("long"), col("content").cast("string")))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, c) => (id, SignatureKernel.shingleHashSet(if (c == null) "" else c, cfg)) }

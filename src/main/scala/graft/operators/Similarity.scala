@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions._
   * oracle such as DuckDB's list_dot_product). The LSH sketch is a typed
   * mapPartitions kernel; hyperplanes are derived from the seed inside each
   * task, never plan literals.
+  *
+  * CACHE LIFETIME CONTRACT: lshTopK/embeddingNearDupPairs persist the
+  * sketch (it feeds the candidate join sides AND the vector join-backs);
+  * the CALLER releases it — unpersist after the terminal action or
+  * spark.catalog.clearCache() between queries (see Dedup's contract note).
   */
 object Similarity {
 
@@ -64,6 +69,60 @@ object Similarity {
     out
   }
 
+  /** Query-directed multiprobe buckets (Lv et al., "Multi-Probe LSH",
+    * VLDB'07): per table, the base bucket PLUS the `nProbes` buckets
+    * obtained by flipping the sign bits with the smallest |dot| margin —
+    * the hyperplanes the vector sits closest to, i.e. the flips most likely
+    * to recover a near neighbor hashed to the other side. nProbes=bandBits
+    * degenerates to blind Hamming-distance-1 probing (all flips); smaller
+    * nProbes cuts candidate volume ~(1+nProbes)/(1+bandBits) at nearly the
+    * blind recall, because far-margin flips almost never rescue anything.
+    *
+    * Layout: flattened nTables × (1+nProbes), table-major, base first.
+    */
+  private[operators] def probesOf(vec: Array[Double], pl: Array[Array[Double]],
+                                  nTables: Int, bandBits: Int, nProbes: Int): Array[Long] = {
+    val perTable = 1 + nProbes
+    val out = new Array[Long](nTables * perTable)
+    val margins = new Array[Double](bandBits)
+    val order = new Array[Int](bandBits)
+    var t = 0
+    while (t < nTables) {
+      var acc = 0L
+      var b = 0
+      while (b < bandBits) {
+        val p = pl(t * bandBits + b)
+        var d = 0.0
+        var i = 0
+        while (i < vec.length) { d += vec(i) * p(i); i += 1 }
+        acc = acc * 2 + (if (d >= 0) 1L else 0L)
+        margins(b) = math.abs(d)
+        order(b) = b
+        b += 1
+      }
+      // selection sort of the nProbes smallest margins (bandBits <= ~16,
+      // nProbes small — cheaper than boxing through sortBy)
+      var s = 0
+      while (s < nProbes && s < bandBits) {
+        var m = s
+        var j = s + 1
+        while (j < bandBits) { if (margins(order(j)) < margins(order(m))) m = j; j += 1 }
+        val tmp = order(s); order(s) = order(m); order(m) = tmp
+        s += 1
+      }
+      out(t * perTable) = acc
+      var k = 0
+      while (k < nProbes) {
+        // bit b of the fold sits at position bandBits-1-b (MSB-first fold)
+        out(t * perTable + 1 + k) =
+          if (k < bandBits) acc ^ (1L << (bandBits - 1 - order(k))) else acc
+        k += 1
+      }
+      t += 1
+    }
+    out
+  }
+
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (excluding itself). Baseline and rerank primitive.
     *
@@ -98,37 +157,111 @@ object Similarity {
     * task from the seed — cheaper than broadcasting for these sizes).
     */
   private def sketchRows(corpus: DataFrame, dim: Int, nTables: Int, bandBits: Int,
-                         seed: Long, idCol: String, vecCol: String): DataFrame = {
+                         seed: Long, idCol: String, vecCol: String,
+                         nProbes: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    corpus
-      .select(col(idCol).cast("long").as("vid"), asDouble(col(vecCol)).as("vec"))
+    Spread(corpus.select(col(idCol).cast("long").as("vid"), asDouble(col(vecCol)).as("vec")))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val pl = planes(dim, nTables * bandBits, seed)
-        it.map { case (vid, vec) => (vid, vec, bucketsOf(vec, pl, nTables, bandBits)) }
+        val perTable = 1 + nProbes
+        it.map { case (vid, vec) =>
+          // norm hoisted to the sketch: the rerank divides by it once per
+          // CANDIDATE row — recomputing dot(v,v) there would triple the
+          // rerank flops (same IEEE result either way: one deterministic
+          // dot per vector, multiplied per row)
+          var nrm = 0.0
+          var i = 0
+          while (i < vec.length) { nrm += vec(i) * vec(i); i += 1 }
+          if (nProbes > 0) {
+            // base buckets are the probes' table-major base entries — one
+            // kernel pass computes both (bucketsOf would redo every dot)
+            val probes = probesOf(vec, pl, nTables, bandBits, nProbes)
+            val buckets = Array.tabulate(nTables)(t => probes(t * perTable))
+            (vid, vec, math.sqrt(nrm), buckets, probes)
+          } else
+            (vid, vec, math.sqrt(nrm), bucketsOf(vec, pl, nTables, bandBits),
+              Array.empty[Long])
+        }
       }
-      .toDF("vid", "vec", "buckets")
+      .toDF("vid", "vec", "vnorm", "buckets", "probes")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Bounded top-k typed aggregator over scored (query_id, nbr_id, cosine)
+    * rows: keeps the k best (cosine desc, nbr_id asc — the same
+    * deterministic tie-break as the window variant) per query with
+    * MAP-SIDE PARTIAL AGGREGATION. Replaces row_number().over(Window) for
+    * the ANN rerank: a window shuffles and SORTS every scored candidate row
+    * (O(candidates log candidates) per query partition); this shuffles at
+    * most k rows per query per map partition and never global-sorts —
+    * the shape that survives 10^9 vectors × thousands of candidates each.
+    */
+  private final class TopKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
+    private def better(a: (Long, Double), b: (Long, Double)): Boolean =
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+    // DEDUP-AWARE: a candidate (query, nbr) reached through several LSH
+    // tables/probes arrives several times with an IDENTICAL cosine (the
+    // score is a pure function of the pair), so skipping an nbr already in
+    // the <=k buffer is exact — which lets lshTopK drop the whole
+    // candidate-distinct shuffle and dedup inside the partial agg instead
+    private def insert(buf: Seq[(Long, Double)], e: (Long, Double)): Seq[(Long, Double)] = {
+      if (buf.length >= k && better(buf.last, e)) buf
+      else if (buf.exists(_._1 == e._1)) buf
+      else {
+        val (pre, post) = buf.span(better(_, e))
+        (pre ++ (e +: post)).take(k)
+      }
+    }
+    def zero: Seq[(Long, Double)] = Seq.empty
+    def reduce(buf: Seq[(Long, Double)], row: (Long, Long, Double)): Seq[(Long, Double)] =
+      insert(buf, (row._2, row._3))
+    def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      b.foldLeft(a)(insert)
+    def finish(buf: Seq[(Long, Double)]): Seq[(Long, Double)] = buf
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Per-query top-k of scored candidates via [[TopKAgg]] (partial-agg
+    * shape), emitting the same (query_id, rank, nbr_id, cosine) rows and
+    * ordering contract as the window formulation it replaces. Wrapped with
+    * functions.udaf rather than Dataset.groupByKey: the untyped groupBy
+    * avoids the AppendColumns + object-deserialization pass over every
+    * scored row that the typed KeyValueGroupedDataset route inserts.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val agg = udaf(new TopKAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long, Double)]())
+    scored
+      .groupBy("query_id")
+      .agg(agg(col("query_id"), col("nbr_id"), col("cosine")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("e._1").as("nbr_id"), col("e._2").as("cosine"))
   }
 
   /** ids-only (vid, table_idx, bucket) LSH bucket rows off the sketch. */
   private def bucketIds(sketch: DataFrame): DataFrame =
     sketch.select(col("vid"), posexplode(col("buckets")).as(Seq("table_idx", "bucket")))
 
-  /** Multiprobe expansion of the PROBE side: each bucket row additionally
-    * probes every bucket at Hamming distance 1 (flip each of the bandBits
-    * sign bits). One probe row fans to bandBits+1 rows, but each table's
-    * buckets can be 2^bandBits-fold smaller for the same recall, so total
-    * candidate volume DROPS — the standard multiprobe trade.
+  /** Multiprobe PROBE-side rows off the kernel-computed directed probes
+    * (see [[probesOf]]): one row per (table, probe bucket); the table index
+    * is recovered from the table-major layout.
     */
-  private def multiProbeIds(exploded: DataFrame, bandBits: Int): DataFrame =
-    exploded.select(
-      col("vid"), col("table_idx"),
-      explode(array(
-        (Seq(col("bucket")) ++
-          (0 until bandBits).map(b => col("bucket").bitwiseXOR(lit(1L << b)))): _*
-      )).as("bucket"))
+  private def probeIds(sketch: DataFrame, nProbes: Int): DataFrame = {
+    val perTable = 1 + nProbes
+    sketch
+      .select(col("vid"), posexplode(col("probes")).as(Seq("pos", "bucket")))
+      .select(col("vid"),
+        floor(col("pos") / lit(perTable)).cast("int").as("table_idx"),
+        col("bucket"))
+  }
 
   /** LSH-bucketed ANN: candidates = vectors sharing at least one of
     * `nTables` hyperplane-sketch buckets (bandBits bits each), then exact
@@ -136,24 +269,34 @@ object Similarity {
     * the shuffle is an equi-join on (table_idx, bucket) — never a cross
     * join, so it survives a 10^9-vector corpus.
     *
-    * Defaults tuned by sweep (graft.tools.RecallProbe): multiprobe
-    * (16, 8, mp) measures recall@5 = 0.847 @ sf0.001 / 0.893 @ sf0.1 —
-    * equal to the best non-multiprobe config (24, 5) but ~1.7x faster and
-    * with 2^3-fold smaller buckets, which is what survives corpus growth
-    * (candidate volume per vector ~ nTables × (1+bandBits) × n / 2^bandBits).
-    * At larger corpus scale raise bandBits and nTables together.
+    * Defaults tuned by sweep (graft.tools.RecallProbe, sf0.001/sf0.1
+    * recall@5 vs brute force): DIRECTED multiprobe (24, 8, T=4
+    * lowest-margin flips) = 0.860/0.900 recall — above both the r2 blind
+    * default (16,8,T=8): 0.847/0.893 and the probe-free (24,5): 0.867/0.904
+    * — at the LOWEST candidate volume of the three (nTables × (1+nProbes) ×
+    * n / 2^bandBits = 0.47n per vector vs 0.56n / 0.75n). See [[probesOf]]
+    * and BENCHMARKS.md. At larger corpus scale raise bandBits and nTables
+    * together.
     */
-  def lshTopK(corpus: DataFrame, k: Int, dim: Int, nTables: Int = 16, bandBits: Int = 8,
-              seed: Long = 42L, multiProbe: Boolean = true,
+  def lshTopK(corpus: DataFrame, k: Int, dim: Int, nTables: Int = 24, bandBits: Int = 8,
+              seed: Long = 42L, multiProbe: Boolean = true, nProbes: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sketch = sketchRows(corpus, dim, nTables, bandBits, seed, idCol, vecCol)
+    val probeFan = if (multiProbe) nProbes else 0
+    val sketch = sketchRows(corpus, dim, nTables, bandBits, seed, idCol, vecCol, probeFan)
     val exploded = bucketIds(sketch)
     // candidate pairs carry IDS ONLY through the bucket join + distinct —
     // shuffling the vector payloads through dropDuplicates costs ~1000x the
     // bytes (measured 108 s -> ~2 s on 2k vectors / 1M candidate rows).
     // Vectors join back once per side afterwards, off the persisted sketch.
-    val a = (if (multiProbe) multiProbeIds(exploded, bandBits) else exploded).alias("a")
+    val a = (if (multiProbe) probeIds(sketch, nProbes) else exploded).alias("a")
     val b = exploded.alias("b")
+    // NO distinct here: a pair hit through several tables/probes flows
+    // through the (broadcast) vector join-backs more than once, and the
+    // dedup-aware TopKAgg drops the duplicates inside the map-side partial
+    // aggregation — measured cheaper than a dedicated distinct shuffle of
+    // the full candidate volume. (At corpus sizes where the vector
+    // join-back itself must shuffle, re-introduce an ids-only distinct
+    // first — the trade flips when candidate payload bytes dominate.)
     val candIds = a
       .join(
         b,
@@ -162,46 +305,52 @@ object Similarity {
           col("a.vid") =!= col("b.vid")
       )
       .select(col("a.vid").as("query_id"), col("b.vid").as("nbr_id"))
-      .distinct()
-    val vecs = sketch.select(col("vid"), col("vec"))
+    val vecs = sketch.select(col("vid"), col("vec"), col("vnorm"))
     val scored = candIds
-      .join(vecs.select(col("vid").as("query_id"), col("vec").as("q_vec")), "query_id")
-      .join(vecs.select(col("vid").as("nbr_id"), col("vec").as("nbr_vec")), "nbr_id")
+      .join(vecs.select(col("vid").as("query_id"), col("vec").as("q_vec"),
+        col("vnorm").as("q_norm")), "query_id")
+      .join(vecs.select(col("vid").as("nbr_id"), col("vec").as("nbr_vec"),
+        col("vnorm").as("nbr_norm")), "nbr_id")
       .withColumn(
         "cosine",
-        dot(col("q_vec"), col("nbr_vec")) / (norm(col("q_vec")) * norm(col("nbr_vec")))
+        dot(col("q_vec"), col("nbr_vec")) / (col("q_norm") * col("nbr_norm"))
       )
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("nbr_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "nbr_id", "cosine")
+    topKPerQuery(scored, k)
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer of `nCentroids`
     * deterministic centroids (unit-normalized sample of the corpus, chosen
-    * by hash order so the "index build" is one tiny collect); every vector
-    * is assigned to its nearest centroid list; a query probes its `nProbe`
-    * nearest centroids and reranks exactly within those lists.
+    * by hash order so the "index build" is one tiny collect, then refined
+    * by `lloydIters` k-means passes); every vector is assigned to its
+    * nearest centroid list; a query probes its `nProbe` nearest centroids
+    * and reranks exactly within those lists.
     *
     * Scale shape: centroids are a driver-side array baked into the task
     * closures (they are small BY DESIGN — sqrt(n)-ish); the only shuffle is
-    * the equi-join on centroid_id. Complements the hyperplane-LSH variant:
-    * IVF adapts to the data distribution (clustered embeddings), LSH is
-    * distribution-free.
+    * the equi-join on centroid_id. Each Lloyd pass is a narrow
+    * mapPartitions producing per-partition (centroid, sumVec, count)
+    * partials plus one bounded collect (partitions × nCentroids rows) —
+    * no wide shuffle, no vector payloads moved. Refinement matters:
+    * hash-sampled seeds give badly unbalanced lists (measured recall@5
+    * 0.73 at nProbe 8/16); Lloyd-balanced lists at the same probe budget
+    * measure ~0.9 (RecallProbe, BENCHMARKS.md). Complements the
+    * hyperplane-LSH variant: IVF adapts to the data distribution
+    * (clustered embeddings), LSH is distribution-free.
     */
   def ivfTopK(corpus: DataFrame, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+              lloydIters: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val base = corpus
-      .select(col(idCol).cast("long").as("vid"), asDouble(col(vecCol)).as("vec"))
+    val base = Spread(
+      corpus.select(col(idCol).cast("long").as("vid"), asDouble(col(vecCol)).as("vec")))
       .as[(Long, Array[Double])]
+      // consumed 2 + lloydIters times (seed collect, Lloyd passes, assign,
+      // probe) — un-persisted, the scan+cast re-runs per consumer
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // deterministic centroid sample: smallest nCentroids ids by a hash of
     // the id (≈ uniform random, reproducible, one small collect)
-    val centroids: Array[Array[Double]] = base
+    val seeds: Array[Array[Double]] = base
       .map { case (vid, v) => (graft.core.Murmur2.hashString(vid.toString, 7) & 0xffffffffL, v) }
       .toDF("h", "v").orderBy("h").limit(nCentroids)
       .select("v").as[Array[Double]].collect()
@@ -209,8 +358,48 @@ object Similarity {
         val n = math.sqrt(v.map(x => x * x).sum)
         if (n == 0) v else v.map(_ / n)
       }
+    require(seeds.nonEmpty, "ivfTopK: empty corpus (no centroids)")
 
-    require(centroids.nonEmpty, "ivfTopK: empty corpus (no centroids)")
+    // Lloyd refinement on the unit sphere (spherical k-means): assign to
+    // the max-cosine centroid, new centroid = normalized mean. Per pass:
+    // one narrow pass + one bounded collect; empty lists keep their seed.
+    def refine(cs: Array[Array[Double]]): Array[Array[Double]] = {
+      val dim = cs(0).length
+      val partials = base.mapPartitions { it =>
+        val sums = Array.fill(cs.length)(new Array[Double](dim))
+        val counts = new Array[Long](cs.length)
+        it.foreach { case (_, v) =>
+          // centroids are unit vectors, so argmax cosine == argmax dot / ||v||
+          // and ||v|| is constant across centroids — compare raw dots
+          var best = 0; var bestS = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            var d = 0.0; var i = 0
+            while (i < v.length) { d += v(i) * cs(c)(i); i += 1 }
+            if (d > bestS) { bestS = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < dim) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        (0 until cs.length).iterator.filter(counts(_) > 0).map(c => (c, sums(c), counts(c)))
+      }.collect()
+      val agg = Array.fill(cs.length)(new Array[Double](dim))
+      val n = new Array[Long](cs.length)
+      partials.foreach { case (c, s, cnt) =>
+        var i = 0; while (i < dim) { agg(c)(i) += s(i); i += 1 }; n(c) += cnt
+      }
+      Array.tabulate(cs.length) { c =>
+        if (n(c) == 0) cs(c)
+        else {
+          val mean = agg(c).map(_ / n(c))
+          val nm = math.sqrt(mean.map(x => x * x).sum)
+          if (nm == 0) cs(c) else mean.map(_ / nm)
+        }
+      }
+    }
+    val centroids = (0 until math.max(0, lloydIters)).foldLeft(seeds)((cs, _) => refine(cs))
 
     def nearestCentroids(v: Array[Double], m: Int): Array[Int] = {
       val nv = math.sqrt(v.map(x => x * x).sum)
@@ -270,15 +459,19 @@ object Similarity {
     */
   def embeddingNearDupPairs(corpus: DataFrame, minCosine: Double, dim: Int,
                             nTables: Int = 12, bandBits: Int = 8, seed: Long = 42L,
-                            multiProbe: Boolean = true,
+                            multiProbe: Boolean = true, nProbes: Int = 8,
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sketch = sketchRows(corpus, dim, nTables, bandBits, seed, idCol, vecCol)
+    val probeFan = if (multiProbe) nProbes else 0
+    val sketch = sketchRows(corpus, dim, nTables, bandBits, seed, idCol, vecCol, probeFan)
     val exploded = bucketIds(sketch)
     // multiprobe matters MORE here than for top-k: near-dup thresholds like
     // cosine 0.4 are far pairs (per-hyperplane agreement ~0.63), where exact
     // bucket collision is rare (p^bits) — measured recall 0.20 without
-    // multiprobe vs 0.94 with, at identical table count (RecallProbe)
-    val a = (if (multiProbe) multiProbeIds(exploded, bandBits) else exploded).alias("a")
+    // multiprobe vs 0.94 with, at identical table count (RecallProbe).
+    // Default nProbes = bandBits (all flips = blind Hamming-1 probing):
+    // far pairs don't concentrate their disagreements in the low-margin
+    // bits the way near neighbors do, so the full fan earns its cost here.
+    val a = (if (multiProbe) probeIds(sketch, nProbes) else exploded).alias("a")
     val b = exploded.alias("b")
     val candIds = a
       .join(
@@ -289,11 +482,13 @@ object Similarity {
       )
       .select(col("a.vid").as("doc1"), col("b.vid").as("doc2"))
       .distinct()
-    val vecs = sketch.select(col("vid"), col("vec"))
+    val vecs = sketch.select(col("vid"), col("vec"), col("vnorm"))
     candIds
-      .join(vecs.select(col("vid").as("doc1"), col("vec").as("v1")), "doc1")
-      .join(vecs.select(col("vid").as("doc2"), col("vec").as("v2")), "doc2")
-      .withColumn("cosine", dot(col("v1"), col("v2")) / (norm(col("v1")) * norm(col("v2"))))
+      .join(vecs.select(col("vid").as("doc1"), col("vec").as("v1"),
+        col("vnorm").as("n1")), "doc1")
+      .join(vecs.select(col("vid").as("doc2"), col("vec").as("v2"),
+        col("vnorm").as("n2")), "doc2")
+      .withColumn("cosine", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cosine") >= minCosine)
       .select("doc1", "doc2", "cosine")
   }

@@ -24,7 +24,8 @@ class CheckpointedPipeline(
     starCapBucketSize: Option[Int] = None,
     verifyExactJaccard: Boolean = false,
     contentFingerprint: Boolean = false,
-    emitDedupCorpus: Boolean = false
+    emitDedupCorpus: Boolean = false,
+    candidatePartitions: Option[Int] = None
 ) {
   import CheckpointedPipeline._
 
@@ -168,7 +169,8 @@ class CheckpointedPipeline(
       MinHashPipeline.signatures(docs, cfg).toDF()
     }
     val cands = stage("candidates", fp, log) {
-      MinHashPipeline.candidates(sigs, starCapBucketSize)
+      MinHashPipeline.candidates(sigs, starCapBucketSize,
+        candidatePartitions = candidatePartitions)
     }
     val pairs = stage("pairs", fp, log) {
       MinHashPipeline.pairs(cands, sigs, cfg)
@@ -188,6 +190,10 @@ class CheckpointedPipeline(
       ConnectedComponents.cluster(pairs, docs.select(col("doc_id")),
         reliableCheckpointDir = Some(s"$workDir/_cc_scratch"))
     }
+    // the clusters stage table is the durable copy — drop the per-iteration
+    // scratch once the stage is committed (it would otherwise accumulate
+    // stale label tables across reruns with different inputs)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$workDir/_cc_scratch"), true)
     // optional end-product stage: the deduplicated corpus itself (one
     // representative document per cluster)
     if (emitDedupCorpus) {

@@ -14,6 +14,22 @@ import org.apache.spark.sql.streaming.GroupState
   */
 object StreamingStats {
 
+  /** Session conf that swaps the default HDFS-backed state store for
+    * RocksDB — the provider for state that outgrows executor heap (true
+    * 10^12-doc fingerprint dedup keeps one (long, long) PER DISTINCT
+    * FINGERPRINT; RocksDB spills it to local SSD with incremental
+    * checkpointing instead of materializing the full map on-heap).
+    * rocksdbjni ships in /opt/spark/jars. Set BEFORE the query starts:
+    *
+    *   StreamingStats.RocksDBProviderConf match { case (k, v) => spark.conf.set(k, v) }
+    *
+    * The provider is fixed per checkpoint location at first start; changing
+    * it later requires a fresh checkpoint dir.
+    */
+  val RocksDBProviderConf: (String, String) =
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** Event-time windowed ingest rates with a watermark: per (window, lang)
     * doc and byte counts. The watermark bounds state: windows older than
     * `lateness` past the max seen event time are finalized and dropped from
@@ -51,8 +67,10 @@ object StreamingStats {
     *
     * Scale shape: state is one (long, long) per DISTINCT fingerprint —
     * compact enough for the HDFS-backed store; at true 10^12 scale swap in
-    * the RocksDB state store provider via config, not code. Watermark-less
-    * NoTimeout is deliberate: exact dedup never expires originals.
+    * the RocksDB provider via [[RocksDBProviderConf]] (config, not code —
+    * StreamingStatsSpec runs this operator under both providers).
+    * Watermark-less NoTimeout is deliberate: exact dedup never expires
+    * originals.
     */
   def fingerprintDedup(docs: Dataset[(Long, String)]): Dataset[FpVerdict] = {
     val spark = docs.sparkSession

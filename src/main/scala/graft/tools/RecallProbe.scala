@@ -22,28 +22,31 @@ object RecallProbe {
       .select("query_id", "nbr_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     for {
-      (nTables, bandBits, mp) <- Seq(
-        (24, 5, false), (32, 5, false), // current defaults + denser
-        (8, 8, true), (12, 8, true), (16, 8, true),
-        (8, 10, true), (16, 10, true), (24, 10, true))
+      (nTables, bandBits, mp, nProbes) <- Seq(
+        (24, 5, false, 0), (32, 5, false, 0), // probe-free baselines
+        (16, 8, true, 8), // r2 default: blind Hamming-1 (all flips)
+        (16, 8, true, 6), (20, 8, true, 5),
+        (24, 8, true, 4), (24, 8, true, 5))
     } {
       val t0 = System.nanoTime()
       val lsh = Similarity.lshTopK(e, k = 5, dim = 64, nTables = nTables,
-          bandBits = bandBits, multiProbe = mp)
+          bandBits = bandBits, multiProbe = mp, nProbes = nProbes)
         .select("query_id", "nbr_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      println(f"nTables=$nTables%2d bandBits=$bandBits%2d mp=$mp%5s recall=${(bf intersect lsh).size.toDouble / bf.size}%.3f sec=$sec%.1f")
+      println(f"nTables=$nTables%2d bandBits=$bandBits%2d mp=$mp%5s T=$nProbes%2d recall=${(bf intersect lsh).size.toDouble / bf.size}%.3f sec=$sec%.1f")
     }
-    // IVF recall vs nProbe
-    for (nProbe <- Seq(2, 4, 6, 8, 16)) {
+    // IVF recall vs (nProbe, lloydIters)
+    for ((nProbe, iters) <- Seq((8, 0), (8, 2), (8, 4), (10, 2), (10, 4), (12, 2), (16, 2))) {
       val t0 = System.nanoTime()
-      val ivf = Similarity.ivfTopK(e, k = 5, nCentroids = 16, nProbe = nProbe)
+      val ivf = Similarity.ivfTopK(e, k = 5, nCentroids = 16, nProbe = nProbe,
+          lloydIters = iters)
         .select("query_id", "nbr_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"ivf nProbe=$nProbe%2d/16 recall=${(bf intersect ivf).size.toDouble / bf.size}%.3f sec=$sec%.1f")
+      spark.catalog.clearCache()
+      println(f"ivf nProbe=$nProbe%2d/16 lloyd=$iters%d recall=${(bf intersect ivf).size.toDouble / bf.size}%.3f sec=$sec%.1f")
     }
     // embedding near-dup pair recall: exact threshold pairs vs LSH-candidate pairs
     import spark.implicits._

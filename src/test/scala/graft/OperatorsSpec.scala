@@ -65,6 +65,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 100L, 1.0)), out.mkString(","))
   }
 
+  test("ngramContainment: oversized benchmark degrades to a shuffle join, same rows") {
+    val corpus = Seq(
+      (1L, "x a b c d e y"),
+      (2L, "a b c something else entirely here"),
+      (3L, "nothing shared at all in this one")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    // gate at 0 grams: the "benchmark" counts as oversized -> no broadcast
+    // hint may survive planning on either gram-join side
+    val gated = Dedup.ngramContainment(corpus, bench, n = 3, minContainment = 0.5,
+      maxBroadcastGrams = 0L)
+    val rows = gated.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, 100L, 1.0)), rows.mkString(","))
+    val opt = gated.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("ResolvedHint") && !opt.toLowerCase.contains("broadcast"), opt)
+    spark.catalog.clearCache()
+  }
+
   test("gram doc-frequency cap drops only hot grams") {
     // 'the quick' appears in 3 docs; cap=2 removes it but near-dup pairs
     // survive via the remaining grams
@@ -98,6 +116,33 @@ class OperatorsSpec extends SparkSpec {
     assert(n == 31L) // 40 - 10 + 1 distinct windows, all shared
   }
 
+  test("substringDupPairs: exists-mode pair set == count-mode pair set; cap is a pair budget") {
+    val d = Seq(
+      (0L, "aa bb cc dd ee ff gg hh unique tail one"),
+      (1L, "prefix other aa bb cc dd ee ff gg hh different end"),
+      (2L, "aa bb cc xx yy zz qq ww completely other words here"),
+      (3L, "nothing in common with anything at all whatsoever truly")
+    ).toDF("doc_id", "text")
+    val counted = Dedup.substringDupPairs(d, minTokens = 6)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exists = Dedup.substringDupPairs(d, minTokens = 6, existsMode = true)
+    assert(exists.columns.toSeq == Seq("doc1", "doc2")) // count-free contract
+    assert(exists.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == counted)
+
+    // pair budget: a window shared by MORE than maxWindowDocFreq docs emits
+    // zero pairs (boilerplate dropped); at exactly the cap the clique stays
+    val boiler = (0L until 5L).map(i => (i, "same boiler plate text here repeated " +
+      s"run$i"))
+      .toDF("doc_id", "text")
+    val over = Dedup.substringDupPairs(boiler, minTokens = 6, maxWindowDocFreq = 4)
+      .collect()
+    assert(over.isEmpty, over.mkString(","))
+    val atCap = Dedup.substringDupPairs(boiler, minTokens = 6, maxWindowDocFreq = 5)
+      .collect()
+    assert(atCap.length == 5 * 4 / 2, atCap.length)
+    spark.catalog.clearCache()
+  }
+
   test("bruteForceTopK: exact ranking on crafted vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
@@ -110,9 +155,11 @@ class OperatorsSpec extends SparkSpec {
     assert(top.toSeq == Seq((1, 1L), (2, 2L), (3, 3L)))
   }
 
-  test("lshTopK recall vs brute force on real embeddings >= 0.8 (tuned defaults)") {
-    // tuned via graft.tools.RecallProbe sweep: multiprobe defaults
-    // (nTables=16, bandBits=8, mp) measure recall@5 = 0.847 on this corpus
+  test("lshTopK recall vs brute force on real embeddings >= 0.85 (tuned defaults)") {
+    // tuned via graft.tools.RecallProbe sweep: DIRECTED-multiprobe defaults
+    // (nTables=24, bandBits=8, T=4 lowest-margin flips) measure recall@5 =
+    // 0.860 on this corpus (0.900 at sf0.1) at lower candidate volume than
+    // either the blind-probe or probe-free alternative
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val bf = Similarity.bruteForceTopK(e, e, k = 5)
       .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -120,7 +167,7 @@ class OperatorsSpec extends SparkSpec {
       .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bf intersect lsh).size.toDouble / bf.size
     info(s"LSH ANN recall@5 = $recall")
-    assert(recall >= 0.8, s"recall $recall")
+    assert(recall >= 0.85, s"recall $recall")
   }
 
   test("ivfTopK recall vs brute force on real embeddings") {
@@ -128,12 +175,12 @@ class OperatorsSpec extends SparkSpec {
     val queries = e.filter($"vec_id" < 20)
     val bf = Similarity.bruteForceTopK(e, queries, k = 5)
       .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Similarity.ivfTopK(e, k = 5, nCentroids = 16, nProbe = 8)
+    val ivf = Similarity.ivfTopK(e, k = 5, nCentroids = 16, nProbe = 10)
       .filter($"query_id" < 20)
       .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bf intersect ivf).size.toDouble / bf.size
-    info(s"IVF ANN recall@5 = $recall (nProbe=8/16 lists; full-corpus measure 0.73)")
-    assert(recall >= 0.5, s"recall $recall")
+    info(s"IVF ANN recall@5 = $recall (nProbe=10/16, 2 Lloyd passes; full-corpus measure 0.886)")
+    assert(recall >= 0.8, s"recall $recall")
     // full probe == exact: probing ALL lists must reproduce brute force
     val full = Similarity.ivfTopK(e, k = 5, nCentroids = 8, nProbe = 8)
       .filter($"query_id" < 20)

@@ -30,24 +30,69 @@ class PlanSpec extends SparkSpec {
 
   test("signature stage is narrow: no exchange between scan and kernel") {
     val cfg = MinHashConfig(3, 32, 4, 13, 0.0)
+    // already-parallel input (the production case: many files/partitions):
+    // the kernel must stay exchange-free
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text").as("content"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val sigs = MinHashPipeline.signatures(docs, cfg).toDF()
     val planStr = sigs.queryExecution.executedPlan.toString
-    assert(!planStr.contains("Exchange"), planStr)
+    // exactly the one explicit repartition above — Spread must not add more
+    assert(planStr.split("Exchange ").length - 1 == 1, planStr)
+  }
+
+  test("signature stage spreads a single-partition source before the kernel") {
+    // a one-file input would otherwise serialize the CPU-heavy kernel on a
+    // single task (measured: the dominant bench cost at small SFs) — Spread
+    // round-robins it to default parallelism
+    val cfg = MinHashConfig(3, 32, 4, 13, 0.0)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text").as("content"))
+    assert(docs.rdd.getNumPartitions == 1) // precondition: tiny single file
+    val sigs = MinHashPipeline.signatures(docs, cfg).toDF()
+    val planStr = sigs.queryExecution.executedPlan.toString
+    assert(planStr.contains("Exchange RoundRobinPartitioning"), planStr)
+    assert(sigs.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
   }
 
   test("candidates stage has exactly the designed shuffles (repartition + distinct)") {
     val cfg = MinHashConfig(3, 32, 4, 13, 0.0)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text").as("content"))
-    val sigs = MinHashPipeline.signatures(docs, cfg).toDF()
-    val cands = MinHashPipeline.candidates(sigs, Some(256))
-    // AQE wraps the plan; count Exchange nodes in the printed tree
-    val planStr = cands.queryExecution.executedPlan.toString
-    val nExchanges = "(?m)^\\s*\\+?-? ?Exchange ".r.findAllIn(planStr).length
-    // one repartition(band keys) + the distinct's exchange = 2
-    assert(planStr.split("Exchange ").length - 1 == 2, planStr)
+    // cache boundary isolates the candidate stage: the counted plan reads
+    // the signatures from InMemoryRelation, so input-spreading exchanges
+    // upstream of the kernel don't leak into this stage's count
+    val sigs = MinHashPipeline.signatures(docs, cfg).toDF().cache()
+    try {
+      sigs.count()
+      val cands = MinHashPipeline.candidates(sigs, Some(256))
+      // count only ABOVE the cache boundary: the InMemoryRelation printout
+      // embeds its own (already-executed) build plan, whose exchanges are
+      // not part of this stage
+      val planStr = cands.queryExecution.executedPlan.toString
+        .split("InMemoryRelation")(0)
+      // one repartition(band keys) + the distinct's exchange = 2
+      assert(planStr.split("Exchange ").length - 1 == 2, planStr)
+    } finally { sigs.unpersist(); () }
+  }
+
+  test("candidate-stage shuffle width override lands in the exchange") {
+    val cfg = MinHashConfig(3, 32, 4, 13, 0.0)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text").as("content"))
+    val sigs = MinHashPipeline.signatures(docs, cfg).toDF().cache()
+    try {
+      sigs.count()
+      // star-cap branch (full plan string is safe to scan: the cached
+      // signatures subtree has only a RoundRobin exchange, no band keys)
+      val p1 = MinHashPipeline.candidates(sigs, Some(256), candidatePartitions = Some(7))
+        .queryExecution.executedPlan.toString
+      assert("hashpartitioning\\(band_idx[^)]*, 7\\)".r.findFirstIn(p1).isDefined, p1)
+      // parity (salted full-clique) branch: both its bucket shuffles take it
+      val p2 = MinHashPipeline.candidates(sigs, None, candidatePartitions = Some(7))
+        .queryExecution.executedPlan.toString
+      assert("hashpartitioning\\(band_idx[^)]*, 7\\)".r.findAllIn(p2).size >= 2, p2)
+    } finally { sigs.unpersist(); () }
   }
 
   test("small-dimension join broadcasts (orders x customer)") {

@@ -86,20 +86,25 @@ class ReferenceParitySpec extends SparkSpec {
     docs.unpersist()
   }
 
-  test("pair output identical at a second config (shingle 2 / sig 96 / rows 3 / seed 7)") {
+  test("pair output identical at a second config + offset 1 (the reference workloads' shape)") {
     assume(ensureBinary(), "reference binary unavailable")
+    // all three pinned reference invocations pass --offset 1
+    // (/root/reference/makefile:48-76): file ids start at 1, and the CSV
+    // carries the offset ids. Replay that exactly: files written as
+    // <i+1>.txt, reference runs --offset 1, our config carries docOffset=1
+    // (applied at the golden/CSV boundary like the reference's print stage).
     val n = 400
     val cfg = MinHashConfig(shingleSize = 2, signatureSize = 96, nBandRows = 3,
-      seed = 7, threshold = 0.4)
+      seed = 7, threshold = 0.4, docOffset = 1L)
     val docs = CorpusGen.sourceFilesWithIds(spark, n).select("doc_id", "content").cache()
     val dir = java.nio.file.Files.createTempDirectory("refcmpB")
     docs.collect().foreach { r =>
-      java.nio.file.Files.write(dir.resolve(s"${r.getLong(0)}.txt"),
+      java.nio.file.Files.write(dir.resolve(s"${r.getLong(0) + 1}.txt"),
         r.getString(1).getBytes("US-ASCII"))
     }
     val work = java.nio.file.Files.createTempDirectory("refrunB").toFile
     val rc = Process(
-      Seq(bin, "-n", "1", "--docs", n.toString, "--offset", "0",
+      Seq(bin, "-n", "1", "--docs", n.toString, "--offset", "1",
         "--shingle", "2", "--signature", "96", "--bandrows", "3",
         "--seed", "7", "--threshold", "0.4", dir.toString + "/"), work).!
     assert(rc == 0)
@@ -110,6 +115,8 @@ class ReferenceParitySpec extends SparkSpec {
     assert(ourLines == refLines,
       s"ref=${refLines.size} ours=${ourLines.size} " +
         s"diff=${(refLines.toSet -- ourLines.toSet).take(3)} | ${(ourLines.toSet -- refLines.toSet).take(3)}")
+    // sanity: the offset really is in the ids (no pair names doc 0)
+    assert(!ourLines.exists(_.startsWith("0,")))
     docs.unpersist()
   }
 

@@ -57,4 +57,34 @@ class StreamingStatsSpec extends SparkSpec {
     assert(out(4L) == ((false, 4L)), out.toString)
     q.stop()
   }
+
+  test("fingerprintDedup under the RocksDB state store provider (the 10^12-scale conf)") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (key, provider) = StreamingStats.RocksDBProviderConf
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, provider)
+    try {
+      val ms = MemoryStream[(Long, String)]
+      val q = StreamingStats.fingerprintDedup(ms.toDS())
+        .writeStream.format("memory").queryName("fpdedup_rocks").outputMode("append").start()
+      ms.addData((1L, "the quick brown fox"), (2L, "unrelated text here"))
+      q.processAllAvailable()
+      ms.addData((3L, "THE  Quick,, BROWN fox!!"))
+      q.processAllAvailable()
+      // cross-batch state survived under RocksDB: doc 3 dups doc 1
+      val out = spark.table("fpdedup_rocks").collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getLong(3)))).toMap
+      assert(out(3L) == ((true, 1L)), out.toString)
+      // the query really ran on RocksDB (not a silently-ignored conf)
+      val progress = q.recentProgress.flatMap(_.stateOperators).lastOption
+      assert(progress.exists(_.customMetrics.containsKey("rocksdbFilesCopied")),
+        progress.map(_.customMetrics.toString).getOrElse("no state operator progress"))
+      q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
 }
