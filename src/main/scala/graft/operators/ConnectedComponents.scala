@@ -50,17 +50,36 @@ object ConnectedComponents {
   def cluster(pairs: DataFrame, allDocs: DataFrame, maxIter: Int = 20,
               reliableCheckpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
+    // Persist the PROJECTED pair table, not the 2x-union edge view: a
+    // union's two branches are separate subtrees, so persisting only the
+    // union would still compute the (expensive) upstream pair pipeline
+    // once per branch while building the cache — measured as 2x the
+    // candidates+similarity cost in the clusters query. The union over the
+    // cached projection is a cheap per-iteration map.
+    val p0 = pairs
+      .select(col("doc1").cast("long").as("src"), col("doc2").cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
+
     // Iterate only over nodes that actually appear in an edge; the (vastly
     // larger) singleton population bypasses the loop entirely and is
     // appended at the end with cluster_id = doc_id. On a dedup graph where
     // dups are a few % of the corpus this shrinks every per-iteration join
     // by 10-100x.
-    val edges = pairs
-      .select(col("doc1").as("src"), col("doc2").as("dst"))
-      .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
     val nodes = edges.select(col("src").as("doc_id")).distinct()
+
+    // Per-stage shuffle width (SURVEY §4): the iteration joins run over the
+    // non-singleton label table, typically a few % of the corpus — at the
+    // session's shuffle width a tiny dup graph pays dozens of near-empty
+    // 32-task stages per run (measured ~2x the whole query's wall). Size
+    // the LOOP's exchanges to the edge count (~100k rows/partition), never
+    // above the session conf; restored in the finally. The count() also
+    // forces the p0 cache before the loop re-reads it every iteration.
+    val priorShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopWidth = math.max(1L,
+      math.min(priorShuffle.toLong, p0.count() * 2 / 100000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", loopWidth.toString)
+    try {
 
     def materialize(df: DataFrame, iter: Int): DataFrame =
       reliableCheckpointDir match {
@@ -118,18 +137,26 @@ object ConnectedComponents {
       converged = mat.filter(col("changed")).limit(1).isEmpty
       labels = mat.select("doc_id", "cluster_id")
     }
-    edges.unpersist()
     if (!converged) {
       throw new IllegalStateException(
         s"ConnectedComponents did not converge within $maxIter iterations — " +
           "returning non-minimal cluster labels would silently merge/split " +
           "clusters; raise maxIter (pointer jumping makes each round cheap)")
     }
-    // singletons: every doc not in any pair is its own cluster
+    // singletons: every doc not in any pair is its own cluster. Anti-join
+    // against the MATERIALIZED labels (same doc_id set as `nodes`), not the
+    // edge-derived `nodes` view — after p0 unpersists in the finally, the
+    // nodes subtree would re-run the whole upstream pair pipeline at the
+    // caller's first action.
     val singletons = allDocs
       .select(col("doc_id").cast("long"))
-      .join(nodes, Seq("doc_id"), "left_anti")
+      .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
       .withColumn("cluster_id", col("doc_id"))
     labels.union(singletons)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", priorShuffle)
+      p0.unpersist()
+      ()
+    }
   }
 }

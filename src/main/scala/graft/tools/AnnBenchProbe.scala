@@ -31,7 +31,8 @@ object AnnBenchProbe {
             sc.stageInfo.name.takeWhile(_ != '\n').take(50))
         }
       })
-    val names = Seq("q_ann_topk", "q_ann_lsh", "q_ann_ivf")
+    val names =
+      if (args.nonEmpty) args.toSeq else Seq("q_ann_topk", "q_ann_lsh", "q_ann_ivf")
     names.foreach { n =>
       graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
     }
