@@ -211,6 +211,11 @@ object Dedup {
         }
       }
       .toDF("doc_id", "window_hash")
+      // pre-partitioned by the join key, then persisted: the doc-freq agg,
+      // the semi-join, and the a/b self-join are all window_hash-keyed —
+      // one shuffle building the cache serves all three (see the gram
+      // kernel's identical note)
+      .repartition(col("window_hash"))
       // persisted: feeds the doc-freq agg AND both join sides (3 consumers)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // hot-window cap: a window shared by >maxWindowDocFreq docs (boilerplate)
@@ -321,6 +326,13 @@ object Dedup {
     // text; the corpus is single-space separated)
     val grams = gramRows(docs, n, idCol, textCol)
       .toDF("doc_id", "gram")
+      // PRE-PARTITIONED BY THE JOIN KEY before the persist: the doc-freq
+      // agg, its semi-join, and the a/b self-join are all gram-keyed — a
+      // cache already hash-partitioned on gram satisfies every one of those
+      // distributions, collapsing three gram shuffles of the full gram
+      // table into the single one that builds the cache (InMemoryRelation
+      // preserves its child's outputPartitioning).
+      .repartition(col("gram"))
       // persisted: with a doc-freq cap the gram kernel feeds the df agg +
       // the semi-join; without it, the sizes agg + both join sides. Either
       // way an un-persisted subtree re-runs the flatMap kernel 3-4x
