@@ -103,7 +103,8 @@ object Main {
 
     val docs = readDocs(spark, input,
       opts.getOrElse("id-col", "doc_id"), opts.getOrElse("text-col", "content"),
-      deriveIds = opts.get("derive-ids").exists(_.toBoolean))
+      deriveIds = opts.get("derive-ids").exists(_.toBoolean),
+      idOffset = cfg.docOffset)
 
     val t0 = System.nanoTime()
     val pipe = new CheckpointedPipeline(spark, cfg, output, starCap, verifyJaccard,
@@ -134,7 +135,8 @@ object Main {
     */
   private[graft] def readDocs(spark: SparkSession, input: String,
                               idCol: String, textCol: String,
-                              deriveIds: Boolean = false) =
+                              deriveIds: Boolean = false,
+                              idOffset: Long = 0L) =
     if (input.startsWith("synth:")) {
       val n = input.stripPrefix("synth:").toLong
       CorpusGen.withDocIds(CorpusGen.sourceFiles(spark, n))
@@ -154,8 +156,14 @@ object Main {
       require(bad.isEmpty,
         s"textdir ingest: ${bad.length}+ .txt files whose names are not pure " +
           s"<digits>.txt (reference layout): ${bad.mkString(", ")}")
+      // internal ids are ALWAYS 0-based; textdir filenames already carry
+      // the reference's offset (the reference reads <offset+i>.txt and
+      // prints offset+i, src/MPI/io_interface.c), and the CSV/golden
+      // boundary re-adds cfg.docOffset — without this subtraction a
+      // textdir+--offset replay would double-apply it in the output ids
       raw.select(
-        regexp_extract(col("base"), "^([0-9]+)\\.txt$", 1).cast("long").as("doc_id"),
+        (regexp_extract(col("base"), "^([0-9]+)\\.txt$", 1).cast("long") - idOffset)
+          .as("doc_id"),
         col("content"))
     } else if (deriveIds) {
       CorpusGen.withDocIds(spark.read.parquet(input))

@@ -201,8 +201,15 @@ object Similarity {
   private final class TopKAgg(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[
         (Long, Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
-    private def better(a: (Long, Double), b: (Long, Double)): Boolean =
-      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+    // TOTAL order via Double.compare (NaN sorts largest, matching the
+    // replaced Window's cosine-desc semantics — a zero-norm vector's NaN
+    // cosine ranks first deterministically instead of floating on
+    // arrival/merge order, which `>` would allow since NaN compares false
+    // both ways), ties by nbr_id asc.
+    private def better(a: (Long, Double), b: (Long, Double)): Boolean = {
+      val c = java.lang.Double.compare(a._2, b._2)
+      c > 0 || (c == 0 && a._1 < b._1)
+    }
     // DEDUP-AWARE: a candidate (query, nbr) reached through several LSH
     // tables/probes arrives several times with an IDENTICAL cosine (the
     // score is a pure function of the pair), so skipping an nbr already in
@@ -327,15 +334,19 @@ object Similarity {
     *
     * Scale shape: centroids are a driver-side array baked into the task
     * closures (they are small BY DESIGN — sqrt(n)-ish); the only shuffle is
-    * the equi-join on centroid_id. Each Lloyd pass is a narrow
-    * mapPartitions producing per-partition (centroid, sumVec, count)
-    * partials plus one bounded collect (partitions × nCentroids rows) —
-    * no wide shuffle, no vector payloads moved. Refinement matters:
-    * hash-sampled seeds give badly unbalanced lists (measured recall@5
-    * 0.73 at nProbe 8/16); Lloyd-balanced lists at the same probe budget
-    * measure ~0.9 (RecallProbe, BENCHMARKS.md). Complements the
-    * hyperplane-LSH variant: IVF adapts to the data distribution
-    * (clustered embeddings), LSH is distribution-free.
+    * the equi-join on centroid_id. The Lloyd passes run DRIVER-SIDE over a
+    * deterministic hash-ordered sample (one bounded collect, max(2048,
+    * 64·nCentroids) vectors): a distributed floating-point partial-sum
+    * pass would make the refined centroids — and therefore which k rows
+    * each query emits — depend on partition layout and core count,
+    * breaking the engine's partition-count-invariance (O18) contract.
+    * Sample-seeded refinement is the standard index-build trade (cf.
+    * k-means|| initialization); refinement matters: hash-sampled seeds
+    * give badly unbalanced lists (measured recall@5 0.73 at nProbe 8/16);
+    * Lloyd-balanced lists measure 0.886 at nProbe 10 (RecallProbe,
+    * BENCHMARKS.md). Complements the hyperplane-LSH variant: IVF adapts to
+    * the data distribution (clustered embeddings), LSH is
+    * distribution-free.
     */
   def ivfTopK(corpus: DataFrame, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
               lloydIters: Int = 2,
@@ -348,55 +359,48 @@ object Similarity {
       // consumed 2 + lloydIters times (seed collect, Lloyd passes, assign,
       // probe) — un-persisted, the scan+cast re-runs per consumer
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // deterministic centroid sample: smallest nCentroids ids by a hash of
-    // the id (≈ uniform random, reproducible, one small collect)
-    val seeds: Array[Array[Double]] = base
-      .map { case (vid, v) => (graft.core.Murmur2.hashString(vid.toString, 7) & 0xffffffffL, v) }
-      .toDF("h", "v").orderBy("h").limit(nCentroids)
-      .select("v").as[Array[Double]].collect()
-      .map { v =>
-        val n = math.sqrt(v.map(x => x * x).sum)
-        if (n == 0) v else v.map(_ / n)
+    // deterministic index-build sample: smallest ids by (id-hash, id) —
+    // the TOTAL order (hash ties broken by vid) fixes both membership and
+    // iteration order, so the FP summation below is bit-reproducible
+    // across partition layouts and core counts. One bounded collect;
+    // the first nCentroids of it double as the seeds.
+    val sampleSize = math.max(2048, 64 * nCentroids)
+    val sample: Array[Array[Double]] = base
+      .map { case (vid, v) =>
+        (graft.core.Murmur2.hashString(vid.toString, 7) & 0xffffffffL, vid, v)
       }
-    require(seeds.nonEmpty, "ivfTopK: empty corpus (no centroids)")
+      .toDF("h", "vid", "v").orderBy("h", "vid").limit(sampleSize)
+      .select("v").as[Array[Double]].collect()
+    require(sample.nonEmpty, "ivfTopK: empty corpus (no centroids)")
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val seeds = sample.take(nCentroids).map(unit)
 
-    // Lloyd refinement on the unit sphere (spherical k-means): assign to
-    // the max-cosine centroid, new centroid = normalized mean. Per pass:
-    // one narrow pass + one bounded collect; empty lists keep their seed.
+    // Lloyd refinement on the unit sphere (spherical k-means) over the
+    // sample, entirely driver-side: assign to the max-dot centroid
+    // (centroids are unit vectors, so argmax dot == argmax cosine),
+    // new centroid = normalized mean; empty lists keep their seed.
     def refine(cs: Array[Array[Double]]): Array[Array[Double]] = {
       val dim = cs(0).length
-      val partials = base.mapPartitions { it =>
-        val sums = Array.fill(cs.length)(new Array[Double](dim))
-        val counts = new Array[Long](cs.length)
-        it.foreach { case (_, v) =>
-          // centroids are unit vectors, so argmax cosine == argmax dot / ||v||
-          // and ||v|| is constant across centroids — compare raw dots
-          var best = 0; var bestS = Double.NegativeInfinity
-          var c = 0
-          while (c < cs.length) {
-            var d = 0.0; var i = 0
-            while (i < v.length) { d += v(i) * cs(c)(i); i += 1 }
-            if (d > bestS) { bestS = d; best = c }
-            c += 1
-          }
-          var i = 0
-          while (i < dim) { sums(best)(i) += v(i); i += 1 }
-          counts(best) += 1
+      val sums = Array.fill(cs.length)(new Array[Double](dim))
+      val counts = new Array[Long](cs.length)
+      sample.foreach { v =>
+        var best = 0; var bestS = Double.NegativeInfinity
+        var c = 0
+        while (c < cs.length) {
+          var d = 0.0; var i = 0
+          while (i < v.length) { d += v(i) * cs(c)(i); i += 1 }
+          if (d > bestS) { bestS = d; best = c }
+          c += 1
         }
-        (0 until cs.length).iterator.filter(counts(_) > 0).map(c => (c, sums(c), counts(c)))
-      }.collect()
-      val agg = Array.fill(cs.length)(new Array[Double](dim))
-      val n = new Array[Long](cs.length)
-      partials.foreach { case (c, s, cnt) =>
-        var i = 0; while (i < dim) { agg(c)(i) += s(i); i += 1 }; n(c) += cnt
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
       }
       Array.tabulate(cs.length) { c =>
-        if (n(c) == 0) cs(c)
-        else {
-          val mean = agg(c).map(_ / n(c))
-          val nm = math.sqrt(mean.map(x => x * x).sum)
-          if (nm == 0) cs(c) else mean.map(_ / nm)
-        }
+        if (counts(c) == 0) cs(c) else unit(sums(c).map(_ / counts(c)))
       }
     }
     val centroids = (0 until math.max(0, lloydIters)).foldLeft(seeds)((cs, _) => refine(cs))

@@ -82,6 +82,16 @@ object StreamingDedup {
 
   private val InFilterThresholdKey = "spark.sql.parquet.pushdown.inFilterThreshold"
 
+  /** Ceiling on candidate doc ids for the history-prune BROADCAST semi-join
+    * hint. Candidates are usually batch-bounded, but they are really
+    * batch×history band collisions — one boilerplate band hash shared with
+    * millions of history docs makes the id set O(history), and an
+    * unconditional broadcast of that would OOM the driver. Above the gate
+    * the semi-join degrades to a plain shuffle (the prefix pushdown still
+    * prunes the scan).
+    */
+  val MaxBroadcastCandIds = 5000000L
+
   /** Maintenance fence (see [[compact]]): compact holds this lock for its
     * whole run; processBatch fails fast while it exists instead of hitting
     * FileNotFoundException when the merged source dirs vanish mid-scan.
@@ -98,15 +108,35 @@ object StreamingDedup {
   /** Take `lock` atomically (create-if-absent) or throw naming the holder.
     * A crash leaves the lock behind BY DESIGN — fail-fast beats silently
     * racing a maybe-still-running job; the error says how to clear it.
+    *
+    * `takeoverSameIdent`: when the existing lock's recorded holder is THIS
+    * EXACT unit of work (same batchId), take it over — a crashed
+    * processBatch is replayed by the stream with the identical identity,
+    * and blocking that replay would wedge the restarted stream forever on
+    * its own corpse. Two live holders with the same batchId cannot exist
+    * (one stream owns a batch), so the takeover is safe. compact does NOT
+    * take over (two compacts are indistinguishable from crashed-vs-live).
     */
   private def acquire(fs: org.apache.hadoop.fs.FileSystem,
-                      lock: org.apache.hadoop.fs.Path, what: String): Unit = {
-    val created =
+                      lock: org.apache.hadoop.fs.Path, what: String,
+                      takeoverSameIdent: Boolean = false): Unit = {
+    def create(): Boolean =
       try { val out = fs.create(lock, false); out.write(what.getBytes("UTF-8")); out.close(); true }
       catch { case _: java.io.IOException => false }
-    if (!created) throw new IllegalStateException(
-      s"$what: lock $lock is held (concurrent maintenance/ingest, or a crashed " +
-        "run left it behind — verify no job is running, then delete the lock file)")
+    if (create()) return
+    val holder =
+      try {
+        val in = fs.open(lock)
+        val b = new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        in.close(); b
+      } catch { case _: java.io.IOException => "<unreadable>" }
+    if (takeoverSameIdent && holder == what) {
+      fs.delete(lock, false)
+      if (create()) return
+    }
+    throw new IllegalStateException(
+      s"$what: lock $lock is held by '$holder' (concurrent maintenance/ingest, or a " +
+        "crashed run left it behind — verify no job is running, then delete the lock file)")
   }
 
   /** One micro-batch of incremental dedup — public so tests can drive
@@ -120,13 +150,20 @@ object StreamingDedup {
 
     val fsw = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(workDir), spark.sparkContext.hadoopConfiguration)
-    // fail fast against a concurrent compact (which deletes band dirs we are
-    // about to scan), and fence compact out for the rest of this batch
-    if (fsw.exists(compactLockPath(workDir)))
+    // fence ordering: ACQUIRE OWN LOCK FIRST, then check the peer's — the
+    // check-then-acquire order would be a TOCTOU window where both sides
+    // pass their check and then both proceed. With acquire-first, at least
+    // one side observes the other's lock and backs off (possibly both —
+    // fail-fast, never both-proceed). A replay of a crashed batch takes
+    // over its own leftover lock (same identity) instead of wedging.
+    fsw.mkdirs(new org.apache.hadoop.fs.Path(bandsPath))
+    acquire(fsw, ingestLockPath(workDir), s"processBatch($batchId)",
+      takeoverSameIdent = true)
+    if (fsw.exists(compactLockPath(workDir))) {
+      fsw.delete(ingestLockPath(workDir), false)
       throw new IllegalStateException(
         s"processBatch($batchId): compaction in progress (${compactLockPath(workDir)})")
-    fsw.mkdirs(new org.apache.hadoop.fs.Path(bandsPath))
-    acquire(fsw, ingestLockPath(workDir), s"processBatch($batchId)")
+    }
     // scoped conf override: the history reads below want a >NumBandPrefixes
     // In-filter pushdown threshold; restore the caller's value on exit (the
     // restore must happen AFTER the sink writes — pushdown is resolved at
@@ -194,8 +231,11 @@ object StreamingDedup {
               .distinct().collect().map(_.getInt(0)).toSeq
             if (docPrefixes.isEmpty) emptyPairs(spark)
             else {
-              val histSigs =
-                prunedHistorySignatures(spark, sigPath, batchId, candIds, docPrefixes)
+              // bound on distinct candidate ids (2 per pair); cands is
+              // persisted, so the count reads the cache it forced anyway
+              val hintBroadcast = cands.count() * 2 <= MaxBroadcastCandIds
+              val histSigs = prunedHistorySignatures(
+                spark, sigPath, batchId, candIds, docPrefixes, hintBroadcast)
               MinHashPipeline.pairs(cands, histSigs.union(sigs), cfg)
             }
           } else emptyPairs(spark)
@@ -244,11 +284,12 @@ object StreamingDedup {
     * >10-value isin is demoted to a useless min/max range at pushdown.
     */
   private[graft] def prunedHistorySignatures(spark: SparkSession, sigPath: String,
-      excludeBatchId: Long, candIds: DataFrame, docPrefixes: Seq[Int]): DataFrame =
+      excludeBatchId: Long, candIds: DataFrame, docPrefixes: Seq[Int],
+      hintBroadcast: Boolean = true): DataFrame =
     spark.read.parquet(sigPath)
       .filter(col("batch_id") =!= excludeBatchId)
       .filter(col("did_prefix").isin(docPrefixes: _*))
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .join(if (hintBroadcast) broadcast(candIds) else candIds, Seq("doc_id"), "left_semi")
       .select("doc_id", "signature", "bands")
 
   private def emptyPairs(spark: SparkSession): DataFrame = {
@@ -288,13 +329,14 @@ object StreamingDedup {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(workDir), spark.sparkContext.hadoopConfiguration)
     // concurrency fence (see class doc): never delete dirs under a running
-    // processBatch, and never let one start while we hold the table
-    if (fs.exists(ingestLockPath(workDir)))
-      throw new IllegalStateException(
-        s"compact: ingest in progress (${ingestLockPath(workDir)})")
+    // processBatch, and never let one start while we hold the table.
+    // Acquire-own-first, then check the peer (mirror of processBatch).
     fs.mkdirs(new org.apache.hadoop.fs.Path(bandsPath))
     acquire(fs, compactLockPath(workDir), "compact")
     try {
+      if (fs.exists(ingestLockPath(workDir)))
+        throw new IllegalStateException(
+          s"compact: ingest in progress (${ingestLockPath(workDir)})")
       val dirs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$bandsPath/batch_id=*")))
         .map(_.toSeq).getOrElse(Seq.empty)
       if (dirs.size <= 1) return // nothing to merge

@@ -103,6 +103,26 @@ class GoldenPipelineSpec extends SparkSpec {
     val a = MinHashPipeline.goldenLines(MinHashPipeline.run(fromTxt, cfg), cfg)
     val b = MinHashPipeline.goldenLines(MinHashPipeline.run(docs, cfg), cfg)
     assert(a == b)
+
+    // offset replay: files named <id+1>.txt (the reference's --offset 1
+    // layout) ingested with idOffset=1 give 0-BASED internal ids, and the
+    // CSV/golden boundary re-adds the offset EXACTLY ONCE — the golden
+    // lines must match the reference's offset ids, not double-apply
+    val dirOff = java.nio.file.Files.createTempDirectory("golden_txt_off")
+    CorpusGen.goldenDocs.foreach { case (id, content) =>
+      java.nio.file.Files.write(dirOff.resolve(s"${id + 1}.txt"), content.getBytes("UTF-8"))
+    }
+    val cfgOff = cfg.copy(docOffset = 1L)
+    val fromOff = Main.readDocs(spark, s"textdir:$dirOff", "doc_id", "content", idOffset = 1L)
+    assert(fromOff.orderBy("doc_id").select("doc_id").collect().map(_.getLong(0)).toSeq
+      == CorpusGen.goldenDocs.map(_._1).sorted.toSeq) // 0-based internally
+    val aOff = MinHashPipeline.goldenLines(MinHashPipeline.run(fromOff, cfgOff), cfgOff)
+    // same pairs as the 0-offset run, every id shifted by exactly +1
+    val shifted = b.map { line =>
+      val p = line.split(",")
+      s"${p(0).toLong + 1},${p(1).toLong + 1},${p(2)}"
+    }
+    assert(aOff.sorted == shifted.sorted)
   }
 
   test("derive-ids ingest: id-less input_hint table gets stable natural-key doc_ids") {

@@ -158,6 +158,21 @@ class StreamingDedupSpec extends SparkSpec {
     assert(e2.getMessage.contains("ingest in progress"), e2.getMessage)
     fs.delete(ingestLock, false)
 
+    // a DIFFERENT batch's leftover ingest lock blocks a new batch...
+    val o1 = fs.create(ingestLock, false)
+    o1.write("processBatch(99)".getBytes("UTF-8")); o1.close()
+    val e2b = intercept[IllegalStateException] {
+      StreamingDedup.processBatch(spark, one, 1L, work, cfg)
+    }
+    assert(e2b.getMessage.contains("processBatch(99)"), e2b.getMessage)
+    // ...but the SAME batch's leftover lock (crash + stream replay of that
+    // batchId) is taken over — the restart self-heals instead of wedging
+    fs.delete(ingestLock, false)
+    val o2 = fs.create(ingestLock, false)
+    o2.write("processBatch(1)".getBytes("UTF-8")); o2.close()
+    StreamingDedup.processBatch(spark, one, 1L, work, cfg) // must not throw
+    assert(!fs.exists(ingestLock))
+
     // normal operation takes AND releases both locks
     StreamingDedup.processBatch(spark, one, 1L, work, cfg)
     StreamingDedup.compact(spark, work)
