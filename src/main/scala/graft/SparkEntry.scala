@@ -163,6 +163,14 @@ object SparkEntry {
     "q_mm_thumbs" -> ((s, dir) =>
       Multimodal.thumbnails(Multimodal.synthesizeAssets(documents(s, dir)))
         .toDF().select("asset_id", "thumb_w", "thumb_h").orderBy("asset_id")),
+    "q_mm_audio" -> ((s, dir) =>
+      // REAL WAV round trip: synthesizeAssets writes RIFF/WAVE via
+      // javax.sound.sampled, audioFeatures decodes it back — the oracle
+      // pins that sample_rate / sample count / duration SURVIVE the real
+      // container encode+parse (rms/zcr are DSP, covered by unit tests)
+      Multimodal.audioFeatures(Multimodal.synthesizeAssets(documents(s, dir)))
+        .toDF().select("asset_id", "sample_rate", "n_samples", "duration_ms")
+        .orderBy("asset_id")),
 
     // ---- streaming ingest (incremental dedup over micro-batches) ----
     "q_streaming_dedup" -> ((s, dir) => {
@@ -291,6 +299,17 @@ object SparkEntry {
         |SELECT asset_id, CAST(ts_ms // 1000 AS INTEGER) AS frame_idx, ts_ms
         |FROM f WHERE ts_ms // 1000 < 32
         |ORDER BY asset_id, frame_idx""".stripMargin,
+    "q_mm_audio" ->
+      // mirrors synthesizeAssets' audio arm (audio iff doc_id%3=1;
+      // duration 200+(id%16)*100 ms at 4000 Hz => n_samples = dur*4, and
+      // the decoded duration_ms = n*1000/4000 recovers dur exactly). A
+      // hash match proves the REAL RIFF/WAVE encode+parse round trip
+      // preserved rate and sample count.
+      """SELECT doc_id AS asset_id,
+        |  CAST(4000 AS INTEGER) AS sample_rate,
+        |  CAST((200 + (doc_id % 16) * 100) * 4 AS BIGINT) AS n_samples,
+        |  CAST(200 + (doc_id % 16) * 100 AS BIGINT) AS duration_ms
+        |FROM documents WHERE doc_id % 3 = 1 ORDER BY asset_id""".stripMargin,
     "q_mm_thumbs" ->
       // mirrors synthesizeAssets dims (image iff doc_id%3=0; w=64+(id%13)*32,
       // h=48+(id%7)*32) + Codec.thumbBox integer arithmetic at maxSide=256

@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * CODEC BOUNDARY: images are REAL — synthesizeAssets encodes actual PNGs
   * and [[Codec.decode]] decodes actual pixels via `javax.imageio` (ships in
-  * the JDK). Audio/video stay clearly-marked deterministic stubs (this
-  * container ships no audio/video codecs); everything around them — the
-  * schema, the binary column handling, the partition-batched kernel shape,
-  * the feature vectors feeding Similarity — is real and tested, and
-  * swapping in a real codec changes only the body of `decode`.
+  * the JDK). Audio is REAL too — payloads are actual RIFF/WAVE 16-bit PCM
+  * files written and parsed via `javax.sound.sampled` (also JDK), with
+  * decode, DSP features (RMS, zero-crossing rate) and linear resampling
+  * (the audio analog of thumbnails). Video stays a clearly-marked
+  * deterministic stub (no JDK video codec exists); everything around it —
+  * the schema, the binary column handling, the partition-batched kernel
+  * shape, the frame-sampling plan — is real and tested, and swapping in a
+  * real codec changes only the video arm of `decode`.
   */
 object Multimodal {
 
@@ -39,11 +42,15 @@ object Multimodal {
   )
 
   /** The decode boundary. Images: real `javax.imageio` PNG decode to
-    * RGB-interleaved pixel bytes. Audio/video: STUB passthrough (no codec
-    * in this container) — a real deployment swaps only this arm.
+    * RGB-interleaved pixel bytes. Audio: real `javax.sound.sampled` WAV
+    * decode to raw PCM sample bytes. Video: STUB passthrough (the JDK has
+    * no video codec) — a real deployment swaps only that arm.
     */
   object Codec {
     def decode(modality: String, payload: Array[Byte]): Array[Byte] = modality match {
+      case "audio" =>
+        try decodeWavPcm(payload)
+        catch { case _: Exception => Array.emptyByteArray } // not a WAV
       case "image" =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         if (img == null) Array.emptyByteArray
@@ -69,7 +76,110 @@ object Multimodal {
           }
           out
         }
-      case _ => payload // STUB: no audio/video codec ships with the JDK
+      case _ => payload // STUB: video only — no video codec ships with the JDK
+    }
+
+    /** The 16-bit mono PCM format every synthesized/processed WAV uses. */
+    private def pcmFormat(sampleRate: Int): javax.sound.sampled.AudioFormat =
+      new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1,
+        /*signed=*/ true, /*bigEndian=*/ false)
+
+    /** REAL WAV encode: 16-bit signed little-endian mono PCM samples ->
+      * RIFF/WAVE bytes via the JDK's `javax.sound.sampled` writer.
+      */
+    def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        bytes(2 * i) = (samples(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), pcmFormat(sampleRate), samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** REAL WAV parse via the JDK reader: (sampleRate, 16-bit LE mono PCM
+      * samples). Throws on non-WAV input.
+      */
+    def decodeWav(payload: Array[Byte]): (Int, Array[Short]) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+          s"unsupported WAV shape: $fmt (this pipeline writes 16-bit LE mono)")
+        val raw = ais.readAllBytes()
+        val out = new Array[Short]((raw.length / 2).toInt)
+        var i = 0
+        while (i < out.length) {
+          out(i) = (((raw(2 * i + 1) & 0xff) << 8) | (raw(2 * i) & 0xff)).toShort
+          i += 1
+        }
+        (fmt.getSampleRate.toInt, out)
+      } finally ais.close()
+    }
+
+    /** Raw PCM byte stream of a WAV (the audio `decode` analog of pixel
+      * bytes — feeds the shared histogram/entropy features).
+      */
+    def decodeWavPcm(payload: Array[Byte]): Array[Byte] = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try ais.readAllBytes() finally ais.close()
+    }
+
+    /** Deterministic REAL WAV: a two-tone signal whose frequencies and
+      * amplitudes are a pure function of the seed bytes — the audio analog
+      * of [[synthesizePng]].
+      */
+    def synthesizeWav(durationMs: Long, sampleRate: Int, seedBytes: Array[Byte]): Array[Byte] = {
+      val src = if (seedBytes.nonEmpty) seedBytes else Array[Byte](0)
+      def sb(i: Int): Int = src(i % src.length) & 0xff
+      val f1 = 110.0 + sb(0) * 4.0  // 110..1130 Hz
+      val f2 = 55.0 + sb(1) * 2.0
+      val a1 = 0.35 + (sb(2) / 255.0) * 0.3
+      val a2 = 0.1 + (sb(3) / 255.0) * 0.2
+      val n = (durationMs * sampleRate / 1000L).toInt
+      val samples = new Array[Short](n)
+      val w1 = 2.0 * math.Pi * f1 / sampleRate
+      val w2 = 2.0 * math.Pi * f2 / sampleRate
+      var i = 0
+      while (i < n) {
+        val v = a1 * math.sin(w1 * i) + a2 * math.sin(w2 * i)
+        samples(i) = math.max(-32768, math.min(32767, math.round(v * 32767))).toShort
+        i += 1
+      }
+      encodeWav(samples, sampleRate)
+    }
+
+    /** REAL linear resampling (the audio analog of the bilinear image
+      * resize): WAV bytes in at any of our PCM rates, WAV bytes out at
+      * `targetRate`. Linear interpolation between neighboring samples —
+      * production would use a windowed-sinc filter; the operator shape
+      * (narrow per-partition batch, payload never leaves the executor) is
+      * identical.
+      */
+    def resampleWav(payload: Array[Byte], targetRate: Int): Array[Byte] = {
+      val (rate, in) = decodeWav(payload)
+      if (rate == targetRate || in.isEmpty) return encodeWav(in, targetRate)
+      val outLen = math.max(1, (in.length.toLong * targetRate / rate).toInt)
+      val out = new Array[Short](outLen)
+      val step = rate.toDouble / targetRate
+      var i = 0
+      while (i < outLen) {
+        val pos = i * step
+        val i0 = math.min(in.length - 1, pos.toInt)
+        val i1 = math.min(in.length - 1, i0 + 1)
+        val frac = pos - i0
+        out(i) = math.round(in(i0) * (1.0 - frac) + in(i1) * frac).toShort
+        i += 1
+      }
+      encodeWav(out, targetRate)
     }
 
     def histogram16(bytes: Array[Byte]): Array[Double] = {
@@ -148,11 +258,17 @@ object Multimodal {
     }
   }
 
+  /** Sample rate of synthesized audio assets (kept low so test corpora
+    * stay small; the codec path is rate-agnostic).
+    */
+  val SynthSampleRate = 4000
+
   /** Synthesize a deterministic media-asset table from any (id, text) table
     * — image payloads are REAL PNGs (pixels a pure function of the text),
-    * audio/video payloads are the raw text bytes behind the stub arm. Lets
-    * the multimodal path run end-to-end in this sandbox with real binary
-    * columns and a real decode.
+    * audio payloads are REAL WAVs (a two-tone signal keyed by the text),
+    * video payloads are the raw text bytes behind the stub arm. Lets the
+    * multimodal path run end-to-end in this sandbox with real binary
+    * columns and real decodes.
     */
   def synthesizeAssets(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): Dataset[MediaAsset] = {
     val spark = docs.sparkSession
@@ -170,10 +286,79 @@ object Multimodal {
         }
         val w = if (modality == "image" || modality == "video") 64 + (id % 13).toInt * 32 else 0
         val h = if (w > 0) 48 + (id % 7).toInt * 32 else 0
-        val dur = if (modality != "image") 1000L + (id % 60) * 500L else 0L
-        val payload =
-          if (modality == "image") Codec.synthesizePng(w, h, bytes) else bytes
+        // audio: duration of the ACTUAL generated WAV (0.2-1.7 s keeps
+        // payloads KB-sized); video keeps its metadata-only formula
+        val dur = modality match {
+          case "audio" => 200L + (id % 16) * 100L
+          case "video" => 1000L + (id % 60) * 500L
+          case _       => 0L
+        }
+        val payload = modality match {
+          case "image" => Codec.synthesizePng(w, h, bytes)
+          case "audio" => Codec.synthesizeWav(dur, SynthSampleRate, bytes)
+          case _       => bytes
+        }
         MediaAsset(id, modality, mime, w, h, dur, payload)
+      })
+  }
+
+  /** Row of the audio-features table (REAL DSP over decoded PCM). */
+  final case class AudioFeatures(
+      asset_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      duration_ms: Long,
+      rms: Double, // root-mean-square amplitude, normalized to [0,1]
+      zcr: Double  // zero-crossing rate, crossings per sample
+  )
+
+  /** REAL audio feature extraction: WAV decode (javax.sound.sampled) +
+    * RMS + zero-crossing rate, batched per partition — narrow, no shuffle,
+    * payload never leaves the executor (same operator shape as
+    * [[extractFeatures]] / a Whisper-style embedding pass). Non-audio and
+    * undecodable assets are filtered out.
+    */
+  def audioFeatures(assets: Dataset[MediaAsset]): Dataset[AudioFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .filter(_.modality == "audio")
+      .mapPartitions(_.flatMap { a =>
+        try {
+          val (rate, s) = Codec.decodeWav(a.payload)
+          var sumSq = 0.0
+          var zc = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i) / 32768.0
+            sumSq += v * v
+            if (i > 0 && ((s(i) >= 0) != (s(i - 1) >= 0))) zc += 1
+            i += 1
+          }
+          val n = s.length
+          Iterator.single(AudioFeatures(a.asset_id, rate, n.toLong,
+            if (rate == 0) 0L else n.toLong * 1000L / rate,
+            if (n == 0) 0.0 else math.sqrt(sumSq / n),
+            if (n <= 1) 0.0 else zc.toDouble / (n - 1)))
+        } catch { case _: Exception => Iterator.empty }
+      })
+  }
+
+  /** Row of the resampled-audio table. */
+  final case class ResampledAudio(asset_id: Long, wav: Array[Byte], sample_rate: Int)
+
+  /** REAL audio resampling to a uniform rate (the audio analog of
+    * [[thumbnails]]): models normalize sample rates before feature
+    * extraction exactly like they normalize image sizes.
+    */
+  def resampleAudio(assets: Dataset[MediaAsset], targetRate: Int = 16000): Dataset[ResampledAudio] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .filter(_.modality == "audio")
+      .mapPartitions(_.flatMap { a =>
+        try Iterator.single(ResampledAudio(a.asset_id, Codec.resampleWav(a.payload, targetRate), targetRate))
+        catch { case _: Exception => Iterator.empty }
       })
   }
 

@@ -204,6 +204,23 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.85, s"recall $recall")
   }
 
+  test("ANN output is invariant under input partition layout (O18 for the extensions)") {
+    // the reference's O18 (determinism across process counts) extended to
+    // the ANN family: same rows whatever the source partitioning — guards
+    // the Lloyd-refinement and top-k-agg paths, whose naive formulations
+    // (distributed FP partial sums, arrival-order NaN ranking) would break
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val lsh1 = rows(Similarity.lshTopK(e.repartition(1), k = 5, dim = 64))
+    val lsh7 = rows(Similarity.lshTopK(e.repartition(7), k = 5, dim = 64))
+    assert(lsh1 == lsh7)
+    val ivf1 = rows(Similarity.ivfTopK(e.repartition(1), k = 5, nCentroids = 16, nProbe = 10))
+    val ivf7 = rows(Similarity.ivfTopK(e.repartition(7), k = 5, nCentroids = 16, nProbe = 10))
+    assert(ivf1 == ivf7)
+    spark.catalog.clearCache()
+  }
+
   test("token counts: ws vs bpe-ish") {
     val df = Seq((0L, "hello world"), (1L, "don't stop-me now!"), (2L, ""), (3L, "  "))
       .toDF("doc_id", "text")
@@ -341,5 +358,56 @@ class OperatorsSpec extends SparkSpec {
       val want = math.min(32, (durs(r.getLong(0)) + 999) / 1000)
       assert(r.getLong(1) == want)
     }
+  }
+
+  test("multimodal: WAV encode/decode is a REAL lossless PCM round trip") {
+    val sr = 8000
+    val samples = Array.tabulate[Short](sr / 2)(i =>
+      (math.sin(2 * math.Pi * 440.0 * i / sr) * 20000).toShort)
+    val wav = Multimodal.Codec.encodeWav(samples, sr)
+    // a real RIFF/WAVE container, not raw bytes
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val (rate, back) = Multimodal.Codec.decodeWav(wav)
+    assert(rate == sr)
+    assert(back.toSeq == samples.toSeq) // bit-exact samples through the codec
+  }
+
+  test("multimodal: audio features match analytic DSP on a pure tone; resample preserves duration") {
+    val sr = 8000
+    val f = 400.0
+    val amp = 0.5
+    val samples = Array.tabulate[Short](sr)(i =>
+      (math.sin(2 * math.Pi * f * i / sr) * amp * 32767).toShort)
+    val asset = Multimodal.MediaAsset(7L, "audio", "audio/wav", 0, 0, 1000L,
+      Multimodal.Codec.encodeWav(samples, sr))
+    val feats = Multimodal.audioFeatures(Seq(asset).toDS()).collect()
+    assert(feats.length == 1)
+    val ft = feats.head
+    assert(ft.sample_rate == sr && ft.n_samples == sr && ft.duration_ms == 1000L)
+    // pure sine: rms = amp/sqrt(2); zcr = 2 crossings per period = 2f/sr
+    assert(math.abs(ft.rms - amp / math.sqrt(2)) < 0.01, ft.rms)
+    assert(math.abs(ft.zcr - 2 * f / sr) < 0.005, ft.zcr)
+    // resample to 2x: same duration, 2x samples; tone survives (rms stable)
+    val res = Multimodal.resampleAudio(Seq(asset).toDS(), targetRate = 16000).collect().head
+    val rf = Multimodal.audioFeatures(Seq(asset.copy(payload = res.wav)).toDS()).collect().head
+    assert(rf.sample_rate == 16000 && rf.duration_ms == 1000L && rf.n_samples == 16000L)
+    assert(math.abs(rf.rms - amp / math.sqrt(2)) < 0.01, rf.rms)
+    assert(math.abs(rf.zcr - 2 * f / 16000) < 0.005, rf.zcr)
+  }
+
+  test("multimodal: synthesized audio assets decode through the shared feature path") {
+    val assets = Multimodal.synthesizeAssets(docs) // ids 0..4 -> audio at 1,4
+    val af = Multimodal.audioFeatures(assets).collect().map(a => a.asset_id -> a).toMap
+    assert(af.keySet == Set(1L, 4L))
+    assert(af(1L).duration_ms == 300L && af(1L).n_samples == 1200L) // 200+(1%16)*100 @4kHz
+    assert(af(4L).duration_ms == 600L && af(4L).n_samples == 2400L)
+    assert(af.values.forall(a => a.rms > 0.1 && a.zcr > 0))
+    // the generic byte-feature path now sees DECODED PCM for audio, with
+    // positive entropy (a real signal, not container bytes)
+    val feats = Multimodal.extractFeatures(assets).collect()
+    val audioFeat = feats.find(_.asset_id == 1L).get
+    assert(audioFeat.modality == "audio" && audioFeat.n_bytes == 2 * 1200L)
+    assert(audioFeat.byte_entropy > 1.0)
   }
 }
