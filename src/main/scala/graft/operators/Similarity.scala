@@ -225,7 +225,11 @@ object Similarity {
     }
     def zero: Seq[(Long, Double)] = Seq.empty
     def reduce(buf: Seq[(Long, Double)], row: (Long, Long, Double)): Seq[(Long, Double)] =
-      insert(buf, (row._2, row._3))
+      // + 0.0 canonicalizes IEEE negative zero: Double.compare(-0.0, 0.0)
+      // is -1 but Spark's sort keys treat them as equal — without this a
+      // last-slot tie between a +0.0 and a -0.0 cosine would resolve
+      // differently here than in the window/brute-force formulations
+      insert(buf, (row._2, row._3 + 0.0))
     def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
       b.foldLeft(a)(insert)
     def finish(buf: Seq[(Long, Double)]): Seq[(Long, Double)] = buf
@@ -356,8 +360,8 @@ object Similarity {
     val base = Spread(
       corpus.select(col(idCol).cast("long").as("vid"), asDouble(col(vecCol)).as("vec")))
       .as[(Long, Array[Double])]
-      // consumed 2 + lloydIters times (seed collect, Lloyd passes, assign,
-      // probe) — un-persisted, the scan+cast re-runs per consumer
+      // consumed 3 times (index-build sample collect, list assignment,
+      // query probes) — un-persisted, the scan+cast re-runs per consumer
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // deterministic index-build sample: smallest ids by (id-hash, id) —
     // the TOTAL order (hash ties broken by vid) fixes both membership and

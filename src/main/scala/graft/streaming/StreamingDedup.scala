@@ -105,17 +105,29 @@ object StreamingDedup {
   private def ingestLockPath(workDir: String) =
     new org.apache.hadoop.fs.Path(s"$workDir/bands/_ingest_lock")
 
+  /** Minimum age of a same-identity leftover lock before a replay may take
+    * it over. The lease distinguishes "crashed run's corpse" from "live but
+    * stalled holder" (zombie driver, long GC pause): a genuinely live
+    * processBatch touches nothing for this long only in pathological
+    * stalls, and racing one would corrupt the batch dirs — so younger
+    * same-identity locks still fail fast.
+    */
+  val LockTakeoverLeaseMs: Long = 10L * 60L * 1000L
+
   /** Take `lock` atomically (create-if-absent) or throw naming the holder.
     * A crash leaves the lock behind BY DESIGN — fail-fast beats silently
     * racing a maybe-still-running job; the error says how to clear it.
     *
     * `takeoverSameIdent`: when the existing lock's recorded holder is THIS
-    * EXACT unit of work (same batchId), take it over — a crashed
-    * processBatch is replayed by the stream with the identical identity,
-    * and blocking that replay would wedge the restarted stream forever on
-    * its own corpse. Two live holders with the same batchId cannot exist
-    * (one stream owns a batch), so the takeover is safe. compact does NOT
-    * take over (two compacts are indistinguishable from crashed-vs-live).
+    * EXACT unit of work (same batchId) AND the lock is older than
+    * [[LockTakeoverLeaseMs]], take it over — a crashed processBatch is
+    * replayed by the stream with the identical identity, and blocking that
+    * replay would wedge the restarted stream forever on its own corpse.
+    * The lease guards the zombie case (a stalled-but-live holder with the
+    * same identity, e.g. a declared-dead driver whose JVM still runs);
+    * within the lease the replay fails fast and retries later. compact
+    * does NOT take over (two compacts are indistinguishable from
+    * crashed-vs-live and share one identity).
     */
   private def acquire(fs: org.apache.hadoop.fs.FileSystem,
                       lock: org.apache.hadoop.fs.Path, what: String,
@@ -123,20 +135,31 @@ object StreamingDedup {
     def create(): Boolean =
       try { val out = fs.create(lock, false); out.write(what.getBytes("UTF-8")); out.close(); true }
       catch { case _: java.io.IOException => false }
-    if (create()) return
-    val holder =
+    def readHolder(): String =
       try {
         val in = fs.open(lock)
         val b = new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
         in.close(); b
       } catch { case _: java.io.IOException => "<unreadable>" }
-    if (takeoverSameIdent && holder == what) {
+    if (create()) return
+    val holder = readHolder()
+    val ageMs =
+      try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+      catch { case _: java.io.IOException => 0L }
+    if (takeoverSameIdent && holder == what && ageMs > LockTakeoverLeaseMs) {
       fs.delete(lock, false)
       if (create()) return
+      // the re-create raced a peer — report the CURRENT holder, not the
+      // corpse we just removed
+      throw new IllegalStateException(
+        s"$what: lock $lock takeover raced a concurrent acquirer " +
+          s"(now held by '${readHolder()}')")
     }
     throw new IllegalStateException(
-      s"$what: lock $lock is held by '$holder' (concurrent maintenance/ingest, or a " +
-        "crashed run left it behind — verify no job is running, then delete the lock file)")
+      s"$what: lock $lock is held by '$holder' (age ${ageMs / 1000}s — concurrent " +
+        "maintenance/ingest, or a crashed run left it behind; same-identity locks " +
+        s"self-heal after ${LockTakeoverLeaseMs / 1000}s, or verify no job is " +
+        "running and delete the lock file)")
   }
 
   /** One micro-batch of incremental dedup — public so tests can drive

@@ -165,11 +165,19 @@ class StreamingDedupSpec extends SparkSpec {
       StreamingDedup.processBatch(spark, one, 1L, work, cfg)
     }
     assert(e2b.getMessage.contains("processBatch(99)"), e2b.getMessage)
-    // ...but the SAME batch's leftover lock (crash + stream replay of that
-    // batchId) is taken over — the restart self-heals instead of wedging
+    // ...a FRESH same-batch lock is also fenced (the holder could be a
+    // live-but-stalled zombie — the lease hasn't expired)...
     fs.delete(ingestLock, false)
     val o2 = fs.create(ingestLock, false)
     o2.write("processBatch(1)".getBytes("UTF-8")); o2.close()
+    val e2c = intercept[IllegalStateException] {
+      StreamingDedup.processBatch(spark, one, 1L, work, cfg)
+    }
+    assert(e2c.getMessage.contains("self-heal"), e2c.getMessage)
+    // ...but once older than the takeover lease (crash + stream replay of
+    // that batchId), it is taken over — the restart self-heals
+    val stale = System.currentTimeMillis() - StreamingDedup.LockTakeoverLeaseMs - 60000L
+    fs.setTimes(ingestLock, stale, stale)
     StreamingDedup.processBatch(spark, one, 1L, work, cfg) // must not throw
     assert(!fs.exists(ingestLock))
 
