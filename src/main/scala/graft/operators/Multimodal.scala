@@ -273,8 +273,7 @@ object Multimodal {
   def synthesizeAssets(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): Dataset[MediaAsset] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+    Spread(docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val bytes = (if (text == null) "" else text).getBytes("UTF-8")

@@ -69,11 +69,18 @@ object StreamProbe {
     // signature-prune evidence: replay the LAST batch's candidate discovery
     // against its prior history and count how many history signature rows
     // the pruned production read (prunedHistorySignatures) actually joins —
-    // must be << the history signature count (the old code joined ALL of it)
+    // must be << the history signature count (the old code joined ALL of it).
+    // Batch membership comes from the SIGNATURES table (never compacted);
+    // the bands table's batch_id dirs collapse into negative generations
+    // after compact(), so they can't identify "the last batch" here.
     import org.apache.spark.sql.functions._
-    val lastBatch = spark.read.parquet(s"$work/bands").agg(max("batch_id")).head().getInt(0).toLong
-    val batchBands = spark.read.parquet(s"$work/bands").filter($"batch_id" === lastBatch)
-    val histBands = spark.read.parquet(s"$work/bands").filter($"batch_id" =!= lastBatch)
+    val lastBatch = spark.read.parquet(s"$work/signatures")
+      .agg(max("batch_id")).head().getInt(0).toLong
+    val lastDocs = spark.read.parquet(s"$work/signatures")
+      .filter($"batch_id" === lastBatch).select("doc_id")
+    val allBands = spark.read.parquet(s"$work/bands")
+    val batchBands = allBands.join(broadcast(lastDocs), Seq("doc_id"), "left_semi")
+    val histBands = allBands.join(broadcast(lastDocs), Seq("doc_id"), "left_anti")
     val cands = histBands.alias("h")
       .join(broadcast(batchBands.alias("b")),
         col("h.band_idx") === col("b.band_idx") &&

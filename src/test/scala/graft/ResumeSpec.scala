@@ -27,9 +27,14 @@ class ResumeSpec extends SparkSpec {
     assert(log2.computed.isEmpty && log2.skipped.size == 4)
     assert(c2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == clusters1)
 
-    // simulate failure after 'candidates': later stages gone
+    // the clusters stage table is the durable copy — the per-iteration CC
+    // scratch dir must be gone once the stage committed (no stale label
+    // tables accumulating across reruns)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(work), spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/_cc_scratch")))
+
+    // simulate failure after 'candidates': later stages gone
     fs.delete(new org.apache.hadoop.fs.Path(s"$work/pairs"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$work/clusters"), true)
     val (c3, log3) = new CheckpointedPipeline(spark, cfg, work).run(docs)
