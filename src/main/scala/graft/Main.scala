@@ -12,8 +12,13 @@ import org.apache.spark.sql.functions._
   *   graft.Main --input <parquet path | synth:<nFiles> | textdir:<dir>> --output <dir>
   *     [--shingle 3] [--signature 100] [--bandrows 4] [--seed 13]
   *     [--threshold 0.1] [--offset 0] [--star-cap N] [--text-col content] [--id-col doc_id]
-  *     [--verbose true] [--dedup-corpus true] [--content-fingerprint true]
-  *     [--pairs-csv true]
+  *     [--candidate-partitions N] [--verbose true] [--dedup-corpus true]
+  *     [--content-fingerprint true] [--pairs-csv true]
+  *
+  * `--candidate-partitions` sizes the bucket-key exchange (the pipeline's
+  * big shuffle) independently of spark.sql.shuffle.partitions — the
+  * per-stage tuning knob for 100 TB runs (see
+  * MinHashPipeline.candidates).
   *
   * `--derive-ids true` ingests the BASELINE input_hint table shape —
   * (repo, path, commit, lang, content), no id column — assigning doc_id by
@@ -146,16 +151,20 @@ object Main {
         .option("pathGlobFilter", "*.txt")
         .load(dir)
         // the id is the WHOLE basename (anchored): "v2_123.txt" must not
-        // silently collide with "123.txt", and a digit-less name must not
-        // become a null id — both fail fast below instead
+        // silently collide with "123.txt", a digit-less name must not
+        // become a null id, "007.txt" must not collide with "7.txt"
+        // (no leading zeros), and an over-Long digit string must not cast
+        // to null — all fail fast below instead (<=18 digits always fits
+        // in a signed 64-bit id)
         .select(
           element_at(split(col("path"), "/"), -1).as("base"),
           decode(col("content"), "UTF-8").as("content"))
-      val bad = raw.filter(!col("base").rlike("^[0-9]+\\.txt$"))
+      val bad = raw.filter(!col("base").rlike("^(0|[1-9][0-9]{0,17})\\.txt$"))
         .select("base").limit(5).collect().map(_.getString(0))
       require(bad.isEmpty,
-        s"textdir ingest: ${bad.length}+ .txt files whose names are not pure " +
-          s"<digits>.txt (reference layout): ${bad.mkString(", ")}")
+        s"textdir ingest: ${bad.length}+ .txt files whose names are not canonical " +
+          s"<digits>.txt (reference layout; no leading zeros, <=18 digits): " +
+          bad.mkString(", "))
       // internal ids are ALWAYS 0-based; textdir filenames already carry
       // the reference's offset (the reference reads <offset+i>.txt and
       // prints offset+i, src/MPI/io_interface.c), and the CSV/golden

@@ -59,6 +59,12 @@ object ConnectedComponents {
     val p0 = pairs
       .select(col("doc1").cast("long").as("src"), col("doc2").cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // everything after the persist runs under the try: the count() below
+    // executes the full upstream pair pipeline, and a failure there must
+    // still unpersist p0 (a long-lived session retrying cluster() would
+    // otherwise pin one orphaned pair cache per failed attempt)
+    val priorShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
     val edges = p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
 
     // Iterate only over nodes that actually appear in an edge; the (vastly
@@ -75,11 +81,9 @@ object ConnectedComponents {
     // the LOOP's exchanges to the edge count (~100k rows/partition), never
     // above the session conf; restored in the finally. The count() also
     // forces the p0 cache before the loop re-reads it every iteration.
-    val priorShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val loopWidth = math.max(1L,
       math.min(priorShuffle.toLong, p0.count() * 2 / 100000L + 1L))
     spark.conf.set("spark.sql.shuffle.partitions", loopWidth.toString)
-    try {
 
     def materialize(df: DataFrame, iter: Int): DataFrame =
       reliableCheckpointDir match {

@@ -292,14 +292,18 @@ object Similarity {
   def lshTopK(corpus: DataFrame, k: Int, dim: Int, nTables: Int = 24, bandBits: Int = 8,
               seed: Long = 42L, multiProbe: Boolean = true, nProbes: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val probeFan = if (multiProbe) nProbes else 0
+    // multiProbe with nProbes=0 degrades to plain bucket probing (NOT an
+    // empty probe list, which would posexplode to zero probe rows and
+    // silently return no neighbors at all)
+    val useProbes = multiProbe && nProbes > 0
+    val probeFan = if (useProbes) nProbes else 0
     val sketch = sketchRows(corpus, dim, nTables, bandBits, seed, idCol, vecCol, probeFan)
     val exploded = bucketIds(sketch)
     // candidate pairs carry IDS ONLY through the bucket join + distinct —
     // shuffling the vector payloads through dropDuplicates costs ~1000x the
     // bytes (measured 108 s -> ~2 s on 2k vectors / 1M candidate rows).
     // Vectors join back once per side afterwards, off the persisted sketch.
-    val a = (if (multiProbe) probeIds(sketch, nProbes) else exploded).alias("a")
+    val a = (if (useProbes) probeIds(sketch, nProbes) else exploded).alias("a")
     val b = exploded.alias("b")
     // NO distinct here: a pair hit through several tables/probes flows
     // through the (broadcast) vector join-backs more than once, and the
@@ -469,7 +473,10 @@ object Similarity {
                             nTables: Int = 12, bandBits: Int = 8, seed: Long = 42L,
                             multiProbe: Boolean = true, nProbes: Int = 8,
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val probeFan = if (multiProbe) nProbes else 0
+    // same degradation rule as lshTopK: nProbes=0 means plain buckets,
+    // never an empty probe side
+    val useProbes = multiProbe && nProbes > 0
+    val probeFan = if (useProbes) nProbes else 0
     val sketch = sketchRows(corpus, dim, nTables, bandBits, seed, idCol, vecCol, probeFan)
     val exploded = bucketIds(sketch)
     // multiprobe matters MORE here than for top-k: near-dup thresholds like
@@ -479,7 +486,7 @@ object Similarity {
     // Default nProbes = bandBits (all flips = blind Hamming-1 probing):
     // far pairs don't concentrate their disagreements in the low-margin
     // bits the way near neighbors do, so the full fan earns its cost here.
-    val a = (if (multiProbe) probeIds(sketch, nProbes) else exploded).alias("a")
+    val a = (if (useProbes) probeIds(sketch, nProbes) else exploded).alias("a")
     val b = exploded.alias("b")
     val candIds = a
       .join(

@@ -147,10 +147,36 @@ object StreamingDedup {
       try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
       catch { case _: java.io.IOException => 0L }
     if (takeoverSameIdent && holder == what && ageMs > LockTakeoverLeaseMs) {
-      fs.delete(lock, false)
-      if (create()) return
-      // the re-create raced a peer — report the CURRENT holder, not the
-      // corpse we just removed
+      // Atomic takeover CLAIM: rename the corpse aside instead of
+      // delete+create. delete+create is racy — a second replayer's delete
+      // can remove the first replayer's FRESH lock, after which both
+      // create() and both proceed. rename(lock, tomb) has one winner per
+      // file instance; and because rename preserves mtime, re-checking the
+      // lease age ON THE TOMB detects the local-FS overwrite case where our
+      // rename grabbed a peer's fresh lock that replaced the corpse between
+      // our read and our claim (we restore it and back off).
+      val tomb = new org.apache.hadoop.fs.Path(
+        lock.getParent, s".${lock.getName}.takeover.$ageMs.${System.nanoTime()}")
+      val claimed =
+        try fs.rename(lock, tomb)
+        catch { case _: java.io.IOException => false }
+      if (claimed) {
+        val tombIsCorpse =
+          try {
+            val st = fs.getFileStatus(tomb)
+            System.currentTimeMillis() - st.getModificationTime > LockTakeoverLeaseMs
+          } catch { case _: java.io.IOException => false }
+        if (tombIsCorpse) {
+          fs.delete(tomb, false)
+          if (create()) return
+        } else {
+          // we renamed a LIVE lock (a peer won the takeover and re-created
+          // first) — put it back and fail fast
+          try fs.rename(tomb, lock)
+          catch { case _: java.io.IOException => () }
+        }
+      }
+      // the claim raced a peer — report the CURRENT holder, not the corpse
       throw new IllegalStateException(
         s"$what: lock $lock takeover raced a concurrent acquirer " +
           s"(now held by '${readHolder()}')")
@@ -308,12 +334,25 @@ object StreamingDedup {
     */
   private[graft] def prunedHistorySignatures(spark: SparkSession, sigPath: String,
       excludeBatchId: Long, candIds: DataFrame, docPrefixes: Seq[Int],
-      hintBroadcast: Boolean = true): DataFrame =
-    spark.read.parquet(sigPath)
+      hintBroadcast: Boolean = true): DataFrame = {
+    val hist = spark.read.parquet(sigPath)
       .filter(col("batch_id") =!= excludeBatchId)
-      .filter(col("did_prefix").isin(docPrefixes: _*))
+    // MIGRATION: signature batches written before the did_prefix column
+    // existed must not be silently dropped (that kills cross-history recall
+    // — the cardinal failure). Depending on which file Spark samples for
+    // the schema, the column is either absent entirely (skip the prefix
+    // prune — the exact semi-join below still filters) or null on
+    // pre-upgrade rows (the isNull arm keeps them; post-upgrade files have
+    // null_count=0 so the pushed IsNull prunes away and the In still
+    // row-group-skips them).
+    val pruned =
+      if (hist.columns.contains("did_prefix"))
+        hist.filter(col("did_prefix").isNull || col("did_prefix").isin(docPrefixes: _*))
+      else hist
+    pruned
       .join(if (hintBroadcast) broadcast(candIds) else candIds, Seq("doc_id"), "left_semi")
       .select("doc_id", "signature", "bands")
+  }
 
   private def emptyPairs(spark: SparkSession): DataFrame = {
     import spark.implicits._

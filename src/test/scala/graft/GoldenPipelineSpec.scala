@@ -163,4 +163,19 @@ class GoldenPipelineSpec extends SparkSpec {
     assert(j((6L, 7L)) == 1.0) // both empty shingle sets (Q3 semantics)
     assert(j((0L, 2L)) > 0.5 && j((0L, 2L)) < 1.0)
   }
+
+  test("textdir ingest fails fast on non-canonical file names") {
+    // "007.txt" would silently collide with "7.txt" (both cast to id 7) and
+    // a >18-digit name would cast to a null id — both must be rejected, not
+    // ingested
+    for (bad <- Seq("007.txt", "9999999999999999999999.txt", "v2_123.txt")) {
+      val dir = java.nio.file.Files.createTempDirectory("bad_txt")
+      java.nio.file.Files.write(dir.resolve("3.txt"), "fine".getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve(bad), "bad".getBytes("UTF-8"))
+      val e = intercept[IllegalArgumentException] {
+        Main.readDocs(spark, s"textdir:$dir", "doc_id", "content")
+      }
+      assert(e.getMessage.contains(bad), e.getMessage)
+    }
+  }
 }

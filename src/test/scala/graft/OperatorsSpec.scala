@@ -170,6 +170,28 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.85, s"recall $recall")
   }
 
+  test("lshTopK/embeddingNearDupPairs with nProbes=0 degrade to plain buckets, not empty") {
+    // multiProbe=true + nProbes=0 used to store an EMPTY probe array and
+    // posexplode it to zero probe rows — every query silently had no
+    // neighbors. It must mean "no extra probes" = the multiProbe=false path.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plain = Similarity.lshTopK(e, k = 5, dim = 64, multiProbe = false)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val zeroProbe = Similarity.lshTopK(e, k = 5, dim = 64, multiProbe = true, nProbes = 0)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(zeroProbe == plain)
+    assert(zeroProbe.nonEmpty)
+    val pairsPlain = Similarity.embeddingNearDupPairs(e, minCosine = 0.4, dim = 64,
+        multiProbe = false)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairsZero = Similarity.embeddingNearDupPairs(e, minCosine = 0.4, dim = 64,
+        multiProbe = true, nProbes = 0)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsZero == pairsPlain)
+    assert(pairsZero.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("ivfTopK recall vs brute force on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = e.filter($"vec_id" < 20)

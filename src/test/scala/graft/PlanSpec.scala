@@ -168,4 +168,33 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("codegen id"), plan)
     assert(df.count() > 0)
   }
+
+  test("Spread is the identity on exchange-bearing plans and probes without a job") {
+    // Under AQE, probing partition count with .rdd on a plan that contains
+    // an exchange MATERIALIZES the upstream shuffle stages (runs the map
+    // jobs) at construction time, and the real query then runs them again.
+    // Spread must therefore return exchange-bearing plans untouched and
+    // never launch a job while deciding.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text").as("content"))
+    val shuffled = docs.groupBy("doc_id").agg(first(col("content")).as("content"))
+    spark.sparkContext.addSparkListener(listener)
+    val out =
+      try {
+        val o = graft.operators.Spread(shuffled)
+        Thread.sleep(500) // listener bus is async; a probe job would have fired
+        o
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(out eq shuffled, "exchange-bearing input must pass through untouched")
+    assert(jobs.get() == 0, s"Spread probe launched ${jobs.get()} job(s)")
+    // ...and the scan-narrow probe path still spreads a one-file source
+    assert(graft.operators.Spread(docs).rdd.getNumPartitions
+      == spark.sparkContext.defaultParallelism)
+  }
 }

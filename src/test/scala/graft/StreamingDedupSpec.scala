@@ -221,4 +221,37 @@ class StreamingDedupSpec extends SparkSpec {
       .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((103L, 9999L)), pairs.toString)
   }
+
+  test("pre-upgrade signature batches (no did_prefix column) still join cross-history") {
+    // MIGRATION: a workDir whose signature dirs were written before the
+    // did_prefix prune column existed must not silently lose those docs
+    // from the history-similarity join (recall would die silently)
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
+    val work = java.nio.file.Files.createTempDirectory("stream_migrate").toString
+    val textA = "the quick brown fox jumps over the lazy dog while rain falls on the hills"
+    val textB = "completely different content about spark structured streaming micro batches and state"
+
+    // batch 0 in the PRE-UPGRADE layout: signatures without did_prefix
+    val docs0 = Seq((0L, textA), (1L, textB)).toDF("doc_id", "content")
+    val sigs0 = graft.operators.MinHashPipeline.signatures(docs0, cfg).toDF()
+    sigs0.coalesce(1).write.parquet(s"$work/signatures/batch_id=0")
+    graft.operators.MinHashPipeline.bandBuckets(sigs0)
+      .withColumn("bh_prefix", pmod(col("band_hash"), lit(StreamingDedup.NumBandPrefixes)))
+      .select("doc_id", "band_idx", "band_hash", "bh_prefix")
+      .coalesce(1).write.parquet(s"$work/bands/batch_id=0")
+
+    // batch 1 in the CURRENT layout -> the history is mixed-schema
+    StreamingDedup.processBatch(spark,
+      Seq((5L, "some very unique text about nothing else in particular today"))
+        .toDF("doc_id", "content"), 1L, work, cfg)
+
+    // batch 2 duplicates the pre-upgrade doc 0: the cross-history pair must
+    // surface whichever file Spark samples the signature schema from
+    StreamingDedup.processBatch(spark,
+      Seq((10L, textA)).toDF("doc_id", "content"), 2L, work, cfg)
+    val got = spark.read.parquet(s"$work/pairs")
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 10L)), got.toString)
+    assert(!got.contains((1L, 10L)), got.toString) // different text stays distinct
+  }
 }
