@@ -171,6 +171,14 @@ object SparkEntry {
       Multimodal.audioFeatures(Multimodal.synthesizeAssets(documents(s, dir)))
         .toDF().select("asset_id", "sample_rate", "n_samples", "duration_ms")
         .orderBy("asset_id")),
+    "q_mm_video" -> ((s, dir) =>
+      // REAL Y4M round trip: synthesizeAssets writes an actual YUV4MPEG2
+      // stream, videoFeatures parses it back — the oracle pins that dims /
+      // frame count / duration SURVIVE the real container encode+parse
+      // (mean_luma/motion are pixel DSP, covered by unit tests)
+      Multimodal.videoFeatures(Multimodal.synthesizeAssets(documents(s, dir)))
+        .toDF().select("asset_id", "width", "height", "n_frames", "duration_ms")
+        .orderBy("asset_id")),
 
     // ---- streaming ingest (incremental dedup over micro-batches) ----
     "q_streaming_dedup" -> ((s, dir) => {
@@ -310,6 +318,18 @@ object SparkEntry {
         |  CAST((200 + (doc_id % 16) * 100) * 4 AS BIGINT) AS n_samples,
         |  CAST(200 + (doc_id % 16) * 100 AS BIGINT) AS duration_ms
         |FROM documents WHERE doc_id % 3 = 1 ORDER BY asset_id""".stripMargin,
+    "q_mm_video" ->
+      // mirrors synthesizeAssets' video arm (video iff doc_id%3=2; dims
+      // 48+(id%4)*16 x 32+(id%3)*16; duration 1000+(id%60)*500 ms at 4 fps
+      // => n_frames = dur/250, and the decoded duration n_frames*250
+      // recovers dur exactly). A hash match proves the REAL YUV4MPEG2
+      // encode+parse round trip preserved dims, frame count and timing.
+      """SELECT doc_id AS asset_id,
+        |  CAST(48 + (doc_id % 4) * 16 AS INTEGER) AS width,
+        |  CAST(32 + (doc_id % 3) * 16 AS INTEGER) AS height,
+        |  CAST((1000 + (doc_id % 60) * 500) // 250 AS BIGINT) AS n_frames,
+        |  CAST(1000 + (doc_id % 60) * 500 AS BIGINT) AS duration_ms
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY asset_id""".stripMargin,
     "q_mm_thumbs" ->
       // mirrors synthesizeAssets dims (image iff doc_id%3=0; w=64+(id%13)*32,
       // h=48+(id%7)*32) + Codec.thumbBox integer arithmetic at maxSide=256

@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   * the JDK). Audio is REAL too — payloads are actual RIFF/WAVE 16-bit PCM
   * files written and parsed via `javax.sound.sampled` (also JDK), with
   * decode, DSP features (RMS, zero-crossing rate) and linear resampling
-  * (the audio analog of thumbnails). Video stays a clearly-marked
-  * deterministic stub (no JDK video codec exists); everything around it —
-  * the schema, the binary column handling, the partition-batched kernel
-  * shape, the frame-sampling plan — is real and tested, and swapping in a
-  * real codec changes only the video arm of `decode`.
+  * (the audio analog of thumbnails). Video is REAL as well: payloads are
+  * actual YUV4MPEG2 (.y4m) streams — the standard UNCOMPRESSED video
+  * container (ffmpeg/mplayer-compatible: ASCII stream header, `FRAME`
+  * markers, planar 4:2:0 YUV) — written and parsed by [[Codec.encodeY4m]]/
+  * [[Codec.decodeY4m]], with real frame grabs (YUV->RGB->PNG via the image
+  * path), per-frame luma statistics and a temporal-motion measure.
+  * Compressed codecs (H.264 etc.) would swap in at the same boundary; the
+  * container round trip, pixel math and every operator around it are real.
   */
 object Multimodal {
 
@@ -43,14 +46,24 @@ object Multimodal {
 
   /** The decode boundary. Images: real `javax.imageio` PNG decode to
     * RGB-interleaved pixel bytes. Audio: real `javax.sound.sampled` WAV
-    * decode to raw PCM sample bytes. Video: STUB passthrough (the JDK has
-    * no video codec) — a real deployment swaps only that arm.
+    * decode to raw PCM sample bytes. Video: real YUV4MPEG2 parse to the
+    * concatenated raw planar YUV frame bytes.
     */
   object Codec {
     def decode(modality: String, payload: Array[Byte]): Array[Byte] = modality match {
       case "audio" =>
         try decodeWavPcm(payload)
         catch { case _: Exception => Array.emptyByteArray } // not a WAV
+      case "video" =>
+        try {
+          val v = decodeY4m(payload)
+          val out = new Array[Byte](v.frames.map(_.length).sum)
+          var off = 0
+          v.frames.foreach { f =>
+            System.arraycopy(f, 0, out, off, f.length); off += f.length
+          }
+          out
+        } catch { case _: Exception => Array.emptyByteArray } // not a Y4M
       case "image" =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         if (img == null) Array.emptyByteArray
@@ -76,7 +89,139 @@ object Multimodal {
           }
           out
         }
-      case _ => payload // STUB: video only — no video codec ships with the JDK
+      case _ => Array.emptyByteArray // unknown modality
+    }
+
+    /** A decoded YUV4MPEG2 stream: planar 4:2:0 frames (Y w×h, then U and V
+      * each (w/2)×(h/2) — frame size w·h·3/2).
+      */
+    final case class Y4mVideo(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+                              frames: IndexedSeq[Array[Byte]]) {
+      def durationMs: Long =
+        if (fpsNum == 0) 0L else frames.length.toLong * 1000L * fpsDen / fpsNum
+    }
+
+    /** REAL Y4M (YUV4MPEG2) encode: the standard uncompressed video
+      * container — one ASCII stream header (`YUV4MPEG2 W.. H.. F..:..
+      * Ip A1:1 C420`), then per frame an ASCII `FRAME` marker followed by
+      * raw planar 4:2:0 YUV. The output plays in ffmpeg/mplayer as-is.
+      * Dims must be even (4:2:0 subsampling).
+      */
+    def encodeY4m(frames: Seq[Array[Byte]], w: Int, h: Int,
+                  fpsNum: Int, fpsDen: Int = 1): Array[Byte] = {
+      require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0, s"C420 needs even dims, got ${w}x$h")
+      val frameBytes = w * h * 3 / 2
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 C420\n".getBytes("US-ASCII"))
+      frames.foreach { f =>
+        require(f.length == frameBytes, s"frame has ${f.length} bytes, want $frameBytes")
+        bos.write("FRAME\n".getBytes("US-ASCII"))
+        bos.write(f)
+      }
+      bos.toByteArray
+    }
+
+    /** REAL Y4M parse (the inverse of [[encodeY4m]]); throws on anything
+      * that is not a C420 YUV4MPEG2 stream.
+      */
+    def decodeY4m(payload: Array[Byte]): Y4mVideo = {
+      var i = 0
+      while (i < payload.length && payload(i) != '\n') i += 1
+      require(i < payload.length, "no Y4M header line")
+      val header = new String(payload, 0, i, "US-ASCII")
+      val parts = header.split(" ")
+      require(parts.nonEmpty && parts(0) == "YUV4MPEG2", s"not a Y4M stream: $header")
+      var w = 0; var h = 0; var fn = 25; var fd = 1; var chroma = "420"
+      parts.iterator.drop(1).filter(_.nonEmpty).foreach { p =>
+        p.charAt(0) match {
+          case 'W' => w = p.substring(1).toInt
+          case 'H' => h = p.substring(1).toInt
+          case 'F' =>
+            val a = p.substring(1).split(":"); fn = a(0).toInt; fd = a(1).toInt
+          case 'C' => chroma = p.substring(1)
+          case _   => () // interlacing/aspect/extension params: irrelevant here
+        }
+      }
+      require(w > 0 && h > 0, s"bad dims in Y4M header: $header")
+      require(chroma.startsWith("420"),
+        s"unsupported chroma C$chroma (this pipeline writes C420)")
+      val frameBytes = w * h * 3 / 2
+      val frames = scala.collection.immutable.IndexedSeq.newBuilder[Array[Byte]]
+      var pos = i + 1
+      while (pos < payload.length) {
+        var e = pos
+        while (e < payload.length && payload(e) != '\n') e += 1
+        val marker = new String(payload, pos, e - pos, "US-ASCII")
+        require(marker.startsWith("FRAME"), s"bad Y4M frame marker: $marker")
+        pos = e + 1
+        require(pos + frameBytes <= payload.length, "truncated Y4M frame")
+        frames += java.util.Arrays.copyOfRange(payload, pos, pos + frameBytes)
+        pos += frameBytes
+      }
+      Y4mVideo(w, h, fn, fd, frames.result())
+    }
+
+    /** Deterministic REAL Y4M: each frame's luma is a diagonal gradient
+      * whose phase advances per frame (genuine inter-frame motion, keyed by
+      * the seed bytes), chroma planes rotate slowly — the video analog of
+      * [[synthesizePng]]/[[synthesizeWav]].
+      */
+    def synthesizeY4m(w: Int, h: Int, nFrames: Int, fpsNum: Int,
+                      seedBytes: Array[Byte]): Array[Byte] = {
+      val src = if (seedBytes.nonEmpty) seedBytes else Array[Byte](0)
+      def sb(i: Int): Int = src(i % src.length) & 0xff
+      val step = 1 + sb(0) % 7 // per-frame luma phase advance
+      val frames = (0 until nFrames).map { f =>
+        val fr = new Array[Byte](w * h * 3 / 2)
+        var idx = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            fr(idx) = ((x * 2 + y * 3 + f * step + sb(1)) & 0xff).toByte
+            idx += 1
+            x += 1
+          }
+          y += 1
+        }
+        java.util.Arrays.fill(fr, w * h, w * h + w * h / 4, ((sb(2) + f) & 0xff).toByte)
+        java.util.Arrays.fill(fr, w * h + w * h / 4, fr.length, ((sb(3) + 2 * f) & 0xff).toByte)
+        fr
+      }
+      encodeY4m(frames, w, h, fpsNum)
+    }
+
+    /** One REAL frame grab: planar 4:2:0 YUV -> RGB (BT.601 full-range
+      * integer math) -> PNG bytes via the image path.
+      */
+    def frameToPng(v: Y4mVideo, frameIdx: Int): Array[Byte] = {
+      val f = v.frames(frameIdx)
+      val w = v.width
+      val h = v.height
+      val cw = w / 2
+      val uOff = w * h
+      val vOff = uOff + cw * (h / 2)
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      def clamp(x: Int): Int = if (x < 0) 0 else if (x > 255) 255 else x
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yy = f(y * w + x) & 0xff
+          val ci = (y / 2) * cw + (x / 2)
+          val u = (f(uOff + ci) & 0xff) - 128
+          val vv = (f(vOff + ci) & 0xff) - 128
+          val r = clamp(yy + ((91881 * vv) >> 16))
+          val g = clamp(yy - ((22554 * u + 46802 * vv) >> 16))
+          val b = clamp(yy + ((116130 * u) >> 16))
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
     }
 
     /** The 16-bit mono PCM format every synthesized/processed WAV uses. */
@@ -263,12 +408,20 @@ object Multimodal {
     */
   val SynthSampleRate = 4000
 
+  /** Frame rate of synthesized video assets: 4 fps (one frame per 250 ms)
+    * keeps uncompressed Y4M payloads KB-sized; the codec path is
+    * rate-agnostic. With the duration formula (a multiple of 500 ms) the
+    * frame count is exactly duration_ms/250.
+    */
+  val SynthVideoFps = 4
+
   /** Synthesize a deterministic media-asset table from any (id, text) table
     * — image payloads are REAL PNGs (pixels a pure function of the text),
     * audio payloads are REAL WAVs (a two-tone signal keyed by the text),
-    * video payloads are the raw text bytes behind the stub arm. Lets the
-    * multimodal path run end-to-end in this sandbox with real binary
-    * columns and real decodes.
+    * video payloads are REAL YUV4MPEG2 streams (a moving gradient keyed by
+    * the text; small even dims, since every frame ships uncompressed).
+    * Lets the multimodal path run end-to-end in this sandbox with real
+    * binary columns and real decodes.
     */
   def synthesizeAssets(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): Dataset[MediaAsset] = {
     val spark = docs.sparkSession
@@ -281,12 +434,19 @@ object Multimodal {
           case 0 => "image"; case 1 => "audio"; case _ => "video"
         }
         val mime = modality match {
-          case "image" => "image/png"; case "audio" => "audio/wav"; case _ => "video/mp4"
+          case "image" => "image/png"; case "audio" => "audio/wav"
+          case _       => "video/x-yuv4mpeg"
         }
-        val w = if (modality == "image" || modality == "video") 64 + (id % 13).toInt * 32 else 0
-        val h = if (w > 0) 48 + (id % 7).toInt * 32 else 0
-        // audio: duration of the ACTUAL generated WAV (0.2-1.7 s keeps
-        // payloads KB-sized); video keeps its metadata-only formula
+        // image dims drive the thumbnail oracle; video dims stay small and
+        // EVEN (uncompressed 4:2:0 frames) — both pure functions of the id
+        val (w, h) = modality match {
+          case "image" => (64 + (id % 13).toInt * 32, 48 + (id % 7).toInt * 32)
+          case "video" => (48 + (id % 4).toInt * 16, 32 + (id % 3).toInt * 16)
+          case _       => (0, 0)
+        }
+        // audio/video: duration of the ACTUAL generated container (WAV
+        // 0.2-1.7 s, Y4M 1-30.5 s at 4 fps) — both multiples of the frame/
+        // sample tick, so the decoded duration recovers them exactly
         val dur = modality match {
           case "audio" => 200L + (id % 16) * 100L
           case "video" => 1000L + (id % 60) * 500L
@@ -295,7 +455,9 @@ object Multimodal {
         val payload = modality match {
           case "image" => Codec.synthesizePng(w, h, bytes)
           case "audio" => Codec.synthesizeWav(dur, SynthSampleRate, bytes)
-          case _       => bytes
+          case _ =>
+            Codec.synthesizeY4m(w, h, (dur * SynthVideoFps / 1000L).toInt,
+              SynthVideoFps, bytes)
         }
         MediaAsset(id, modality, mime, w, h, dur, payload)
       })
@@ -401,7 +563,9 @@ object Multimodal {
 
   /** Frame sampling plan for video assets: every `everyMs` ms, capped at
     * `maxFrames` — emits (asset_id, frame_idx, ts_ms) rows via a sequence
-    * expression (no UDF). The actual pixel grab is the stub codec boundary.
+    * expression (no UDF, no payload touch). [[sampleFrames]] executes this
+    * plan with real pixel grabs; the metadata-only plan stays useful for
+    * costing/scheduling a sample pass without reading payload bytes.
     */
   def sampleFramePlan(assets: DataFrame, everyMs: Long = 1000L, maxFrames: Int = 32): DataFrame =
     assets
@@ -412,4 +576,93 @@ object Multimodal {
           slice(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs)), 1, maxFrames)
         ).as(Seq("frame_idx", "ts_ms"))
       )
+
+  /** Row of the sampled-frames table: one REAL decoded frame per sampled
+    * timestamp, re-encoded as PNG (ready for the image feature path).
+    */
+  final case class VideoFrame(asset_id: Long, frame_idx: Int, ts_ms: Long,
+                              frame_png: Array[Byte])
+
+  /** REAL frame sampling: decode each video's Y4M stream ONCE per asset,
+    * grab the frame at every `everyMs` timestamp (same schedule as
+    * [[sampleFramePlan]], capped at `maxFrames`), convert YUV->RGB->PNG.
+    * Narrow per-partition batch; payloads never leave the executor — the
+    * operator shape of a real decode+CLIP-ingest pass. Undecodable assets
+    * are skipped.
+    */
+  def sampleFrames(assets: Dataset[MediaAsset], everyMs: Long = 1000L,
+                   maxFrames: Int = 32): Dataset[VideoFrame] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .filter(_.modality == "video")
+      .mapPartitions(_.flatMap { a =>
+        try {
+          val v = Codec.decodeY4m(a.payload)
+          if (v.frames.isEmpty || v.fpsNum == 0) Iterator.empty
+          else {
+            val dur = v.durationMs
+            Iterator.range(0, maxFrames)
+              .map(i => (i, i * everyMs))
+              .takeWhile { case (_, ts) => ts < dur }
+              .map { case (i, ts) =>
+                val fi = math.min(v.frames.length - 1,
+                  (ts * v.fpsNum / (1000L * v.fpsDen)).toInt)
+                VideoFrame(a.asset_id, i, ts, Codec.frameToPng(v, fi))
+              }
+          }
+        } catch { case _: Exception => Iterator.empty }
+      })
+  }
+
+  /** Row of the video-features table (REAL container parse + pixel DSP). */
+  final case class VideoFeatures(
+      asset_id: Long,
+      width: Int,
+      height: Int,
+      fps: Int,
+      n_frames: Long,
+      duration_ms: Long, // recovered from the container: n_frames/fps
+      mean_luma: Double, // mean Y value over all frames, normalized [0,1]
+      motion: Double     // mean |ΔY| between consecutive frames, [0,1]
+  )
+
+  /** REAL video feature extraction: Y4M parse + per-frame luma mean + a
+    * temporal-motion measure (mean absolute luma difference between
+    * consecutive frames — the scene-cut / static-content signal). Batched
+    * per partition; narrow, no shuffle. Undecodable assets are skipped.
+    */
+  def videoFeatures(assets: Dataset[MediaAsset]): Dataset[VideoFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .filter(_.modality == "video")
+      .mapPartitions(_.flatMap { a =>
+        try {
+          val v = Codec.decodeY4m(a.payload)
+          val lumaLen = v.width * v.height
+          var lumaSum = 0.0
+          var diffSum = 0.0
+          var f = 0
+          while (f < v.frames.length) {
+            val cur = v.frames(f)
+            val prev = if (f > 0) v.frames(f - 1) else null
+            var i = 0
+            while (i < lumaLen) {
+              lumaSum += (cur(i) & 0xff)
+              if (prev != null) diffSum += math.abs((cur(i) & 0xff) - (prev(i) & 0xff))
+              i += 1
+            }
+            f += 1
+          }
+          val n = v.frames.length
+          Iterator.single(VideoFeatures(
+            a.asset_id, v.width, v.height,
+            if (v.fpsDen == 0) 0 else v.fpsNum / v.fpsDen,
+            n.toLong, v.durationMs,
+            if (n == 0) 0.0 else lumaSum / (n.toLong * lumaLen) / 255.0,
+            if (n <= 1) 0.0 else diffSum / ((n - 1).toLong * lumaLen) / 255.0))
+        } catch { case _: Exception => Iterator.empty }
+      })
+  }
 }

@@ -382,6 +382,63 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: Y4M encode/decode is a REAL lossless frame round trip") {
+    val w = 8; val h = 6
+    val frameBytes = w * h * 3 / 2
+    val frames = (0 until 3).map(f => Array.tabulate[Byte](frameBytes)(i => ((i * 7 + f * 31) & 0xff).toByte))
+    val y4m = Multimodal.Codec.encodeY4m(frames, w, h, 4)
+    // a real YUV4MPEG2 container: ASCII stream magic + FRAME markers
+    assert(new String(y4m.take(9), "US-ASCII") == "YUV4MPEG2", new String(y4m.take(9)))
+    val v = Multimodal.Codec.decodeY4m(y4m)
+    assert(v.width == w && v.height == h && v.fpsNum == 4 && v.fpsDen == 1)
+    assert(v.frames.length == 3)
+    (0 until 3).foreach(f => assert(v.frames(f).toSeq == frames(f).toSeq)) // bit-exact
+    assert(v.durationMs == 750L) // 3 frames at 4 fps
+    // decode("video") = concatenated raw frame bytes
+    assert(Multimodal.Codec.decode("video", y4m).length == 3 * frameBytes)
+    // non-Y4M input is rejected, not passed through
+    assert(Multimodal.Codec.decode("video", "not a video".getBytes).isEmpty)
+    // flat mid-gray YUV frame -> exactly mid-gray RGB pixels (BT.601 at
+    // U=V=128 is the identity on luma)
+    val gray = Array.fill[Byte](frameBytes)(128.toByte)
+    val png = Multimodal.Codec.frameToPng(
+      Multimodal.Codec.Y4mVideo(w, h, 4, 1, IndexedSeq(gray)), 0)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == w && img.getHeight == h)
+    assert(img.getRGB(3, 2) == 0xff808080, img.getRGB(3, 2).toHexString)
+  }
+
+  test("multimodal: video frames + features are REAL decodes of the Y4M payload") {
+    val assets = Multimodal.synthesizeAssets(docs)
+    val vids = assets.filter($"modality" === "video").collect()
+    assert(vids.nonEmpty)
+    // features recover dims / frame count / duration from the CONTAINER
+    val feats = Multimodal.videoFeatures(assets).collect().map(f => f.asset_id -> f).toMap
+    vids.foreach { a =>
+      val f = feats(a.asset_id)
+      assert(f.width == a.width && f.height == a.height, s"asset ${a.asset_id}")
+      assert(f.fps == Multimodal.SynthVideoFps)
+      assert(f.n_frames == a.duration_ms / 250, s"asset ${a.asset_id}: ${f.n_frames}")
+      assert(f.duration_ms == a.duration_ms)
+      assert(f.mean_luma > 0.0 && f.mean_luma < 1.0)
+      // the synthetic gradient MOVES between frames: motion is measurably
+      // nonzero (a static clip would measure 0.0)
+      assert(f.motion > 0.01, s"asset ${a.asset_id}: motion ${f.motion}")
+    }
+    // real pixel grabs match the metadata-only plan's schedule...
+    val planned = Multimodal.sampleFramePlan(assets.toDF())
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val grabbed = Multimodal.sampleFrames(assets).collect()
+    assert(grabbed.map(g => (g.asset_id, g.frame_idx, g.ts_ms)).toSet == planned)
+    // ...and every grabbed frame is a decodable PNG at the asset's dims
+    val dims = vids.map(a => a.asset_id -> (a.width, a.height)).toMap
+    grabbed.foreach { g =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(g.frame_png))
+      assert(img != null, s"asset ${g.asset_id} frame ${g.frame_idx}: not a PNG")
+      assert((img.getWidth, img.getHeight) == dims(g.asset_id))
+    }
+  }
+
   test("multimodal: WAV encode/decode is a REAL lossless PCM round trip") {
     val sr = 8000
     val samples = Array.tabulate[Short](sr / 2)(i =>
