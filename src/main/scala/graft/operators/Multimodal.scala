@@ -170,7 +170,10 @@ object Multimodal {
                       seedBytes: Array[Byte]): Array[Byte] = {
       val src = if (seedBytes.nonEmpty) seedBytes else Array[Byte](0)
       def sb(i: Int): Int = src(i % src.length) & 0xff
-      val step = 1 + sb(0) % 7 // per-frame luma phase advance
+      // per-frame luma phase advance; min 2 keeps mean |ΔY| >= ~2/255 ≈
+      // 0.016, so the motion measure is >0.01 for EVERY seed (step=1 would
+      // measure ~0.008 on seeds whose first byte ≡ 0 mod 7)
+      val step = 2 + sb(0) % 7
       val frames = (0 until nFrames).map { f =>
         val fr = new Array[Byte](w * h * 3 / 2)
         var idx = 0

@@ -15,27 +15,50 @@ import org.apache.spark.sql.DataFrame
   * exchange — PlanSpec asserts both behaviors.
   */
 private[graft] object Spread {
+
+  /** AQE's default advisoryPartitionSizeInBytes: shuffle-bearing plans
+    * whose estimated output is below ~half-the-cores × this get coalesced
+    * to a handful of post-shuffle partitions, starving a downstream kernel.
+    */
+  private val AdvisoryPartitionBytes = 64L * 1024 * 1024
+
   def apply(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // Probe with .rdd ONLY on shuffle-free plans. Under AQE, .rdd on a
-    // plan containing an exchange materializes the upstream shuffle/
-    // broadcast stages at DataFrame-construction time (the probe runs the
-    // map jobs) and the real query re-plans and runs them AGAIN — doubling
-    // the upstream cost just to count partitions. The exchanges are only
-    // inserted inside AdaptiveSparkPlanExec (invisible to a physical-plan
-    // walk before execution), so detect shuffle-INDUCING operators on the
-    // optimized logical plan instead. Such a plan is already at session
-    // shuffle width (or a width the caller chose) — Spread is the identity
-    // there; on a scan-narrow plan, building the RDD runs no job and the
-    // split count is the real source parallelism.
     import org.apache.spark.sql.catalyst.plans.logical._
-    val mayShuffle = df.queryExecution.optimizedPlan.exists {
-      case _: Join | _: Aggregate | _: Deduplicate | _: Window | _: Sort => true
-      case _: RepartitionOperation | _: SetOperation => true
-      case _ => false
+    val plan = df.queryExecution.optimizedPlan
+    // An explicit caller repartition is a width the caller CHOSE — never
+    // second-guess it, and never probe it (.rdd under AQE would run the
+    // repartition's map stage at construction time just to count splits).
+    if (plan.exists(_.isInstanceOf[RepartitionOperation])) return df
+    // Probe with .rdd ONLY on provably narrow plans (ALLOWLIST, not a
+    // denylist: GlobalLimit, MapGroups, script transforms etc. all induce
+    // exchanges, and under AQE .rdd materializes those shuffle stages at
+    // DataFrame-construction time — the real query then re-plans and runs
+    // them AGAIN, doubling the upstream cost just to count partitions).
+    // On a narrow chain, building the RDD runs no job and the split count
+    // is the real source parallelism.
+    val narrowOnly = !plan.exists {
+      case _: LeafNode | _: Project | _: Filter | _: Generate | _: Union => false
+      case _: SerializeFromObject | _: DeserializeToObject => false
+      case _: MapElements | _: MapPartitions | _: TypedFilter => false
+      case _ => true // anything not provably narrow
     }
-    if (mayShuffle) df
-    else if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target)
-    else df
+    if (narrowOnly) {
+      if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+    } else {
+      // Shuffle-bearing plan: nominally at session shuffle width, but AQE
+      // coalesces a SMALL shuffle output toward advisoryPartitionSizeInBytes
+      // — a tiny aggregated/deduped corpus would then feed the CPU-heavy
+      // kernel as 1-2 tasks (the exact pathology Spread exists for). Decide
+      // on the JOB-FREE logical size estimate: spread outputs that would
+      // coalesce below ~target/2 partitions; leave genuinely large plans
+      // untouched (identity at production scale — an overestimated stat
+      // degrades to the old identity behavior, never to extra shuffles on
+      // big data).
+      val bytes = plan.stats.sizeInBytes
+      if (bytes < BigInt(AdvisoryPartitionBytes) * math.max(1, target / 2))
+        df.repartition(target)
+      else df
+    }
   }
 }

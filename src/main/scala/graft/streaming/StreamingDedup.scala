@@ -147,34 +147,41 @@ object StreamingDedup {
       try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
       catch { case _: java.io.IOException => 0L }
     if (takeoverSameIdent && holder == what && ageMs > LockTakeoverLeaseMs) {
-      // Atomic takeover CLAIM: rename the corpse aside instead of
-      // delete+create. delete+create is racy — a second replayer's delete
-      // can remove the first replayer's FRESH lock, after which both
-      // create() and both proceed. rename(lock, tomb) has one winner per
-      // file instance; and because rename preserves mtime, re-checking the
-      // lease age ON THE TOMB detects the local-FS overwrite case where our
-      // rename grabbed a peer's fresh lock that replaced the corpse between
-      // our read and our claim (we restore it and back off).
-      val tomb = new org.apache.hadoop.fs.Path(
-        lock.getParent, s".${lock.getName}.takeover.$ageMs.${System.nanoTime()}")
-      val claimed =
-        try fs.rename(lock, tomb)
+      // CLAIM-FILE CAS: takeover of one corpse GENERATION (identified by
+      // its mtime) is serialized through an exclusive claim file named for
+      // that generation. create-if-absent has exactly one winner per name,
+      // so only ONE process may replace generation M's lock — and a FRESH
+      // lock (mtime != M) can never be deleted by a racer, because the
+      // delete below is mtime-guarded while holding the claim. (A bare
+      // delete+create takeover is racy: a second replayer's delete can
+      // remove the first replayer's fresh lock, after which both create()
+      // and both proceed.)
+      val corpseMtime =
+        try fs.getFileStatus(lock).getModificationTime
+        catch { case _: java.io.IOException => -1L } // vanished: peer finished
+      val claim = new org.apache.hadoop.fs.Path(
+        lock.getParent, s".${lock.getName}.claim.$corpseMtime")
+      def createClaim(): Boolean =
+        try { val o = fs.create(claim, false); o.write(what.getBytes("UTF-8")); o.close(); true }
         catch { case _: java.io.IOException => false }
-      if (claimed) {
-        val tombIsCorpse =
-          try {
-            val st = fs.getFileStatus(tomb)
-            System.currentTimeMillis() - st.getModificationTime > LockTakeoverLeaseMs
-          } catch { case _: java.io.IOException => false }
-        if (tombIsCorpse) {
-          fs.delete(tomb, false)
-          if (create()) return
-        } else {
-          // we renamed a LIVE lock (a peer won the takeover and re-created
-          // first) — put it back and fail fast
-          try fs.rename(tomb, lock)
-          catch { case _: java.io.IOException => () }
-        }
+      if (corpseMtime >= 0 && createClaim()) {
+        try {
+          val stillCorpse =
+            try fs.getFileStatus(lock).getModificationTime == corpseMtime
+            catch { case _: java.io.IOException => false }
+          if (stillCorpse) {
+            fs.delete(lock, false)
+            if (create()) return
+          }
+        } finally fs.delete(claim, false)
+      } else if (corpseMtime >= 0) {
+        // a peer holds the claim for this generation — unless the claim is
+        // itself a crashed claimant's corpse (older than the lease): heal
+        // it so the NEXT attempt can retry, but still fail fast now.
+        val claimAge =
+          try System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime
+          catch { case _: java.io.IOException => 0L }
+        if (claimAge > LockTakeoverLeaseMs) fs.delete(claim, false)
       }
       // the claim raced a peer — report the CURRENT holder, not the corpse
       throw new IllegalStateException(

@@ -184,17 +184,38 @@ class PlanSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text").as("content"))
     val shuffled = docs.groupBy("doc_id").agg(first(col("content")).as("content"))
+    val target = spark.sparkContext.defaultParallelism
+    val explicit = docs.repartition(target)
     spark.sparkContext.addSparkListener(listener)
-    val out =
+    val (out, outExplicit) =
       try {
-        val o = graft.operators.Spread(shuffled)
-        Thread.sleep(500) // listener bus is async; a probe job would have fired
+        val o = (graft.operators.Spread(shuffled), graft.operators.Spread(explicit))
+        drainListenerBus() // a probe job's events would be on the bus by now
         o
       } finally spark.sparkContext.removeSparkListener(listener)
-    assert(out eq shuffled, "exchange-bearing input must pass through untouched")
     assert(jobs.get() == 0, s"Spread probe launched ${jobs.get()} job(s)")
-    // ...and the scan-narrow probe path still spreads a one-file source
-    assert(graft.operators.Spread(docs).rdd.getNumPartitions
-      == spark.sparkContext.defaultParallelism)
+    // an explicit caller repartition is never second-guessed (and never
+    // probed)
+    assert(outExplicit eq explicit)
+    // a SMALL shuffle-bearing frame gets spread (AQE would coalesce its
+    // output to 1-2 partitions and starve the downstream kernel) — decided
+    // from the logical size estimate, without running the aggregate
+    assert(out ne shuffled)
+    assert(out.rdd.getNumPartitions == target)
   }
+
+  /** Deterministic listener-bus drain (the bus is async): call the
+    * private[spark] LiveListenerBus.waitUntilEmpty() via reflection, with
+    * a sleep fallback if the internal API moves.
+    */
+  private def drainListenerBus(): Unit =
+    try {
+      val m = spark.sparkContext.getClass.getMethods.find(_.getName == "listenerBus").get
+      val bus = m.invoke(spark.sparkContext)
+      bus.getClass.getMethods
+        .find(w => w.getName == "waitUntilEmpty" && w.getParameterCount == 0)
+        .map(_.invoke(bus))
+        .getOrElse(Thread.sleep(500))
+      ()
+    } catch { case _: Exception => Thread.sleep(500) }
 }

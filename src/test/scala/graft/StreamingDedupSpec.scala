@@ -192,6 +192,43 @@ class StreamingDedupSpec extends SparkSpec {
     fs.delete(compactLock, false)
   }
 
+  test("lock takeover is serialized through a per-generation claim file") {
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
+    val work = java.nio.file.Files.createTempDirectory("stream_claim").toString
+    val one = Seq((1L, "claim fence probe text with enough words to shingle " * 3))
+      .toDF("doc_id", "content")
+    StreamingDedup.processBatch(spark, one, 0L, work, cfg)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(work), spark.sparkContext.hadoopConfiguration)
+    val ingestLock = new org.apache.hadoop.fs.Path(s"$work/bands/_ingest_lock")
+
+    // a stale same-identity corpse, but a PEER already holds the takeover
+    // claim for that generation -> this replay must back off (it must NOT
+    // delete the lock out from under the claim holder)
+    val o = fs.create(ingestLock, false)
+    o.write("processBatch(1)".getBytes("UTF-8")); o.close()
+    val stale = System.currentTimeMillis() - StreamingDedup.LockTakeoverLeaseMs - 60000L
+    fs.setTimes(ingestLock, stale, stale)
+    val claim = new org.apache.hadoop.fs.Path(s"$work/bands/._ingest_lock.claim.$stale")
+    fs.create(claim, false).close() // fresh claim = live claimant
+    val e = intercept[IllegalStateException] {
+      StreamingDedup.processBatch(spark, one, 1L, work, cfg)
+    }
+    assert(e.getMessage.contains("raced"), e.getMessage)
+    assert(fs.exists(ingestLock), "the corpse must survive a raced takeover")
+    assert(fs.exists(claim), "a FRESH peer claim must not be healed away")
+
+    // a STALE claim (its holder crashed mid-takeover) is healed on the
+    // next attempt (still fail-fast), and the attempt after that succeeds
+    fs.setTimes(claim, stale, stale)
+    intercept[IllegalStateException] {
+      StreamingDedup.processBatch(spark, one, 1L, work, cfg)
+    }
+    assert(!fs.exists(claim), "stale claim should have been healed")
+    StreamingDedup.processBatch(spark, one, 1L, work, cfg) // must not throw
+    assert(!fs.exists(ingestLock))
+  }
+
   test("compact merges batch band dirs into one sorted table; dedup still works") {
     val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
     val work = java.nio.file.Files.createTempDirectory("stream_compact").toString
