@@ -16,12 +16,6 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object Spread {
 
-  /** AQE's default advisoryPartitionSizeInBytes: shuffle-bearing plans
-    * whose estimated output is below ~half-the-cores × this get coalesced
-    * to a handful of post-shuffle partitions, starving a downstream kernel.
-    */
-  private val AdvisoryPartitionBytes = 64L * 1024 * 1024
-
   def apply(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     import org.apache.spark.sql.catalyst.plans.logical._
@@ -50,15 +44,26 @@ private[graft] object Spread {
       // coalesces a SMALL shuffle output toward advisoryPartitionSizeInBytes
       // — a tiny aggregated/deduped corpus would then feed the CPU-heavy
       // kernel as 1-2 tasks (the exact pathology Spread exists for). Decide
-      // on the JOB-FREE logical size estimate: spread outputs that would
-      // coalesce below ~target/2 partitions; leave genuinely large plans
-      // untouched (identity at production scale — an overestimated stat
-      // degrades to the old identity behavior, never to extra shuffles on
-      // big data).
-      val bytes = plan.stats.sizeInBytes
-      if (bytes < BigInt(AdvisoryPartitionBytes) * math.max(1, target / 2))
-        df.repartition(target)
-      else df
+      // on the JOB-FREE logical size estimate, calibrated to THIS session's
+      // AQE settings: spread outputs that would coalesce below ~target/2
+      // partitions; leave genuinely large plans untouched (identity at
+      // production scale — an overestimated stat degrades to the old
+      // identity behavior, never to extra shuffles on big data). With AQE
+      // coalescing off the pathology doesn't exist: identity.
+      val conf = df.sparkSession.conf
+      val coalescing =
+        conf.get("spark.sql.adaptive.enabled", "true").toBoolean &&
+          conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true").toBoolean
+      if (!coalescing) df
+      else {
+        val advisoryBytes =
+          try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
+          catch { case _: NumberFormatException => 64L * 1024 * 1024 }
+        if (plan.stats.sizeInBytes < BigInt(advisoryBytes) * math.max(1, target / 2))
+          df.repartition(target)
+        else df
+      }
     }
   }
 }

@@ -129,52 +129,87 @@ object StreamingDedup {
     * does NOT take over (two compacts are indistinguishable from
     * crashed-vs-live and share one identity).
     */
+  /** Exclusive create-if-absent. On the local filesystem this goes through
+    * NIO CREATE_NEW (O_CREAT|O_EXCL — truly atomic); Hadoop's
+    * RawLocalFileSystem.create(overwrite=false) is an exists()-then-create
+    * pair, i.e. NOT a CAS. On HDFS-like filesystems create(overwrite=false)
+    * is atomic on the NameNode and is used directly.
+    */
+  private def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+                              path: org.apache.hadoop.fs.Path, content: String): Boolean =
+    if ("file" == fs.getUri.getScheme) {
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path.toUri.getPath),
+          content.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch { case _: java.io.IOException => false }
+    } else
+      try { val o = fs.create(path, false); o.write(content.getBytes("UTF-8")); o.close(); true }
+      catch { case _: java.io.IOException => false }
+
+  /** Bounded-litter cleanup: a claimant that crashed between deleting the
+    * corpse lock and re-creating it orphans its claim file (that mtime
+    * generation never recurs, so the in-line heal path can't reach it).
+    * Swept by the next successful acquirer; fresh claims (live peers
+    * mid-takeover) are left alone.
+    */
+  private def sweepStaleClaims(fs: org.apache.hadoop.fs.FileSystem,
+                               lock: org.apache.hadoop.fs.Path): Unit =
+    try {
+      val glob = new org.apache.hadoop.fs.Path(lock.getParent, s".${lock.getName}.claim.*")
+      Option(fs.globStatus(glob)).foreach(_.foreach { st =>
+        if (System.currentTimeMillis() - st.getModificationTime > LockTakeoverLeaseMs) {
+          fs.delete(st.getPath, false); ()
+        }
+      })
+    } catch { case _: java.io.IOException => () }
+
   private def acquire(fs: org.apache.hadoop.fs.FileSystem,
                       lock: org.apache.hadoop.fs.Path, what: String,
                       takeoverSameIdent: Boolean = false): Unit = {
-    def create(): Boolean =
-      try { val out = fs.create(lock, false); out.write(what.getBytes("UTF-8")); out.close(); true }
-      catch { case _: java.io.IOException => false }
+    def create(): Boolean = createExclusive(fs, lock, what)
     def readHolder(): String =
       try {
         val in = fs.open(lock)
         val b = new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
         in.close(); b
       } catch { case _: java.io.IOException => "<unreadable>" }
-    if (create()) return
+    if (create()) { sweepStaleClaims(fs, lock); return }
     val holder = readHolder()
-    val ageMs =
-      try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
-      catch { case _: java.io.IOException => 0L }
-    if (takeoverSameIdent && holder == what && ageMs > LockTakeoverLeaseMs) {
+    // ONE stat: this mtime identifies the corpse GENERATION and validates
+    // the lease. Re-stat'ing later would race a peer's completed takeover
+    // (its FRESH lock's mtime would be mistaken for a claimable corpse).
+    val corpseMtime =
+      try fs.getFileStatus(lock).getModificationTime
+      catch { case _: java.io.IOException => -1L }
+    val ageMs = if (corpseMtime < 0) 0L else System.currentTimeMillis() - corpseMtime
+    if (takeoverSameIdent && holder == what && corpseMtime >= 0 &&
+        ageMs > LockTakeoverLeaseMs) {
       // CLAIM-FILE CAS: takeover of one corpse GENERATION (identified by
-      // its mtime) is serialized through an exclusive claim file named for
-      // that generation. create-if-absent has exactly one winner per name,
-      // so only ONE process may replace generation M's lock — and a FRESH
-      // lock (mtime != M) can never be deleted by a racer, because the
-      // delete below is mtime-guarded while holding the claim. (A bare
-      // delete+create takeover is racy: a second replayer's delete can
-      // remove the first replayer's fresh lock, after which both create()
-      // and both proceed.)
-      val corpseMtime =
-        try fs.getFileStatus(lock).getModificationTime
-        catch { case _: java.io.IOException => -1L } // vanished: peer finished
+      // the lease-validated mtime above) is serialized through an exclusive
+      // claim file named for that generation. createExclusive has exactly
+      // one winner per name, so only ONE process may replace generation M's
+      // lock — and a FRESH lock (mtime != M) can never be deleted by a
+      // racer, because the delete below is mtime-guarded while holding the
+      // claim. (A bare delete+create takeover is racy: a second replayer's
+      // delete can remove the first replayer's fresh lock, after which both
+      // create() and both proceed.)
       val claim = new org.apache.hadoop.fs.Path(
         lock.getParent, s".${lock.getName}.claim.$corpseMtime")
-      def createClaim(): Boolean =
-        try { val o = fs.create(claim, false); o.write(what.getBytes("UTF-8")); o.close(); true }
-        catch { case _: java.io.IOException => false }
-      if (corpseMtime >= 0 && createClaim()) {
+      if (createExclusive(fs, claim, what)) {
         try {
           val stillCorpse =
             try fs.getFileStatus(lock).getModificationTime == corpseMtime
             catch { case _: java.io.IOException => false }
           if (stillCorpse) {
             fs.delete(lock, false)
-            if (create()) return
+            if (create()) { sweepStaleClaims(fs, lock); return }
           }
         } finally fs.delete(claim, false)
-      } else if (corpseMtime >= 0) {
+      } else {
         // a peer holds the claim for this generation — unless the claim is
         // itself a crashed claimant's corpse (older than the lease): heal
         // it so the NEXT attempt can retry, but still fail fast now.
