@@ -51,16 +51,28 @@ private[graft] object Spread {
       // identity behavior, never to extra shuffles on big data). With AQE
       // coalescing off the pathology doesn't exist: identity.
       val conf = df.sparkSession.conf
+      def bytesConf(key: String, dflt: String): Long =
+        try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(conf.get(key, dflt))
+        catch { case _: NumberFormatException =>
+          org.apache.spark.network.util.JavaUtils.byteStringAsBytes(dflt) }
       val coalescing =
         conf.get("spark.sql.adaptive.enabled", "true").toBoolean &&
           conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true").toBoolean
       if (!coalescing) df
       else {
-        val advisoryBytes =
-          try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-            conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
-          catch { case _: NumberFormatException => 64L * 1024 * 1024 }
-        if (plan.stats.sizeInBytes < BigInt(advisoryBytes) * math.max(1, target / 2))
+        // The per-partition floor AQE actually coalesces toward depends on
+        // parallelismFirst (default true): then the target size is
+        // max(total/parallelism, minPartitionSize) — the ADVISORY size is
+        // ignored and only minPartitionSize can push partitions below full
+        // parallelism. Only with parallelismFirst=false does the advisory
+        // size drive coalescing. Post-shuffle partitions fall under
+        // ~target/2 iff estimated bytes < floor × target/2.
+        val floorBytes =
+          if (conf.get("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true").toBoolean)
+            bytesConf("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1MB")
+          else
+            bytesConf("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+        if (plan.stats.sizeInBytes < BigInt(floorBytes) * math.max(1, target / 2))
           df.repartition(target)
         else df
       }

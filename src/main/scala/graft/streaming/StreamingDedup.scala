@@ -138,6 +138,9 @@ object StreamingDedup {
   private def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
                               path: org.apache.hadoop.fs.Path, content: String): Boolean =
     if ("file" == fs.getUri.getScheme) {
+      // ONLY already-exists means "lock held" — environmental failures
+      // (missing parent dir, permissions) must surface as what they are,
+      // not masquerade as a phantom concurrent holder
       try {
         java.nio.file.Files.write(
           java.nio.file.Paths.get(path.toUri.getPath),
@@ -145,10 +148,13 @@ object StreamingDedup {
           java.nio.file.StandardOpenOption.CREATE_NEW,
           java.nio.file.StandardOpenOption.WRITE)
         true
-      } catch { case _: java.io.IOException => false }
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     } else
       try { val o = fs.create(path, false); o.write(content.getBytes("UTF-8")); o.close(); true }
-      catch { case _: java.io.IOException => false }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException        => false
+      }
 
   /** Bounded-litter cleanup: a claimant that crashed between deleting the
     * corpse lock and re-creating it orphans its claim file (that mtime
@@ -185,9 +191,15 @@ object StreamingDedup {
     val corpseMtime =
       try fs.getFileStatus(lock).getModificationTime
       catch { case _: java.io.IOException => -1L }
-    val ageMs = if (corpseMtime < 0) 0L else System.currentTimeMillis() - corpseMtime
-    if (takeoverSameIdent && holder == what && corpseMtime >= 0 &&
-        ageMs > LockTakeoverLeaseMs) {
+    if (corpseMtime < 0)
+      // the holder released between our create() and the stat — a
+      // transient race, NOT a held lock: say so (the next attempt will
+      // acquire cleanly)
+      throw new IllegalStateException(
+        s"$what: lock $lock was released by '$holder' mid-acquire — " +
+          "transient race, the next attempt will acquire it")
+    val ageMs = System.currentTimeMillis() - corpseMtime
+    if (takeoverSameIdent && holder == what && ageMs > LockTakeoverLeaseMs) {
       // CLAIM-FILE CAS: takeover of one corpse GENERATION (identified by
       // the lease-validated mtime above) is serialized through an exclusive
       // claim file named for that generation. createExclusive has exactly

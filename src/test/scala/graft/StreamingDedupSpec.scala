@@ -227,6 +227,19 @@ class StreamingDedupSpec extends SparkSpec {
     assert(!fs.exists(claim), "stale claim should have been healed")
     StreamingDedup.processBatch(spark, one, 1L, work, cfg) // must not throw
     assert(!fs.exists(ingestLock))
+
+    // an ORPHANED claim (claimant crashed between deleting the corpse and
+    // re-creating the lock: claim present, NO lock) is swept by the next
+    // successful acquirer once past the lease; a fresh one is left alone
+    val orphanStale = new org.apache.hadoop.fs.Path(s"$work/bands/._ingest_lock.claim.123")
+    val orphanFresh = new org.apache.hadoop.fs.Path(s"$work/bands/._ingest_lock.claim.456")
+    fs.create(orphanStale, false).close()
+    fs.setTimes(orphanStale, stale, stale)
+    fs.create(orphanFresh, false).close()
+    StreamingDedup.processBatch(spark, one, 1L, work, cfg)
+    assert(!fs.exists(orphanStale), "stale orphaned claim should be swept on acquire")
+    assert(fs.exists(orphanFresh), "a fresh claim (live peer) must survive the sweep")
+    fs.delete(orphanFresh, false)
   }
 
   test("compact merges batch band dirs into one sorted table; dedup still works") {
