@@ -111,6 +111,24 @@ object SparkEntry {
         TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_ws_tokens"),
         TextAnalysis.tokenCountBpe(col("text")).cast("long").as("n_bpe_tokens")
       ).orderBy("doc_id")),
+    "q_corpus_split" -> ((s, dir) =>
+      // deterministic train/val/test membership: pure modular arithmetic
+      // on the id (no rand(), whose per-partition seeding would change
+      // membership with the input layout) — the oracle replays the exact
+      // integer mix
+      Corpus.split(documents(s, dir).select("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 13L)
+        .select("doc_id", "split").orderBy("doc_id")),
+    "q_token_shards" -> ((s, dir) =>
+      // token-budget packing via the distributed two-pass prefix sum (the
+      // naive global-order window is a single task at scale); the oracle
+      // recomputes the exclusive cumulative sum with a SQL window — a hash
+      // match proves the two-pass decomposition equals the global order
+      Corpus.tokenShards(
+          documents(s, dir).select(col("doc_id"),
+            TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens")),
+          tokensPerShard = 50000L)
+        .orderBy("doc_id")),
     "q_quality" -> ((s, dir) =>
       TextAnalysis.withQualityColumns(documents(s, dir))
         .select("doc_id", "n_tokens", "n_punct", "punct_ratio", "stopword_ratio", "mean_token_len")
@@ -269,6 +287,37 @@ object SparkEntry {
         |       ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS n_ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_corpus_split" ->
+      // mirrors Corpus.splitBucket (modular Knuth mix, 2654435761 %
+      // 1000000007 = 654435747; all operands nonnegative so % == pmod) and
+      // the cumulative weight cuts for 0.8/0.1/0.1
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 1000000007 + 13) * 654435747) % 1000000007 % 10000 AS bucket
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN bucket < 8000 THEN 'train'
+        |       WHEN bucket < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q_token_shards" ->
+      // shard = floor(exclusive-prefix-sum(n_tokens) / 50000) over doc_id
+      // order; DuckDB SUM(BIGINT) returns HUGEINT -> cast back before the
+      // integer division
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER
+        |      (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum0
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(cum0 // 50000 AS BIGINT) AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_quality" ->
       """WITH q AS (
         |  SELECT doc_id, text,

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-management operators a training-data pipeline needs after dedup:
+  * deterministic dataset splitting and token-budget sharding. Both are
+  * pure Column / two-pass algebra — no rand(), no driver loops, no global
+  * window — so they hold at 10^12 documents.
+  */
+object Corpus {
+
+  /** Modulus / multiplier of the split hash: a Knuth-style multiplicative
+    * mix computed as modular arithmetic so it NEVER overflows a signed
+    * 64-bit value under ANSI mode — ((id mod M) * (A mod M)) mod M stays
+    * under 2^63 for M ~ 1e9 — and is expressible identically in any SQL
+    * dialect (the DuckDB oracle replays it digit-for-digit).
+    */
+  val SplitModulus = 1000000007L
+  val SplitMultiplier = 2654435761L % SplitModulus // Knuth's 2^32/phi
+
+  /** The (0..9999) stratification bucket of a doc id: deterministic,
+    * uniform-ish under the multiplicative mix, and stable across runs,
+    * partitionings and cluster sizes — reproducible dataset membership is
+    * a data-lineage requirement, which is why this is NOT rand(seed)
+    * (rand is per-partition-seeded: membership would change with the
+    * input's partition layout).
+    */
+  def splitBucket(id: Column, seed: Long): Column =
+    pmod((pmod(id, lit(SplitModulus)) + lit(seed % SplitModulus)) * lit(SplitMultiplier),
+      lit(SplitModulus)) % lit(10000L)
+
+  /** Deterministic train/validation/test (… any number of ways) split:
+    * `weights` maps split name -> nonnegative weight; each doc gets the
+    * split whose cumulative weight interval contains its bucket. Returns
+    * docs + a `split` column. One narrow projection — no shuffle, no rand.
+    */
+  def split(docs: DataFrame, weights: Seq[(String, Double)], seed: Long = 13L,
+            idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0) && weights.map(_._2).sum > 0,
+      s"weights must be nonnegative and sum > 0: $weights")
+    require(seed >= 0, s"seed must be nonnegative (SQL % is sign-following): $seed")
+    val total = weights.map(_._2).sum
+    // integer bucket thresholds (cumulative, scaled to 10000); the LAST
+    // split absorbs the rounding remainder so every bucket lands somewhere
+    val cuts = weights.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w / total * 10000)
+    }.tail.dropRight(1) :+ 10000L
+    val bucket = splitBucket(col(idCol).cast("long"), seed)
+    val expr = weights.map(_._1).zip(cuts).reverse
+      .foldLeft(lit(weights.last._1): Column) { case (acc, (name, cut)) =>
+        when(bucket < lit(cut), lit(name)).otherwise(acc)
+      }
+    docs.withColumn("split", expr)
+  }
+
+  /** Token-budget sharding: assign each doc (in ascending `idCol` order) to
+    * the shard whose running token total its FIRST token falls into —
+    * shard_id = floor(exclusive-prefix-sum(n_tokens) / tokensPerShard).
+    * Packing a corpus into ~equal-token shards is how training data is
+    * materialized for tokenizer/loader pipelines.
+    *
+    * Scale shape: a naive `sum(...) over (order by id)` window has an
+    * EMPTY partition spec — Spark executes it as a single task holding the
+    * whole corpus (and warns so). This is instead the classic distributed
+    * two-pass prefix sum: range-partition by id, per-partition running sum
+    * (narrow), plus a broadcast vector of per-partition offsets (one tiny
+    * aggregate — #partitions rows — is the only thing collected). Output
+    * is invariant to the partition count: boundaries shift, the global
+    * cumulative sum does not.
+    *
+    * @return (idCol, n_tokens, shard_id)
+    */
+  def tokenShards(docs: DataFrame, tokensPerShard: Long,
+                  idCol: String = "doc_id", tokensCol: String = "n_tokens"): DataFrame = {
+    require(tokensPerShard > 0, s"tokensPerShard must be positive: $tokensPerShard")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parts = docs
+      .select(col(idCol).cast("long").as("id"), col(tokensCol).cast("long").as("n"))
+      .repartitionByRange(col("id"))
+      .sortWithinPartitions("id")
+      .select(col("id"), col("n"), spark_partition_id().as("pid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1: per-partition totals -> exclusive per-partition offsets
+      // (bounded collect: one row per partition; range partitions are
+      // ordered by id, so ascending pid IS ascending id range)
+      val totals = parts.groupBy("pid").agg(sum("n").as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val maxPid = if (totals.isEmpty) -1 else totals.keys.max
+      val offsets = new Array[Long](maxPid + 2)
+      var pid = 0
+      while (pid <= maxPid) {
+        offsets(pid + 1) = offsets(pid) + totals.getOrElse(pid, 0L)
+        pid += 1
+      }
+      // pass 2: narrow per-partition running sum + the partition's offset
+      val out = parts
+        .as[(Long, Long, Int)]
+        .mapPartitions { it =>
+          var cum = -1L // lazily initialized from the first row's pid
+          it.map { case (id, n, p) =>
+            if (cum < 0) cum = offsets(p)
+            val start = cum
+            cum += n
+            (id, n, start / tokensPerShard)
+          }
+        }
+        .toDF("id", "n", "shard_id")
+        .select(col("id").as(idCol), col("n").as(tokensCol), col("shard_id"))
+      out.cache().count() // materialize before releasing the input cache
+      out
+    } finally {
+      parts.unpersist()
+      ()
+    }
+  }
+}

@@ -382,6 +382,58 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("corpus split: deterministic, covering, layout-invariant, ~weighted") {
+    val ids = spark.range(0, 10000).select($"id".as("doc_id"))
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Corpus.split(ids, w, seed = 13L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 10000) // every doc in exactly one split
+    // fractions close to the weights (modular mix is uniform-ish)
+    val counts = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 8000) < 400, counts.toString)
+    assert(math.abs(counts("val") - 1000) < 200, counts.toString)
+    assert(math.abs(counts("test") - 1000) < 200, counts.toString)
+    // membership is a pure function of the id: invariant under input
+    // layout (rand(seed) would FAIL this — per-partition seeding)
+    val re = Corpus.split(ids.repartition(7), w, seed = 13L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(re == got)
+    // a different seed moves the boundaries
+    val other = Corpus.split(ids, w, seed = 14L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(other != got)
+  }
+
+  test("corpus tokenShards: two-pass prefix sum == global-order cumsum; layout-invariant") {
+    val docs = spark.range(0, 5000)
+      .select($"id".as("doc_id"), (pmod($"id" * 37, lit(997)) + 1).as("n_tokens"))
+    val budget = 10000L
+    val got = Corpus.tokenShards(docs, budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // oracle: driver-side exclusive cumulative sum over doc_id order
+    var cum = 0L
+    val want = docs.orderBy("doc_id").collect().map { r =>
+      val (id, n) = (r.getLong(0), r.getLong(1))
+      val s = cum / budget
+      cum += n
+      (id, n, s)
+    }
+    assert(got.toSeq == want.toSeq)
+    // shards are contiguous in id order and (except the last) fill the
+    // budget to within one document
+    val perShard = got.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val lastShard = got.map(_._3).max
+    perShard.foreach { case (sId, tok) =>
+      if (sId != lastShard) assert(tok >= budget - 997 && tok <= budget + 997, s"$sId -> $tok")
+    }
+    // invariant under input partition layout
+    val re = Corpus.tokenShards(docs.repartition(11), budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(re.toSeq == got.toSeq)
+    spark.catalog.clearCache()
+  }
+
   test("multimodal: Y4M encode/decode is a REAL lossless frame round trip") {
     val w = 8; val h = 6
     val frameBytes = w * h * 3 / 2
