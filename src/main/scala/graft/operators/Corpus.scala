@@ -46,9 +46,23 @@ object Corpus {
     val cuts = weights.scanLeft(0L) { case (acc, (_, w)) =>
       acc + math.round(w / total * 10000)
     }.tail.dropRight(1) :+ 10000L
+    // a positive weight must own at least one bucket at the 1/10000
+    // resolution — a silently empty split is a data-lineage landmine
+    weights.zipWithIndex.foreach { case ((name, w), i) =>
+      val lo = if (i == 0) 0L else cuts(i - 1)
+      require(w == 0 || cuts(i) > lo,
+        s"split '$name' (weight $w of $total) rounds to an empty interval at " +
+          "1/10000 bucket resolution — raise the weight or merge splits")
+    }
     val bucket = splitBucket(col(idCol).cast("long"), seed)
+    // innermost arm is unreachable for any valid bucket (< 10000 always
+    // matches the last cut) — it fires exactly when the id is NULL (or not
+    // castable to long): membership must FAIL loudly, never silently
+    // default into the last (usually held-out) split
     val expr = weights.map(_._1).zip(cuts).reverse
-      .foldLeft(lit(weights.last._1): Column) { case (acc, (name, cut)) =>
+      .foldLeft(raise_error(
+          lit(s"Corpus.split: null or non-integral $idCol — reproducible " +
+            "membership requires a concrete id")): Column) { case (acc, (name, cut)) =>
         when(bucket < lit(cut), lit(name)).otherwise(acc)
       }
     docs.withColumn("split", expr)
@@ -99,9 +113,13 @@ object Corpus {
       val out = parts
         .as[(Long, Long, Int)]
         .mapPartitions { it =>
-          var cum = -1L // lazily initialized from the first row's pid
+          var cum = 0L
+          var init = false // explicit flag: a negative running value must
+                           // NOT re-trigger initialization mid-partition
           it.map { case (id, n, p) =>
-            if (cum < 0) cum = offsets(p)
+            if (!init) { cum = offsets(p); init = true }
+            require(n >= 0, s"tokenShards: negative token count $n for id $id " +
+              "— prefix-sum sharding is undefined on negative sizes")
             val start = cum
             cum += n
             (id, n, start / tokensPerShard)
@@ -109,7 +127,12 @@ object Corpus {
         }
         .toDF("id", "n", "shard_id")
         .select(col("id").as(idCol), col("n").as(tokensCol), col("shard_id"))
-      out.cache().count() // materialize before releasing the input cache
+      // materialize into the cache BEFORE releasing the input: a later
+      // recompute could resample the range boundaries, invalidating the
+      // captured per-partition offsets. Cache lifetime is CALLER-owned
+      // (the repo-wide operator contract): unpersist the returned frame /
+      // clearCache when done.
+      out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
       out
     } finally {
       parts.unpersist()

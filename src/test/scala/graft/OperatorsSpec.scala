@@ -402,6 +402,15 @@ class OperatorsSpec extends SparkSpec {
     val other = Corpus.split(ids, w, seed = 14L)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(other != got)
+    // a null id must FAIL, not silently land in the (held-out) last split
+    val withNull = Seq(Some(1L), None).toDF("doc_id")
+    val err = intercept[Exception] { Corpus.split(withNull, w).collect() }
+    assert(err.getMessage.contains("Corpus.split"), err.getMessage)
+    // a positive weight that rounds to an empty bucket interval is rejected
+    val tiny = intercept[IllegalArgumentException] {
+      Corpus.split(ids, Seq("train" -> 0.99996, "holdout" -> 0.00004))
+    }
+    assert(tiny.getMessage.contains("empty interval"), tiny.getMessage)
   }
 
   test("corpus tokenShards: two-pass prefix sum == global-order cumsum; layout-invariant") {
