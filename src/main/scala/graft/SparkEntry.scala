@@ -111,6 +111,27 @@ object SparkEntry {
         TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_ws_tokens"),
         TextAnalysis.tokenCountBpe(col("text")).cast("long").as("n_bpe_tokens")
       ).orderBy("doc_id")),
+    "q_redact" -> ((s, dir) => {
+      // C4-style PII scrub: chained codegen'd regexp_replace; the oracle
+      // replays the identical RE2-safe patterns (explicit ASCII classes
+      // only — the \s/\w/\d engine divergence never enters). The synth
+      // corpus contains no organic PII, so every 7th doc gets a
+      // deterministic injected email+IP+card suffix (mirrored in the
+      // oracle SQL) — the hash match covers the REWRITE paths, not just
+      // identity passthrough.
+      val injected = when(pmod(col("doc_id"), lit(7L)) === 0,
+        concat(col("text"), lit(" mail user"), col("doc_id").cast("string"),
+          lit("@example.com ip 10.0.0."),
+          pmod(col("doc_id"), lit(256L)).cast("string"),
+          lit(" acct 4111111111111111")))
+        .otherwise(col("text"))
+      documents(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.redactPii(injected).as("clean_text"),
+          (length(injected) - length(TextAnalysis.redactPii(injected)))
+            .cast("long").as("chars_removed"))
+        .orderBy("doc_id")
+    }),
     "q_corpus_split" -> ((s, dir) =>
       // deterministic train/val/test membership: pure modular arithmetic
       // on the id (no rand(), whose per-partition seeding would change
@@ -287,6 +308,30 @@ object SparkEntry {
         |       ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS n_ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_redact" ->
+      // identical patterns, identical order (emails, IPv4, long digit
+      // runs) and the identical every-7th-doc PII injection; DuckDB
+      // regexp_replace needs the explicit 'g' flag to match Spark's
+      // replace-all default
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      text || ' mail user' || CAST(doc_id AS VARCHAR)
+        |           || '@example.com ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |           || ' acct 4111111111111111'
+        |    ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b[0-9]{13,19}\b', '<NUM>', 'g') AS clean_text,
+        |  CAST(length(text) - length(
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |      '\b[0-9]{13,19}\b', '<NUM>', 'g')) AS BIGINT) AS chars_removed
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_corpus_split" ->
       // mirrors Corpus.splitBucket (modular Knuth mix, 2654435761 %
       // 1000000007 = 654435747; all operands nonnegative so % == pmod) and

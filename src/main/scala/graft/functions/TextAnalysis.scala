@@ -28,6 +28,29 @@ object TextAnalysis {
     "for", "with", "as", "at", "by", "be", "this", "that", "are", "was"
   )
 
+  /** PII-redaction patterns, applied in THIS order (emails first: an email
+    * can embed digit runs; IPs before bare digit runs). All three use only
+    * explicit ASCII classes and `\b` — constructs whose semantics are
+    * identical in Java regex (Spark) and RE2 (DuckDB oracle); never use
+    * `\s`/`\w`/`\d` here (the engines disagree on their ASCII/Unicode
+    * extents — CLAUDE.md oracle invariant).
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
+    "\\b[0-9]{13,19}\\b" -> "<NUM>" // card/account-length digit runs
+  )
+
+  /** C4-style PII scrub: replace emails, IPv4 addresses and long digit
+    * runs with typed placeholders. Pure chained `regexp_replace` Column
+    * algebra — codegen'd, no UDF, runs at scan speed; the same patterns
+    * replay verbatim in the DuckDB oracle.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
   /** Quality-scoring columns (length / punctuation / stopword signals).
     * All per-row double arithmetic — deterministic and oracle-comparable.
     * Stopword counting and token-length summing run through the custom

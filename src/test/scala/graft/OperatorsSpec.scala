@@ -382,6 +382,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("redactPii: emails, IPv4s and long digit runs become typed placeholders") {
+    val rows = Seq(
+      (0L, "contact me at john.doe+spam@example.co.uk or on 10.0.255.3 now"),
+      (1L, "card 4111111111111111 expires soon; short 12345 stays"),
+      (2L, "no pii here"),
+      (3L, "a@b.io x 999.999.999.999 y 1234567890123456789")
+    ).toDF("doc_id", "text")
+    val got = rows.select($"doc_id", TextAnalysis.redactPii($"text").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "contact me at <EMAIL> or on <IP> now", got(0L))
+    assert(got(1L) == "card <NUM> expires soon; short 12345 stays", got(1L))
+    assert(got(2L) == "no pii here")
+    // the IPv4 pattern is deliberately shape-only (not range-validated) and
+    // digit runs of card/account length (13-19) are scrubbed
+    assert(got(3L) == "<EMAIL> x <IP> y <NUM>", got(3L))
+  }
+
   test("corpus split: deterministic, covering, layout-invariant, ~weighted") {
     val ids = spark.range(0, 10000).select($"id".as("doc_id"))
     val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
