@@ -125,11 +125,11 @@ object SparkEntry {
           pmod(col("doc_id"), lit(256L)).cast("string"),
           lit(" acct 4111111111111111")))
         .otherwise(col("text"))
-      documents(s, dir).select(
-          col("doc_id"),
-          TextAnalysis.redactPii(injected).as("clean_text"),
-          (length(injected) - length(TextAnalysis.redactPii(injected)))
-            .cast("long").as("chars_removed"))
+      documents(s, dir)
+        .select(col("doc_id"), injected.as("t"))
+        .select(col("doc_id"), col("t"), TextAnalysis.redactPii(col("t")).as("clean_text"))
+        .select(col("doc_id"), col("clean_text"),
+          (length(col("t")) - length(col("clean_text"))).cast("long").as("chars_removed"))
         .orderBy("doc_id")
     }),
     "q_corpus_split" -> ((s, dir) =>

@@ -48,9 +48,13 @@ object Corpus {
     }.tail.dropRight(1) :+ 10000L
     // a positive weight must own at least one bucket at the 1/10000
     // resolution — a silently empty split is a data-lineage landmine
+    // compare in BUCKET space (0..9999): cumulative round-half-up can push
+    // a cut past 10000, where cut-space comparison would pass for an
+    // interval that contains no reachable bucket
     weights.zipWithIndex.foreach { case ((name, w), i) =>
-      val lo = if (i == 0) 0L else cuts(i - 1)
-      require(w == 0 || cuts(i) > lo,
+      val lo = math.min(if (i == 0) 0L else cuts(i - 1), 10000L)
+      val hi = math.min(cuts(i), 10000L)
+      require(w == 0 || hi > lo,
         s"split '$name' (weight $w of $total) rounds to an empty interval at " +
           "1/10000 bucket resolution — raise the weight or merge splits")
     }
