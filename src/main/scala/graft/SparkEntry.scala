@@ -132,6 +132,23 @@ object SparkEntry {
           (length(col("t")) - length(col("clean_text"))).cast("long").as("chars_removed"))
         .orderBy("doc_id")
     }),
+    "q_line_dedup" -> ((s, dir) => {
+      // C4-style boilerplate-line removal. The synth corpus has no shared
+      // lines, so half the docs get a common injected header (df 250 >>
+      // cut 20 -> stripped everywhere) and a few get a rare one (df 5 ->
+      // kept) — the oracle mirrors the injection, so the hash match covers
+      // strip, keep and reassembly-order paths.
+      val injected = concat(
+        when(pmod(col("doc_id"), lit(2L)) === 0,
+          lit("=== COMMON SITE NAVIGATION HEADER LINE ===\n")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(100L)) === 1,
+          lit("--- rare per-cohort banner line ---\n")).otherwise(lit("")),
+        col("text"))
+      Dedup.stripBoilerplateLines(
+          documents(s, dir).select(col("doc_id"), injected.as("text")),
+          maxLineDocFreq = 20L)
+        .orderBy("doc_id")
+    }),
     "q_corpus_split" -> ((s, dir) =>
       // deterministic train/val/test membership: pure modular arithmetic
       // on the id (no rand(), whose per-partition seeding would change
@@ -332,6 +349,33 @@ object SparkEntry {
         |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
         |      '\b[0-9]{13,19}\b', '<NUM>', 'g')) AS BIGINT) AS chars_removed
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_line_dedup" ->
+      // identical injection, eligibility (trimmed length >= 10), doc-freq
+      // cut (> 20 distinct docs) and order-preserving reassembly; DuckDB
+      // zips unnest + generate_subscripts in lockstep for line ordinals
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0
+        |       THEN '=== COMMON SITE NAVIGATION HEADER LINE ===' || chr(10) ELSE '' END)
+        |    || (CASE WHEN doc_id % 100 = 1
+        |       THEN '--- rare per-cohort banner line ---' || chr(10) ELSE '' END)
+        |    || text AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+        |    unnest(string_split(text, chr(10))) AS line
+        |  FROM s),
+        |b AS (
+        |  SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS ldf FROM l
+        |    WHERE length(trim(line)) >= 10 GROUP BY line)
+        |  WHERE ldf > 20),
+        |k AS (
+        |  SELECT doc_id, pos, line FROM l
+        |  WHERE NOT (length(trim(line)) >= 10 AND line IN (SELECT line FROM b)))
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_corpus_split" ->
       // mirrors Corpus.splitBucket (modular Knuth mix, 2654435761 %
       // 1000000007 = 654435747; all operands nonnegative so % == pmod) and

@@ -365,4 +365,44 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("doc1", "doc2", "jaccard")
   }
+
+  /** C4-style boilerplate-LINE removal (line-level dedup across the
+    * corpus): a line that appears verbatim in more than `maxLineDocFreq`
+    * DISTINCT documents (nav bars, cookie banners, license headers) is
+    * dropped from every document; lines shorter than `minLineLen` after
+    * trimming are never considered boilerplate (blank lines,
+    * separators stay). Documents whose every line is boilerplate drop out
+    * of the result entirely.
+    *
+    * Scale shape: explode lines (narrow), one distinct + groupBy on the
+    * line for document frequency (the line df table is tiny — only lines
+    * above the cut survive the filter — so the join back is
+    * broadcast-able; AQE decides), re-assemble with
+    * sort_array + GetArrayStructFields + array_join — ALL native codegen
+    * expressions, no higher-order lambdas (CLAUDE.md sharp edge; a
+    * `transform(x -> x.line)` here would interpret per line).
+    *
+    * @return (idCol, clean_text)
+    */
+  def stripBoilerplateLines(docs: DataFrame, maxLineDocFreq: Long,
+                            minLineLen: Int = 10,
+                            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val eligible = length(trim(col("line"))) >= minLineLen
+    val boiler = lines.filter(eligible)
+      .select("doc_id", "line").distinct()
+      .groupBy("line").agg(count(lit(1)).as("ldf"))
+      .filter(col("ldf") > maxLineDocFreq)
+      .select(col("line"), lit(true).as("_boiler"))
+    lines
+      .join(boiler, Seq("line"), "left")
+      .filter(col("_boiler").isNull || !eligible)
+      .groupBy("doc_id")
+      .agg(array_join(
+        sort_array(collect_list(struct(col("pos"), col("line")))).getField("line"),
+        "\n").as("clean_text"))
+      .select(col("doc_id").as(idCol), col("clean_text"))
+  }
 }

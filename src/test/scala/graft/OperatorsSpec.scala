@@ -382,6 +382,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("stripBoilerplateLines: high-df lines drop, short/rare lines stay, order kept") {
+    val header = "SHARED BOILERPLATE NAVIGATION HEADER"
+    val rows = Seq(
+      (0L, s"$header\nunique first line\n--\nunique second line"),
+      (1L, s"$header\nanother unique body"),
+      (2L, s"$header\nthird unique body\n--"),
+      (3L, "no header here at all"),
+      (4L, header) // ONLY boilerplate: doc drops out entirely
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripBoilerplateLines(rows, maxLineDocFreq = 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // header df=4 > 2 -> stripped; "--" is short (< minLineLen) -> kept
+    assert(got(0L) == "unique first line\n--\nunique second line", got(0L))
+    assert(got(1L) == "another unique body")
+    assert(got(2L) == "third unique body\n--")
+    assert(got(3L) == "no header here at all")
+    assert(!got.contains(4L), "all-boilerplate doc must drop out")
+    // the plan stays lambdafunction-free (reassembly uses native
+    // sort_array + GetArrayStructFields, not transform)
+    val plan = Dedup.stripBoilerplateLines(rows, 2L)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("lambdafunction"), plan)
+  }
+
   test("redactPii: emails, IPv4s and long digit runs become typed placeholders") {
     val rows = Seq(
       (0L, "contact me at john.doe+spam@example.co.uk or on 10.0.255.3 now"),
