@@ -387,9 +387,14 @@ object Dedup {
   def stripBoilerplateLines(docs: DataFrame, maxLineDocFreq: Long,
                             minLineLen: Int = 10,
                             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // persisted: feeds BOTH the doc-frequency aggregate and the join-back
+    // side — un-persisted, the text scan + explode would run once per
+    // consumer (the gram/window kernels' identical note). Cache lifetime
+    // is CALLER-owned: clearCache()/unpersist when done.
     val lines = docs
       .select(col(idCol).cast("long").as("doc_id"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val eligible = length(trim(col("line"))) >= minLineLen
     val boiler = lines.filter(eligible)
       .select("doc_id", "line").distinct()
