@@ -132,6 +132,16 @@ object SparkEntry {
           (length(col("t")) - length(col("clean_text"))).cast("long").as("chars_removed"))
         .orderBy("doc_id")
     }),
+    "q_clean_pipeline" -> ((s, dir) => {
+      // the COMPOSED C4-style recipe (boiler-lines -> PII -> quality ->
+      // exact dedup -> near-dup dedup -> split+shards); cluster-dependent
+      // output => murmur-bound, rows-only check (each stage has its own
+      // oracle/parity pin)
+      val (out, _) = CleanPipeline.run(
+        documents(s, dir).select(col("doc_id"), col("text")),
+        CleanPipeline.Config(maxLineDocFreq = 20L, tokensPerShard = 50000L))
+      out.select("doc_id", "split", "shard_id").orderBy("doc_id")
+    }),
     "q_line_dedup" -> ((s, dir) => {
       // C4-style boilerplate-line removal. The synth corpus has no shared
       // lines, so half the docs get a common injected header (df 250 >>

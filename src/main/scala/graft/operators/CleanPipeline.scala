@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.core.MinHashConfig
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed end-to-end training-data cleaning recipe (the C4/RefinedWeb
+  * shape), built entirely from this library's operators:
+  *
+  *   1. corpus-wide boilerplate-LINE removal ([[Dedup.stripBoilerplateLines]])
+  *   2. PII redaction ([[TextAnalysis.redactPii]])
+  *   3. quality filtering (token count + punctuation ratio,
+  *      [[TextAnalysis.withQualityColumns]])
+  *   4. exact dedup (sha-256 digest groups, [[Dedup.exactDedup]])
+  *   5. near-dup dedup (MinHash/LSH pairs -> connected components ->
+  *      min-id representatives, [[MinHashPipeline]] /
+  *      [[ConnectedComponents]] / [[Dedup.keepRepresentatives]])
+  *   6. deterministic split + token-budget sharding ([[Corpus]])
+  *
+  * Each stage is individually oracle- or parity-pinned; this runner only
+  * composes them (plus the stage-count bookkeeping a production run logs),
+  * so its scale story is exactly the sum of its parts: narrow scans,
+  * digest-keyed shuffles, one LSH bucket shuffle, O(log D) label rounds,
+  * a broadcast-able representative semi-join, and the two-pass prefix sum.
+  *
+  * Cache lifetime is CALLER-owned (the repo-wide operator contract):
+  * clearCache()/unpersist the returned frame when done.
+  */
+object CleanPipeline {
+
+  final case class Config(
+      maxLineDocFreq: Long = 1000L,
+      minTokens: Long = 5L,
+      maxPunctRatio: Double = 0.5,
+      minhash: MinHashConfig =
+        MinHashConfig(shingleSize = 3, signatureSize = 128, nBandRows = 4,
+          seed = 13, threshold = 0.8),
+      starCapBucketSize: Option[Int] = Some(256),
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+      splitSeed: Long = 13L,
+      tokensPerShard: Long = 1000000L)
+
+  /** Documents surviving each gate — the numbers a production data run
+    * reports next to its output.
+    */
+  final case class StageCounts(input: Long, afterQuality: Long,
+                               afterExactDedup: Long, output: Long)
+
+  /** @return (clean corpus: idCol, text, split, shard_id; stage counts) */
+  def run(docs: DataFrame, cfg: Config = Config(),
+          idCol: String = "doc_id", textCol: String = "text"): (DataFrame, StageCounts) = {
+    val nInput = docs.count()
+
+    // 1+2: line-level cleanup, then PII scrub of what remains
+    val cleaned = Dedup
+      .stripBoilerplateLines(docs, cfg.maxLineDocFreq, idCol = idCol, textCol = textCol)
+      .select(col(idCol), TextAnalysis.redactPii(col("clean_text")).as(textCol))
+
+    // 3: quality gate — persisted: feeds the digest groupBy, the survivor
+    // semi-join and (transitively) the near-dup kernel
+    val quality = TextAnalysis.withQualityColumns(cleaned, textCol)
+      .filter(col("n_tokens") >= cfg.minTokens &&
+        col("punct_ratio") <= cfg.maxPunctRatio)
+      .select(col(idCol), col(textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nQuality = quality.count()
+
+    // 4: exact dedup survivors (digest-keyed: 32-byte shuffle keys)
+    val exact = quality
+      .join(Dedup.exactDedup(quality, idCol, textCol).select(idCol),
+        Seq(idCol), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nExact = exact.count()
+    quality.unpersist()
+
+    // 5: near-dup clusters -> one representative per cluster
+    val pairs = MinHashPipeline.run(
+      exact.select(col(idCol).as("doc_id"), col(textCol).as("content")),
+      cfg.minhash, cfg.starCapBucketSize)
+    val clusters = ConnectedComponents.cluster(
+      pairs, exact.select(col(idCol).as("doc_id")))
+    val deduped = Dedup.keepRepresentatives(exact, clusters, idCol)
+
+    // 6: deterministic membership + token-budget shards
+    val withSplit = Corpus.split(deduped, cfg.splits, cfg.splitSeed, idCol)
+    val shards = Corpus.tokenShards(
+      withSplit.select(col(idCol),
+        TextAnalysis.tokenCountWs(col(textCol)).cast("long").as("n_tokens")),
+      cfg.tokensPerShard, idCol)
+    val out = withSplit
+      .join(shards.select(col(idCol), col("shard_id")), Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nOut = out.count()
+    exact.unpersist()
+    (out, StageCounts(nInput, nQuality, nExact, nOut))
+  }
+}

@@ -382,6 +382,41 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("CleanPipeline: the composed recipe applies every gate") {
+    val header = "REPEATED BOILERPLATE NAVIGATION HEADER LINE"
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+      "hotel", "india", "juliet", "kilo", "lima", "mike", "november", "oscar", "papa")
+    // per-doc DISJOINT vocab (suffix i): no accidental cross-doc shingle overlap
+    def body(i: Int): String =
+      (0 until 15).map(k => words((i * 7 + k * 3) % 16) + i).mkString(" ")
+    val nearDupOf1 = body(1).split(" ").dropRight(1).mkString(" ") + " zulu1"
+    val rows = ((0 until 8).map(i => (i.toLong, s"$header\n${body(i)}")) ++ Seq(
+      (8L, body(0)),                              // exact dup of doc 0 post-strip
+      (9L, "tiny doc"),                           // fails the quality token gate
+      (10L, nearDupOf1),                          // near-dup of doc 1
+      (11L, body(11) + " contact a@b.io now")     // carries PII
+    )).toDF("doc_id", "text")
+    val cfg = CleanPipeline.Config(
+      maxLineDocFreq = 3L, minTokens = 5L,
+      minhash = graft.core.MinHashConfig(3, 64, 4, 13, 0.5),
+      tokensPerShard = 100L)
+    val (out, counts) = CleanPipeline.run(rows, cfg)
+    val got = out.collect().map(r =>
+      r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    assert(counts == CleanPipeline.StageCounts(12, 11, 10, 9), counts.toString)
+    // survivors: quality dropped 9; exact dedup kept min(0,8)=0;
+    // near-dup cluster {1,10} kept min=1
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 11L), got.keySet.toString)
+    // boilerplate stripped everywhere, PII redacted, splits/shards assigned
+    got.values.foreach { case (text, split, shard) =>
+      assert(!text.contains(header))
+      assert(Set("train", "val", "test").contains(split))
+      assert(shard >= 0)
+    }
+    assert(got(11L)._1.contains("<EMAIL>"), got(11L)._1)
+    spark.catalog.clearCache()
+  }
+
   test("stripBoilerplateLines: high-df lines drop, short/rare lines stay, order kept") {
     val header = "SHARED BOILERPLATE NAVIGATION HEADER"
     val rows = Seq(
