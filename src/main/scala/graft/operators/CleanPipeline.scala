@@ -43,19 +43,29 @@ object CleanPipeline {
       tokensPerShard: Long = 1000000L)
 
   /** Documents surviving each gate — the numbers a production data run
-    * reports next to its output.
+    * reports next to its output. `afterLineClean` separates all-boilerplate
+    * docs (dropped by stage 1) from quality rejections.
     */
-  final case class StageCounts(input: Long, afterQuality: Long,
-                               afterExactDedup: Long, output: Long)
+  final case class StageCounts(input: Long, afterLineClean: Long,
+                               afterQuality: Long, afterExactDedup: Long,
+                               output: Long)
 
-  /** @return (clean corpus: idCol, text, split, shard_id; stage counts) */
+  /** @return (clean corpus: idCol, text, split, shard_id; stage counts).
+    * The returned frame is persisted and materialized; every internal
+    * cache is released before returning — the caller owns exactly one
+    * handle (unpersist the result when done).
+    */
   def run(docs: DataFrame, cfg: Config = Config(),
           idCol: String = "doc_id", textCol: String = "text"): (DataFrame, StageCounts) = {
     val nInput = docs.count()
 
-    // 1+2: line-level cleanup, then PII scrub of what remains
-    val cleaned = Dedup
-      .stripBoilerplateLines(docs, cfg.maxLineDocFreq, idCol = idCol, textCol = textCol)
+    // 1+2: line-level cleanup (returns a persisted, materialized frame —
+    // we hold its handle and release it once quality materializes), then
+    // PII scrub of what remains
+    val stripped = Dedup.stripBoilerplateLines(
+      docs, cfg.maxLineDocFreq, idCol = idCol, textCol = textCol)
+    val nLineClean = stripped.count() // cache-backed: already materialized
+    val cleaned = stripped
       .select(col(idCol), TextAnalysis.redactPii(col("clean_text")).as(textCol))
 
     // 3: quality gate — persisted: feeds the digest groupBy, the survivor
@@ -66,6 +76,7 @@ object CleanPipeline {
       .select(col(idCol), col(textCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nQuality = quality.count()
+    stripped.unpersist()
 
     // 4: exact dedup survivors (digest-keyed: 32-byte shuffle keys)
     val exact = quality
@@ -75,12 +86,20 @@ object CleanPipeline {
     val nExact = exact.count()
     quality.unpersist()
 
-    // 5: near-dup clusters -> one representative per cluster
-    val pairs = MinHashPipeline.run(
+    // 5: near-dup clusters -> one representative per cluster. Composes
+    // candidates+pairs directly (NOT MinHashPipeline.run, whose trailing
+    // reference-CSV orderBy would pay a full sort that clustering
+    // discards) and owns the signature cache so it can be released as
+    // soon as the labels are materialized (cluster() checkpoints them).
+    val sigs = MinHashPipeline.signatures(
       exact.select(col(idCol).as("doc_id"), col(textCol).as("content")),
-      cfg.minhash, cfg.starCapBucketSize)
+      cfg.minhash).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = MinHashPipeline.pairs(
+      MinHashPipeline.candidates(sigs, cfg.starCapBucketSize), sigs, cfg.minhash)
     val clusters = ConnectedComponents.cluster(
       pairs, exact.select(col(idCol).as("doc_id")))
+    sigs.unpersist()
     val deduped = Dedup.keepRepresentatives(exact, clusters, idCol)
 
     // 6: deterministic membership + token-budget shards
@@ -93,7 +112,8 @@ object CleanPipeline {
       .join(shards.select(col(idCol), col("shard_id")), Seq(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nOut = out.count()
+    shards.unpersist()
     exact.unpersist()
-    (out, StageCounts(nInput, nQuality, nExact, nOut))
+    (out, StageCounts(nInput, nLineClean, nQuality, nExact, nOut))
   }
 }

@@ -387,27 +387,43 @@ object Dedup {
   def stripBoilerplateLines(docs: DataFrame, maxLineDocFreq: Long,
                             minLineLen: Int = 10,
                             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // persisted: feeds BOTH the doc-frequency aggregate and the join-back
-    // side — un-persisted, the text scan + explode would run once per
-    // consumer (the gram/window kernels' identical note). Cache lifetime
-    // is CALLER-owned: clearCache()/unpersist when done.
-    val lines = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val idc = col(idCol).cast("long")
+    // a null / non-integral id would silently merge EVERY document's lines
+    // into one null-id group at the reassembly groupBy, destroying all
+    // document boundaries — fail loudly instead (the Corpus.split
+    // convention)
+    val safeId = when(idc.isNotNull, idc)
+      .otherwise(raise_error(lit(
+        s"stripBoilerplateLines: null or non-integral $idCol — per-document " +
+          "reassembly requires a concrete id")).cast("long"))
+    // Spread first: a one-file corpus would serialize the scan + split +
+    // explode on a single task (CLAUDE.md sharp edge). Persisted because
+    // it feeds BOTH the doc-frequency aggregate and the join-back side —
+    // but the internal cache is RELEASED before returning; the returned
+    // (persisted, materialized) frame is the single CALLER-owned handle.
+    val lines = Spread(docs.select(safeId.as("doc_id"), col(textCol).cast("string").as("t")))
+      .select(col("doc_id"), posexplode(split(col("t"), "\n")).as(Seq("pos", "line")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val eligible = length(trim(col("line"))) >= minLineLen
-    val boiler = lines.filter(eligible)
-      .select("doc_id", "line").distinct()
-      .groupBy("line").agg(count(lit(1)).as("ldf"))
-      .filter(col("ldf") > maxLineDocFreq)
-      .select(col("line"), lit(true).as("_boiler"))
-    lines
-      .join(boiler, Seq("line"), "left")
-      .filter(col("_boiler").isNull || !eligible)
-      .groupBy("doc_id")
-      .agg(array_join(
-        sort_array(collect_list(struct(col("pos"), col("line")))).getField("line"),
-        "\n").as("clean_text"))
-      .select(col("doc_id").as(idCol), col("clean_text"))
+    try {
+      val eligible = length(trim(col("line"))) >= minLineLen
+      val boiler = lines.filter(eligible)
+        .select("doc_id", "line").distinct()
+        .groupBy("line").agg(count(lit(1)).as("ldf"))
+        .filter(col("ldf") > maxLineDocFreq)
+        .select(col("line"), lit(true).as("_boiler"))
+      val out = lines
+        .join(boiler, Seq("line"), "left")
+        // a non-null _boiler implies the line was eligible (boiler is
+        // built from eligible lines only): keep = simply "not flagged"
+        .filter(col("_boiler").isNull)
+        .groupBy("doc_id")
+        .agg(array_join(
+          sort_array(collect_list(struct(col("pos"), col("line")))).getField("line"),
+          "\n").as("clean_text"))
+        .select(col("doc_id").as(idCol), col("clean_text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // materialize before releasing the internal lines cache
+      out
+    } finally { lines.unpersist(); () }
   }
 }

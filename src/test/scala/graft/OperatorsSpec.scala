@@ -403,7 +403,7 @@ class OperatorsSpec extends SparkSpec {
     val (out, counts) = CleanPipeline.run(rows, cfg)
     val got = out.collect().map(r =>
       r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3))).toMap
-    assert(counts == CleanPipeline.StageCounts(12, 11, 10, 9), counts.toString)
+    assert(counts == CleanPipeline.StageCounts(12, 12, 11, 10, 9), counts.toString)
     // survivors: quality dropped 9; exact dedup kept min(0,8)=0;
     // near-dup cluster {1,10} kept min=1
     assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 11L), got.keySet.toString)
@@ -439,6 +439,7 @@ class OperatorsSpec extends SparkSpec {
     val plan = Dedup.stripBoilerplateLines(rows, 2L)
       .queryExecution.optimizedPlan.toString
     assert(!plan.toLowerCase.contains("lambdafunction"), plan)
+    spark.catalog.clearCache() // release the operator's caller-owned caches
   }
 
   test("redactPii: emails, IPv4s and long digit runs become typed placeholders") {
