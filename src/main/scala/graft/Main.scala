@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   *     [--threshold 0.1] [--offset 0] [--star-cap N] [--text-col content] [--id-col doc_id]
   *     [--candidate-partitions N] [--verbose true] [--dedup-corpus true]
   *     [--content-fingerprint true] [--pairs-csv true]
+  *     [--clean true [--max-line-df 1000] [--min-tokens 5] [--tokens-per-shard N]]
+  *
+  * `--clean true` runs the composed C4-style cleaning recipe
+  * (operators.CleanPipeline: boilerplate lines -> PII -> quality ->
+  * exact dedup -> near-dup dedup -> split + token shards) and writes the
+  * clean corpus to `<output>/clean_corpus` with per-stage counts on
+  * stdout, instead of the reference dedup pipeline.
   *
   * `--candidate-partitions` sizes the bucket-key exchange (the pipeline's
   * big shuffle) independently of spark.sql.shuffle.partitions — the
@@ -110,6 +117,31 @@ object Main {
       opts.getOrElse("id-col", "doc_id"), opts.getOrElse("text-col", "content"),
       deriveIds = opts.get("derive-ids").exists(_.toBoolean),
       idOffset = cfg.docOffset)
+
+    // --clean true: run the composed C4-style cleaning recipe instead of
+    // the reference dedup pipeline — writes the clean corpus (doc_id,
+    // text, split, shard_id) and prints the per-stage survivor counts
+    if (opts.get("clean").exists(_.toBoolean)) {
+      val tC = System.nanoTime()
+      val (clean, counts) = graft.operators.CleanPipeline.run(
+        docs.select(col("doc_id"), col("content").as("text")),
+        graft.operators.CleanPipeline.Config(
+          maxLineDocFreq = opts.getOrElse("max-line-df", "1000").toLong,
+          minTokens = opts.getOrElse("min-tokens", "5").toLong,
+          minhash = cfg,
+          tokensPerShard = opts.getOrElse("tokens-per-shard", "1000000").toLong))
+      clean.write.mode("overwrite").parquet(s"$output/clean_corpus")
+      clean.unpersist()
+      val secC = (System.nanoTime() - tC) / 1e9
+      println(
+        s"""{"input":${counts.input},"after_line_clean":${counts.afterLineClean},""" +
+          s""""after_quality":${counts.afterQuality},""" +
+          s""""after_exact_dedup":${counts.afterExactDedup},""" +
+          s""""output":${counts.output},"sec":$secC,""" +
+          s""""files_per_sec":${counts.input / secC}}""")
+      spark.stop()
+      return
+    }
 
     val t0 = System.nanoTime()
     val pipe = new CheckpointedPipeline(spark, cfg, output, starCap, verifyJaccard,
