@@ -132,6 +132,18 @@ object SparkEntry {
           (length(col("t")) - length(col("clean_text"))).cast("long").as("chars_removed"))
         .orderBy("doc_id")
     }),
+    "q_repetition" -> ((s, dir) => {
+      // Gopher-style within-doc repetition quality signals; every 5th doc
+      // gets a deterministically repeated injected line (mirrored in the
+      // oracle) so the hash match covers nonzero fractions, not just the
+      // all-distinct case
+      val injected = when(pmod(col("doc_id"), lit(5L)) === 0,
+        concat(col("text"), lit("\nrepeated filler line\nrepeated filler line")))
+        .otherwise(col("text"))
+      TextAnalysis.repetitionSignals(
+          documents(s, dir).select(col("doc_id"), injected.as("text")))
+        .orderBy("doc_id")
+    }),
     "q_clean_pipeline" -> ((s, dir) => {
       // the COMPOSED C4-style recipe (boiler-lines -> PII -> quality ->
       // exact dedup -> near-dup dedup -> split+shards); cluster-dependent
@@ -359,6 +371,30 @@ object SparkEntry {
         |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
         |      '\b[0-9]{13,19}\b', '<NUM>', 'g')) AS BIGINT) AS chars_removed
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      // identical injection + per-(doc,line) then per-doc rollup; DuckDB
+      // SUMs return HUGEINT -> cast before the IEEE double division ('/'
+      // is float division in DuckDB, matching Spark's Column '/')
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || 'repeated filler line'
+        |         || chr(10) || 'repeated filler line' ELSE text END AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM s),
+        |g AS (SELECT doc_id, line, count(*) AS cnt FROM l GROUP BY doc_id, line),
+        |d AS (
+        |  SELECT doc_id,
+        |    CAST(sum(cnt) AS BIGINT) AS n_lines,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(sum(length(line) * cnt) AS BIGINT) AS n_chars,
+        |    CAST(sum(length(line)) AS BIGINT) AS n_distinct_chars
+        |  FROM g GROUP BY doc_id)
+        |SELECT doc_id, n_lines,
+        |  CAST(n_lines - n_distinct AS DOUBLE) / CAST(n_lines AS DOUBLE) AS dup_line_frac,
+        |  CASE WHEN n_chars = 0 THEN 0.0
+        |       ELSE CAST(n_chars - n_distinct_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
+        |  END AS dup_line_char_frac
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_line_dedup" ->
       // identical injection, eligibility (trimmed length >= 10), doc-freq
       // cut (> 20 distinct docs) and order-preserving reassembly; DuckDB

@@ -51,6 +51,42 @@ object TextAnalysis {
       regexp_replace(acc, pat, repl)
     }
 
+  /** Gopher-style WITHIN-document repetition signals (the repetition
+    * family of quality filters — docs whose content is mostly repeated
+    * lines are low-quality scrapes):
+    *
+    *   dup_line_frac      = (lines − distinct lines) / lines
+    *   dup_line_char_frac = (line chars − chars in distinct lines) / line chars
+    *
+    * One explode + two aggregations keyed by (doc, line) then doc — the
+    * heavy shuffle key is (doc_id, line) so duplicate detection is exact,
+    * and the per-doc rollup is a pure count/sum. IEEE double divisions on
+    * exact integer operands: DuckDB-oracle-comparable bit-for-bit.
+    *
+    * @return (idCol, n_lines, dup_line_frac, dup_line_char_frac)
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(split(col(textCol), "\n")).as("line"))
+    lines
+      .groupBy("doc_id", "line").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").as("n_lines"),
+        count(lit(1)).as("n_distinct"),
+        sum(length(col("line")) * col("cnt")).as("n_chars"),
+        sum(length(col("line"))).as("n_distinct_chars"))
+      .select(
+        col("doc_id").as(idCol),
+        col("n_lines"),
+        ((col("n_lines") - col("n_distinct")).cast("double") /
+          col("n_lines").cast("double")).as("dup_line_frac"),
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise((col("n_chars") - col("n_distinct_chars")).cast("double") /
+            col("n_chars").cast("double")).as("dup_line_char_frac"))
+  }
+
   /** Quality-scoring columns (length / punctuation / stopword signals).
     * All per-row double arithmetic — deterministic and oracle-comparable.
     * Stopword counting and token-length summing run through the custom

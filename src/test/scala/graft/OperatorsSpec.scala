@@ -382,6 +382,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("repetitionSignals: exact within-doc duplicate-line fractions") {
+    val rows = Seq(
+      (0L, "aa\nbb\ncc"),          // all distinct
+      (1L, "aa\naa\naa\nbb"),      // 4 lines, 2 distinct
+      (2L, ""),                    // one empty line; 0 chars
+      (3L, "xyz\nxyz")             // 2 lines, 1 distinct
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(rows)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(0L) == ((3L, 0.0, 0.0)), got(0L).toString)
+    // doc 1: dup_line_frac = (4-2)/4; char frac = (8-4)/8
+    assert(got(1L) == ((4L, 0.5, 0.5)), got(1L).toString)
+    assert(got(2L) == ((1L, 0.0, 0.0)), got(2L).toString)
+    // doc 3: (2-1)/2; chars (6-3)/6
+    assert(got(3L) == ((2L, 0.5, 0.5)), got(3L).toString)
+  }
+
   test("CleanPipeline: the composed recipe applies every gate") {
     val header = "REPEATED BOILERPLATE NAVIGATION HEADER LINE"
     val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
