@@ -123,12 +123,20 @@ object Main {
     // text, split, shard_id) and prints the per-stage survivor counts
     if (opts.get("clean").exists(_.toBoolean)) {
       val tC = System.nanoTime()
+      // near-dup DELETION threshold: Main's --threshold default (0.1) is
+      // the reference's pairs-REPORTING gate — deleting at 0.1 would
+      // silently purge barely-similar docs. Without an explicit
+      // --threshold, cleaning uses CleanPipeline's own default (0.8).
+      val cleanCfg = if (opts.contains("threshold")) cfg
+        else cfg.copy(threshold = graft.operators.CleanPipeline.Config().minhash.threshold)
       val (clean, counts) = graft.operators.CleanPipeline.run(
         docs.select(col("doc_id"), col("content").as("text")),
         graft.operators.CleanPipeline.Config(
           maxLineDocFreq = opts.getOrElse("max-line-df", "1000").toLong,
           minTokens = opts.getOrElse("min-tokens", "5").toLong,
-          minhash = cfg,
+          minhash = cleanCfg,
+          starCapBucketSize = starCap.orElse(Some(256)),
+          candidatePartitions = candParts,
           tokensPerShard = opts.getOrElse("tokens-per-shard", "1000000").toLong))
       clean.write.mode("overwrite").parquet(s"$output/clean_corpus")
       clean.unpersist()

@@ -67,8 +67,17 @@ object TextAnalysis {
     */
   def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    val lines = docs.select(col(idCol).cast("long").as("doc_id"),
-      explode(split(col(textCol), "\n")).as("line"))
+    val idc = col(idCol).cast("long")
+    // null/non-integral ids would merge into one bogus null-keyed group at
+    // the per-doc rollup — fail loudly (the Corpus.split convention); and
+    // Spread: a one-file corpus would serialize the split+explode+partial
+    // aggregation on a single task (CLAUDE.md sharp edge)
+    val safeId = when(idc.isNotNull, idc)
+      .otherwise(raise_error(lit(
+        s"repetitionSignals: null or non-integral $idCol")).cast("long"))
+    val lines = graft.operators.Spread(
+        docs.select(safeId.as("doc_id"), col(textCol).cast("string").as("t")))
+      .select(col("doc_id"), explode(split(col("t"), "\n")).as("line"))
     lines
       .groupBy("doc_id", "line").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id")

@@ -37,6 +37,7 @@ object CleanPipeline {
         MinHashConfig(shingleSize = 3, signatureSize = 128, nBandRows = 4,
           seed = 13, threshold = 0.8),
       starCapBucketSize: Option[Int] = Some(256),
+      candidatePartitions: Option[Int] = None,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
       splitSeed: Long = 13L,
@@ -96,7 +97,8 @@ object CleanPipeline {
       cfg.minhash).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = MinHashPipeline.pairs(
-      MinHashPipeline.candidates(sigs, cfg.starCapBucketSize), sigs, cfg.minhash)
+      MinHashPipeline.candidates(sigs, cfg.starCapBucketSize,
+        candidatePartitions = cfg.candidatePartitions), sigs, cfg.minhash)
     val clusters = ConnectedComponents.cluster(
       pairs, exact.select(col(idCol).as("doc_id")))
     sigs.unpersist()
