@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   *   3. quality filtering (token count + punctuation ratio,
   *      [[TextAnalysis.withQualityColumns]])
   *   4. exact dedup (sha-256 digest groups, [[Dedup.exactDedup]])
-  *   5. near-dup dedup (MinHash/LSH pairs -> connected components ->
-  *      min-id representatives, [[MinHashPipeline]] /
+  *   5. near-dup dedup (MinHash/LSH pairs — optionally UNIONED with
+  *      embedding-cosine semantic pairs — -> connected components ->
+  *      min-id representatives, [[MinHashPipeline]] / [[Similarity]] /
   *      [[ConnectedComponents]] / [[Dedup.keepRepresentatives]])
   *   6. deterministic split + token-budget sharding ([[Corpus]])
   *
@@ -38,6 +39,11 @@ object CleanPipeline {
           seed = 13, threshold = 0.8),
       starCapBucketSize: Option[Int] = Some(256),
       candidatePartitions: Option[Int] = None,
+      // semantic (embedding-cosine) near-dup threshold, used only when an
+      // embeddings table is passed to run(); conservative by default —
+      // semantic merging below ~0.95 cosine deletes paraphrases, which is
+      // a curation policy, not dedup
+      embeddingMinCosine: Double = 0.95,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
       splitSeed: Long = 13L,
@@ -51,13 +57,21 @@ object CleanPipeline {
                                afterQuality: Long, afterExactDedup: Long,
                                output: Long)
 
-  /** @return (clean corpus: idCol, text, split, shard_id; stage counts).
+  /** @param embeddings optional (idCol, embedding: array&lt;float&gt;) table:
+    *   when present, embedding-cosine near-dup pairs (>= embeddingMinCosine,
+    *   via the multiprobe LSH candidate join) are UNIONED with the lexical
+    *   MinHash pairs before clustering — lexically-rewritten but
+    *   semantically-identical docs land in the same component and dedup
+    *   together. Only embeddings of docs that survived the earlier gates
+    *   participate (semi-join).
+    * @return (clean corpus: idCol, text, split, shard_id; stage counts).
     * The returned frame is persisted and materialized; every internal
     * cache is released before returning — the caller owns exactly one
     * handle (unpersist the result when done).
     */
   def run(docs: DataFrame, cfg: Config = Config(),
-          idCol: String = "doc_id", textCol: String = "text"): (DataFrame, StageCounts) = {
+          idCol: String = "doc_id", textCol: String = "text",
+          embeddings: Option[DataFrame] = None): (DataFrame, StageCounts) = {
     val nInput = docs.count()
 
     // 1+2: line-level cleanup (returns a persisted, materialized frame —
@@ -96,12 +110,32 @@ object CleanPipeline {
       exact.select(col(idCol).as("doc_id"), col(textCol).as("content")),
       cfg.minhash).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = MinHashPipeline.pairs(
+    val lexPairs = MinHashPipeline.pairs(
       MinHashPipeline.candidates(sigs, cfg.starCapBucketSize,
         candidatePartitions = cfg.candidatePartitions), sigs, cfg.minhash)
+      .select("doc1", "doc2")
+    // optional SEMANTIC pairs: embedding-cosine near-dups of surviving
+    // docs, merged into the same clustering
+    val (allPairs, sketchHandle) = embeddings match {
+      case Some(emb0) =>
+        val emb = emb0
+          .select(col(idCol).cast("long").as("vec_id"), col("embedding"))
+          .join(exact.select(col(idCol).cast("long").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+        val dim = emb0.select(size(col("embedding"))).limit(1).collect()
+          .headOption.map(_.getInt(0)).getOrElse(0)
+        if (dim == 0) (lexPairs, None)
+        else {
+          val (semPairs, sketch) = Similarity.embeddingNearDupPairsWithHandle(
+            emb, cfg.embeddingMinCosine, dim)
+          (lexPairs.union(semPairs.select("doc1", "doc2")), Some(sketch))
+        }
+      case None => (lexPairs, None)
+    }
     val clusters = ConnectedComponents.cluster(
-      pairs, exact.select(col(idCol).as("doc_id")))
+      allPairs, exact.select(col(idCol).as("doc_id")))
     sigs.unpersist()
+    sketchHandle.foreach(_.unpersist())
     val deduped = Dedup.keepRepresentatives(exact, clusters, idCol)
 
     // 6: deterministic membership + token-budget shards

@@ -468,11 +468,24 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs: all (i < j) pairs with cosine >=
     * minCosine, found through the LSH candidate join (not a cross join).
+    * Cache lifetime of the internal sketch is CALLER-owned (clearCache);
+    * use [[embeddingNearDupPairsWithHandle]] to get a releasable handle.
     */
   def embeddingNearDupPairs(corpus: DataFrame, minCosine: Double, dim: Int,
                             nTables: Int = 12, bandBits: Int = 8, seed: Long = 42L,
                             multiProbe: Boolean = true, nProbes: Int = 8,
-                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embeddingNearDupPairsWithHandle(corpus, minCosine, dim, nTables, bandBits,
+      seed, multiProbe, nProbes, idCol, vecCol)._1
+
+  /** [[embeddingNearDupPairs]] plus the persisted sketch frame as a
+    * releasable handle — long-lived sessions unpersist it once the pairs
+    * are consumed, without nuking unrelated caches via clearCache.
+    */
+  def embeddingNearDupPairsWithHandle(corpus: DataFrame, minCosine: Double, dim: Int,
+                            nTables: Int = 12, bandBits: Int = 8, seed: Long = 42L,
+                            multiProbe: Boolean = true, nProbes: Int = 8,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     // same degradation rule as lshTopK: nProbes=0 means plain buckets,
     // never an empty probe side
     val useProbes = multiProbe && nProbes > 0
@@ -498,7 +511,7 @@ object Similarity {
       .select(col("a.vid").as("doc1"), col("b.vid").as("doc2"))
       .distinct()
     val vecs = sketch.select(col("vid"), col("vec"), col("vnorm"))
-    candIds
+    val pairs = candIds
       .join(vecs.select(col("vid").as("doc1"), col("vec").as("v1"),
         col("vnorm").as("n1")), "doc1")
       .join(vecs.select(col("vid").as("doc2"), col("vec").as("v2"),
@@ -506,5 +519,6 @@ object Similarity {
       .withColumn("cosine", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cosine") >= minCosine)
       .select("doc1", "doc2", "cosine")
+    (pairs, sketch)
   }
 }

@@ -434,6 +434,32 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("CleanPipeline: optional embeddings add semantic near-dup merging") {
+    val words = Seq("zeta", "yankee", "xray", "whiskey", "victor", "uniform",
+      "tango", "sierra", "romeo", "quebec", "papa2", "oscar2", "nova", "milo", "lima2", "kilo2")
+    def sbody(i: Int): String =
+      (0 until 12).map(k => words((i * 5 + k * 3) % 16) + i).mkString(" ")
+    val docs = Seq((0L, sbody(0)), (1L, sbody(1)), (2L, sbody(2)))
+      .toDF("doc_id", "text")
+    // docs 0 and 1: lexically DISJOINT but embedding-identical; doc 2 far
+    val e = Seq(
+      (0L, Array.fill(8)(1.0f)),
+      (1L, Array.fill(8)(1.0f)),
+      (2L, Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f))
+    ).toDF("doc_id", "embedding")
+    val cfg = CleanPipeline.Config(maxLineDocFreq = 100L, minTokens = 5L,
+      minhash = graft.core.MinHashConfig(3, 64, 4, 13, 0.8), tokensPerShard = 1000L)
+    val (noSem, _) = CleanPipeline.run(docs, cfg)
+    assert(noSem.select("doc_id").collect().map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
+    noSem.unpersist()
+    val (withSem, counts) = CleanPipeline.run(docs, cfg, embeddings = Some(e))
+    // semantic pair (0,1) merges the lexically-disjoint docs; rep = min id
+    assert(withSem.select("doc_id").collect().map(_.getLong(0)).toSet == Set(0L, 2L))
+    assert(counts.output == 2)
+    withSem.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("stripBoilerplateLines: high-df lines drop, short/rare lines stay, order kept") {
     val header = "SHARED BOILERPLATE NAVIGATION HEADER"
     val rows = Seq(
