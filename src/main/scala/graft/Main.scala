@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   *     [--threshold 0.1] [--offset 0] [--star-cap N] [--text-col content] [--id-col doc_id]
   *     [--candidate-partitions N] [--verbose true] [--dedup-corpus true]
   *     [--content-fingerprint true] [--pairs-csv true]
-  *     [--clean true [--max-line-df 1000] [--min-tokens 5] [--tokens-per-shard N]]
+  *     [--clean true [--max-line-df 1000] [--min-tokens 5] [--tokens-per-shard N]
+  *       [--embeddings <parquet> [--embedding-id-col vec_id] [--embedding-col embedding]]]
   *
   * `--clean true` runs the composed C4-style cleaning recipe
   * (operators.CleanPipeline: boilerplate lines -> PII -> quality ->
@@ -129,6 +130,13 @@ object Main {
       // --threshold, cleaning uses CleanPipeline's own default (0.8).
       val cleanCfg = if (opts.contains("threshold")) cfg
         else cfg.copy(threshold = graft.operators.CleanPipeline.Config().minhash.threshold)
+      // --embeddings <parquet>: adds SEMANTIC near-dup merging (cosine >=
+      // 0.95 via LSH) to the lexical near-dup stage
+      val emb = opts.get("embeddings").map { p =>
+        spark.read.parquet(p).select(
+          col(opts.getOrElse("embedding-id-col", "vec_id")).cast("long").as("doc_id"),
+          col(opts.getOrElse("embedding-col", "embedding")).as("embedding"))
+      }
       val (clean, counts) = graft.operators.CleanPipeline.run(
         docs.select(col("doc_id"), col("content").as("text")),
         graft.operators.CleanPipeline.Config(
@@ -137,7 +145,8 @@ object Main {
           minhash = cleanCfg,
           starCapBucketSize = starCap.orElse(Some(256)),
           candidatePartitions = candParts,
-          tokensPerShard = opts.getOrElse("tokens-per-shard", "1000000").toLong))
+          tokensPerShard = opts.getOrElse("tokens-per-shard", "1000000").toLong),
+        embeddings = emb)
       clean.write.mode("overwrite").parquet(s"$output/clean_corpus")
       clean.unpersist()
       val secC = (System.nanoTime() - tC) / 1e9

@@ -151,7 +151,9 @@ object SparkEntry {
       // oracle/parity pin)
       val (out, _) = CleanPipeline.run(
         documents(s, dir).select(col("doc_id"), col("text")),
-        CleanPipeline.Config(maxLineDocFreq = 20L, tokensPerShard = 50000L))
+        CleanPipeline.Config(maxLineDocFreq = 20L, tokensPerShard = 50000L),
+        embeddings = Some(embeddings(s, dir)
+          .select(col("vec_id").as("doc_id"), col("embedding"))))
       out.select("doc_id", "split", "shard_id").orderBy("doc_id")
     }),
     "q_line_dedup" -> ((s, dir) => {
