@@ -118,11 +118,17 @@ object CleanPipeline {
     // docs, merged into the same clustering
     val (allPairs, sketchHandle) = embeddings match {
       case Some(emb0) =>
+        // uncurated input guard: null ids / null or empty vectors would NPE
+        // inside the sketch kernel (and a null first row would crash the
+        // dim probe) — drop them; vectors must share one dimension
         val emb = emb0
           .select(col(idCol).cast("long").as("vec_id"), col("embedding"))
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+            size(col("embedding")) > 0)
           .join(exact.select(col(idCol).cast("long").as("vec_id")),
             Seq("vec_id"), "left_semi")
-        val dim = emb0.select(size(col("embedding"))).limit(1).collect()
+        // dim probed from the FILTERED survivors (size > 0, never null)
+        val dim = emb.select(size(col("embedding"))).limit(1).collect()
           .headOption.map(_.getInt(0)).getOrElse(0)
         if (dim == 0) (lexPairs, None)
         else {
