@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 /** spark-submit entry point: the production near-dup + clustering job.
   *
   * Usage:
-  *   graft.Main --input <parquet path | synth:<nFiles> | textdir:<dir>> --output <dir>
+  *   graft.Main --input <parquet path | synth:<nFiles> | textdir:<dir> | jsonl:<path>> --output <dir>
   *     [--shingle 3] [--signature 100] [--bandrows 4] [--seed 13]
   *     [--threshold 0.1] [--offset 0] [--star-cap N] [--text-col content] [--id-col doc_id]
   *     [--candidate-partitions N] [--verbose true] [--dedup-corpus true]
@@ -223,6 +223,25 @@ object Main {
         (regexp_extract(col("base"), "^([0-9]+)\\.txt$", 1).cast("long") - idOffset)
           .as("doc_id"),
         col("content"))
+    } else if (input.startsWith("jsonl:")) {
+      // JSONL / NDJSON — the de-facto training-data interchange format
+      // (one JSON object per line; .jsonl/.json/.gz all work — Spark's
+      // json source is line-delimited by default and decompresses by
+      // extension). Schema is EXPLICIT: inference would scan the corpus
+      // twice and silently widen types.
+      val path = input.stripPrefix("jsonl:")
+      val raw = spark.read
+        .schema(s"`$idCol` LONG, `$textCol` STRING")
+        .json(path)
+      if (deriveIds)
+        // the id-less BASELINE input_hint shape, JSONL-encoded: same
+        // natural-key row-number scheme as the parquet branch
+        CorpusGen.withDocIds(spark.read
+          .schema(s"repo STRING, path STRING, commit STRING, lang STRING, `$textCol` STRING")
+          .json(path))
+          .select(col("doc_id"), col(textCol).as("content"))
+      else
+        raw.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("content"))
     } else if (deriveIds) {
       CorpusGen.withDocIds(spark.read.parquet(input))
         .select(col("doc_id"), col(textCol).as("content"))

@@ -164,6 +164,40 @@ class GoldenPipelineSpec extends SparkSpec {
     assert(j((0L, 2L)) > 0.5 && j((0L, 2L)) < 1.0)
   }
 
+  test("jsonl source: plain + gzip + derive-ids all yield the same corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_src")
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+    val plain = CorpusGen.goldenDocs.map { case (id, text) =>
+      s"""{"doc_id": $id, "content": "${esc(text)}"}"""
+    }.mkString("\n")
+    java.nio.file.Files.write(dir.resolve("part0.jsonl"), plain.getBytes("UTF-8"))
+    val a = Main.readDocs(spark, s"jsonl:$dir", "doc_id", "content")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == CorpusGen.goldenDocs.toMap)
+
+    // gzip decompresses by extension through the same source
+    val gzDir = java.nio.file.Files.createTempDirectory("jsonl_gz")
+    val gzOut = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gzDir.resolve("part0.jsonl.gz")))
+    gzOut.write(plain.getBytes("UTF-8")); gzOut.close()
+    val b = Main.readDocs(spark, s"jsonl:$gzDir", "doc_id", "content")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(b == a)
+
+    // id-less input_hint shape via --derive-ids: stable natural-key ids
+    val hintDir = java.nio.file.Files.createTempDirectory("jsonl_hint")
+    val hint = CorpusGen.goldenDocs.map { case (id, text) =>
+      s"""{"repo": "r${id % 2}", "path": "p$id", "commit": "c", "lang": "x", "content": "${esc(text)}"}"""
+    }.mkString("\n")
+    java.nio.file.Files.write(hintDir.resolve("part0.jsonl"), hint.getBytes("UTF-8"))
+    val c = Main.readDocs(spark, s"jsonl:$hintDir", "doc_id", "content", deriveIds = true)
+    assert(c.count() == CorpusGen.goldenDocs.length)
+    assert(c.select("doc_id").distinct().count() == CorpusGen.goldenDocs.length)
+    // deterministic: same ids on a re-read
+    val c2 = Main.readDocs(spark, s"jsonl:$hintDir", "doc_id", "content", deriveIds = true)
+    assert(c.orderBy("doc_id").collect().toSeq == c2.orderBy("doc_id").collect().toSeq)
+  }
+
   test("textdir ingest fails fast on non-canonical file names") {
     // "007.txt" would silently collide with "7.txt" (both cast to id 7) and
     // a >18-digit name would cast to a null id — both must be rejected, not
