@@ -230,18 +230,40 @@ object Main {
       // extension). Schema is EXPLICIT: inference would scan the corpus
       // twice and silently widen types.
       val path = input.stripPrefix("jsonl:")
-      val raw = spark.read
-        .schema(s"`$idCol` LONG, `$textCol` STRING")
-        .json(path)
-      if (deriveIds)
+      if (deriveIds) {
         // the id-less BASELINE input_hint shape, JSONL-encoded: same
-        // natural-key row-number scheme as the parquet branch
-        CorpusGen.withDocIds(spark.read
+        // natural-key row-number scheme as the parquet branch. FAILFAST
+        // rejects malformed lines/types; a row with NO natural key (all of
+        // repo/path/commit null — usually wrong column names, which an
+        // explicit json schema cannot detect as missing) fails loudly
+        // instead of collapsing every row onto one null key (meaningless
+        // ids + a single-partition range skew).
+        val src = spark.read
           .schema(s"repo STRING, path STRING, commit STRING, lang STRING, `$textCol` STRING")
-          .json(path))
-          .select(col("doc_id"), col(textCol).as("content"))
-      else
-        raw.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("content"))
+          .option("mode", "FAILFAST")
+          .json(path)
+          .withColumn("repo",
+            when(col("repo").isNotNull || col("path").isNotNull || col("commit").isNotNull,
+              col("repo"))
+              .otherwise(raise_error(lit("jsonl ingest (--derive-ids): row with no " +
+                "repo/path/commit natural key — wrong column names?")).cast("string")))
+        CorpusGen.withDocIds(src).select(col("doc_id"), col(textCol).as("content"))
+      } else {
+        // FAILFAST: a string-typed id or malformed line throws instead of
+        // silently becoming null; a WELL-FORMED row missing the id field
+        // still parses to null, so guard it row-wise (the textdir branch's
+        // fail-fast convention — null ids collide and recall dies silently)
+        spark.read
+          .schema(s"`$idCol` LONG, `$textCol` STRING")
+          .option("mode", "FAILFAST")
+          .json(path)
+          .select(
+            when(col(idCol).isNotNull, col(idCol))
+              .otherwise(raise_error(lit(s"jsonl ingest: null/missing $idCol — " +
+                "wrong --id-col or incomplete records?")).cast("long"))
+              .as("doc_id"),
+            col(textCol).as("content"))
+      }
     } else if (deriveIds) {
       CorpusGen.withDocIds(spark.read.parquet(input))
         .select(col("doc_id"), col(textCol).as("content"))

@@ -196,6 +196,26 @@ class GoldenPipelineSpec extends SparkSpec {
     // deterministic: same ids on a re-read
     val c2 = Main.readDocs(spark, s"jsonl:$hintDir", "doc_id", "content", deriveIds = true)
     assert(c.orderBy("doc_id").collect().toSeq == c2.orderBy("doc_id").collect().toSeq)
+
+    // fail-fast: a well-formed row MISSING the id field must raise, not
+    // become a silently colliding null id
+    val badDir = java.nio.file.Files.createTempDirectory("jsonl_bad")
+    java.nio.file.Files.write(badDir.resolve("part0.jsonl"),
+      "{\"doc_id\": 1, \"content\": \"ok\"}\n{\"content\": \"no id here\"}".getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      Main.readDocs(spark, s"jsonl:$badDir", "doc_id", "content").collect()
+    }
+    assert(e.getMessage.contains("jsonl ingest") ||
+      Option(e.getCause).exists(_.getMessage.contains("jsonl ingest")), e.toString)
+    // ...and a derive-ids corpus with no natural keys (wrong column names)
+    val badHint = java.nio.file.Files.createTempDirectory("jsonl_badhint")
+    java.nio.file.Files.write(badHint.resolve("part0.jsonl"),
+      "{\"repository\": \"r\", \"content\": \"misnamed key columns\"}".getBytes("UTF-8"))
+    val e2 = intercept[Exception] {
+      Main.readDocs(spark, s"jsonl:$badHint", "doc_id", "content", deriveIds = true).collect()
+    }
+    assert(e2.getMessage.contains("natural key") ||
+      Option(e2.getCause).exists(_.getMessage.contains("natural key")), e2.toString)
   }
 
   test("textdir ingest fails fast on non-canonical file names") {
