@@ -132,6 +132,19 @@ object SparkEntry {
           (length(col("t")) - length(col("clean_text"))).cast("long").as("chars_removed"))
         .orderBy("doc_id")
     }),
+    "q_span_dedup" -> ((s, dir) => {
+      // C4-style duplicate-span REMOVAL (rows-only: window hashes are
+      // murmur-bound like q_substring_dup); every 3rd doc gets an injected
+      // shared 10-token prefix, which crosses the df cut and is excised
+      val injected = when(pmod(col("doc_id"), lit(3L)) === 0,
+        concat(lit("shared leading span alpha beta gamma delta epsilon zeta eta "),
+          col("text")))
+        .otherwise(col("text"))
+      Dedup.removeDuplicateSpans(
+          documents(s, dir).select(col("doc_id"), injected.as("text")),
+          minTokens = 8, maxSpanDocFreq = 20)
+        .orderBy("doc_id")
+    }),
     "q_repetition" -> ((s, dir) => {
       // Gopher-style within-doc repetition quality signals; every 5th doc
       // gets a deterministically repeated injected line (mirrored in the

@@ -366,6 +366,118 @@ object Dedup {
       .select("doc1", "doc2", "jaccard")
   }
 
+  /** C4-style duplicate-SPAN removal: any run of `minTokens` consecutive
+    * whitespace tokens that appears (as a rolling-hashed window) in more
+    * than `maxSpanDocFreq` DISTINCT documents is excised from every
+    * document; overlapping flagged windows merge into one span. This is
+    * the REWRITING counterpart of [[substringDupPairs]] (which only
+    * reports pairs): C4's dedup removes the duplicated span itself and
+    * keeps the surrounding unique text.
+    *
+    * Text is whitespace-normalized on reassembly (tokens re-joined with
+    * single spaces) — the standard C4 behavior; tokens keep their case
+    * and punctuation (raw `\s+` split, not the normalizing Tokenizer).
+    *
+    * Scale shape: narrow window kernel (Spread), one (hash) groupBy for
+    * document frequency, one equi-join of windows against the (tiny —
+    * above-cut only) flagged set, one (doc) groupBy collecting flagged
+    * starts, then a narrow typed reassembly; no all-pairs work anywhere.
+    * Docs whose every token is covered come back with empty clean_text
+    * (kept, unlike stripBoilerplateLines' dropped all-boiler docs — span
+    * removal is a rewrite, not a filter).
+    *
+    * @return (idCol, clean_text, n_tokens, n_tokens_removed)
+    */
+  def removeDuplicateSpans(docs: DataFrame, minTokens: Int, maxSpanDocFreq: Int,
+                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(minTokens >= 2, s"minTokens must be >= 2: $minTokens")
+    val base = Spread(docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
+      .as[(Long, String)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // window kernel: one rolling 64-bit hash per token window, WITH the
+      // start offset (unlike substringDupPairs we need positions back)
+      val windows = base
+        .flatMap { case (id, text) =>
+          val toks = splitWs(text)
+          if (toks.length < minTokens) Iterator.empty
+          else {
+            val B = 1000003L
+            var bPow = 1L
+            var i = 1
+            while (i < minTokens) { bPow *= B; i += 1 }
+            val tokHash = toks.map(t => (Murmur2.hashString(t, 1315423911.toInt) & 0xffffffffL) | 1L)
+            var h = 0L
+            var w = 0
+            while (w < minTokens) { h = h * B + tokHash(w); w += 1 }
+            val out = Array.newBuilder[(Long, Int, Long)]
+            out += ((id, 0, h))
+            var start = 1
+            while (start + minTokens <= toks.length) {
+              h = (h - tokHash(start - 1) * bPow) * B + tokHash(start + minTokens - 1)
+              out += ((id, start, h))
+              start += 1
+            }
+            out.result().iterator
+          }
+        }
+        .toDF("doc_id", "start", "window_hash")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val flagged = windows.select("doc_id", "window_hash").distinct()
+          .groupBy("window_hash").agg(count(lit(1)).as("wdf"))
+          .filter(col("wdf") > maxSpanDocFreq)
+          .select("window_hash")
+        val flaggedStarts = windows
+          .join(flagged, "window_hash")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(col("start"))).as("starts"))
+        val out = base.toDF("doc_id", "text")
+          .join(flaggedStarts, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("text"), coalesce(col("starts"), array()).as("starts"))
+          .as[(Long, String, Seq[Int])]
+          .mapPartitions(_.map { case (id, text, starts) =>
+            val toks = splitWs(text)
+            val keep = new Array[Boolean](toks.length)
+            java.util.Arrays.fill(keep, true)
+            starts.foreach { s =>
+              var i = s
+              val end = math.min(toks.length, s + minTokens)
+              while (i < end) { keep(i) = false; i += 1 }
+            }
+            val kept = new StringBuilder
+            var removed = 0
+            var i = 0
+            while (i < toks.length) {
+              if (keep(i)) {
+                if (kept.nonEmpty) kept.append(' ')
+                kept.append(toks(i))
+              } else removed += 1
+              i += 1
+            }
+            (id, kept.toString, toks.length.toLong, removed.toLong)
+          })
+          .toDF("doc_id", "clean_text", "n_tokens", "n_tokens_removed")
+          .select(col("doc_id").as(idCol), col("clean_text"),
+            col("n_tokens"), col("n_tokens_removed"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count() // materialize before releasing the internal caches
+        out
+      } finally { windows.unpersist(); () }
+    } finally { base.unpersist(); () }
+  }
+
+  /** Raw whitespace token split, Java `\s+` semantics (case/punct
+    * preserved — reassembly tokens, unlike the normalizing
+    * [[graft.core.Tokenizer]]; matches TextAnalysis.tokenCountWs).
+    */
+  private def splitWs(text: String): Array[String] = {
+    val t = (if (text == null) "" else text).trim
+    if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+  }
+
   /** C4-style boilerplate-LINE removal (line-level dedup across the
     * corpus): a line that appears verbatim in more than `maxLineDocFreq`
     * DISTINCT documents (nav bars, cookie banners, license headers) is

@@ -460,6 +460,39 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("removeDuplicateSpans: shared windows excised, unique text kept, overlaps merge") {
+    val span = "one two three four five six seven eight" // 8 shared tokens
+    val rows = Seq(
+      (0L, s"alpha0 beta0 $span gamma0 delta0"),
+      (1L, s"$span epsilon1"),
+      (2L, s"totally unrelated words here nothing shared at all today"),
+      (3L, span) // covered entirely -> empty clean_text, row KEPT
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(rows, minTokens = 8, maxSpanDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // the span appears in 3 docs (> 2) -> removed everywhere it occurs
+    assert(got(0L) == (("alpha0 beta0 gamma0 delta0", 12L, 8L)), got(0L).toString)
+    assert(got(1L) == (("epsilon1", 9L, 8L)), got(1L).toString)
+    assert(got(2L)._1 == "totally unrelated words here nothing shared at all today")
+    assert(got(2L)._3 == 0L)
+    assert(got(3L) == (("", 8L, 8L)), got(3L).toString)
+    // below the df cap nothing is touched
+    val lax = Dedup.removeDuplicateSpans(rows, minTokens = 8, maxSpanDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(lax.values.forall(_ == 0L), lax.toString)
+    // overlapping flagged windows merge: a 10-token shared run with
+    // minTokens=8 flags windows at starts 0,1,2 -> one contiguous span
+    val long = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val rows2 = Seq((0L, s"u0a u0b $long"), (1L, long), (2L, s"$long z2"))
+      .toDF("doc_id", "text")
+    val got2 = Dedup.removeDuplicateSpans(rows2, minTokens = 8, maxSpanDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(got2(0L) == (("u0a u0b", 10L)), got2(0L).toString)
+    assert(got2(1L) == (("", 10L)), got2(1L).toString)
+    assert(got2(2L) == (("z2", 10L)), got2(2L).toString)
+    spark.catalog.clearCache()
+  }
+
   test("stripBoilerplateLines: high-df lines drop, short/rare lines stay, order kept") {
     val header = "SHARED BOILERPLATE NAVIGATION HEADER"
     val rows = Seq(
