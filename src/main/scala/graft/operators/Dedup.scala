@@ -187,26 +187,13 @@ object Dedup {
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = Tokenizer.tokenize(if (text == null) "" else text)
-        if (toks.length < minTokens) Iterator.empty
+        val hashes = rollingWindowHashes(toks, minTokens)
+        if (hashes.isEmpty) Iterator.empty
         else {
-          // polynomial rolling hash over token-level murmur values:
-          // h(w..w+L) = sum tokHash(i) * B^(L-1-(i-w)) in wrapping 64-bit
-          val B = 1000003L
-          var bPow = 1L // B^(L-1)
-          var i = 1
-          while (i < minTokens) { bPow *= B; i += 1 }
-          val tokHash = toks.map(t => (Murmur2.hashString(t, 1315423911.toInt) & 0xffffffffL) | 1L)
-          var h = 0L
-          var w = 0
-          while (w < minTokens) { h = h * B + tokHash(w); w += 1 }
+          // distinct within the doc: the pair contract counts DISTINCT
+          // shared window hashes
           val out = new scala.collection.mutable.LinkedHashSet[Long]
-          out += h
-          var start = 1
-          while (start + minTokens <= toks.length) {
-            h = (h - tokHash(start - 1) * bPow) * B + tokHash(start + minTokens - 1)
-            out += h
-            start += 1
-          }
+          hashes.foreach(out += _)
           out.iterator.map(wh => (id, wh))
         }
       }
@@ -398,32 +385,20 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // window kernel: one rolling 64-bit hash per token window, WITH the
-      // start offset (unlike substringDupPairs we need positions back)
+      // start offset (unlike substringDupPairs we need positions back);
+      // shared recurrence via rollingWindowHashes — the two operators'
+      // notion of "duplicate span" must never drift apart
       val windows = base
         .flatMap { case (id, text) =>
-          val toks = splitWs(text)
-          if (toks.length < minTokens) Iterator.empty
-          else {
-            val B = 1000003L
-            var bPow = 1L
-            var i = 1
-            while (i < minTokens) { bPow *= B; i += 1 }
-            val tokHash = toks.map(t => (Murmur2.hashString(t, 1315423911.toInt) & 0xffffffffL) | 1L)
-            var h = 0L
-            var w = 0
-            while (w < minTokens) { h = h * B + tokHash(w); w += 1 }
-            val out = Array.newBuilder[(Long, Int, Long)]
-            out += ((id, 0, h))
-            var start = 1
-            while (start + minTokens <= toks.length) {
-              h = (h - tokHash(start - 1) * bPow) * B + tokHash(start + minTokens - 1)
-              out += ((id, start, h))
-              start += 1
-            }
-            out.result().iterator
-          }
+          val hashes = rollingWindowHashes(splitWs(text), minTokens)
+          Iterator.range(0, hashes.length).map(s => (id, s, hashes(s)))
         }
         .toDF("doc_id", "start", "window_hash")
+        // pre-partitioned on the join key, then persisted: the doc-freq
+        // distinct/agg and the flagged equi-join are all window_hash-keyed
+        // — one cache-building shuffle serves them (the gram/window
+        // kernels' identical note)
+        .repartition(col("window_hash"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val flagged = windows.select("doc_id", "window_hash").distinct()
@@ -469,13 +444,46 @@ object Dedup {
     } finally { base.unpersist(); () }
   }
 
-  /** Raw whitespace token split, Java `\s+` semantics (case/punct
-    * preserved — reassembly tokens, unlike the normalizing
-    * [[graft.core.Tokenizer]]; matches TextAnalysis.tokenCountWs).
+  /** Raw whitespace token split, Java-trim + `\s+` (case/punct preserved —
+    * reassembly tokens, unlike the normalizing [[graft.core.Tokenizer]]).
+    * NOT byte-identical to TextAnalysis.tokenCountWs on exotic leading
+    * whitespace: Java trim strips all chars <= 0x20 while Spark's trim
+    * strips only spaces, so counts can differ on e.g. tab-led text — do
+    * not build an oracle equating the two.
     */
   private def splitWs(text: String): Array[String] = {
     val t = (if (text == null) "" else text).trim
-    if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+    if (t.isEmpty) Array.empty[String] else WsPattern.split(t)
+  }
+
+  /** One rolling 64-bit Rabin–Karp hash per token window start (shared by
+    * [[substringDupPairs]] and [[removeDuplicateSpans]] — a drift between
+    * their hash schemes would silently change what counts as a duplicate
+    * span). h(w..w+L) = Σ tokHash(i)·B^(L-1-(i-w)) in wrapping arithmetic;
+    * per-token hashes are murmur2 forced odd so a zero token can't
+    * annihilate the polynomial. Empty when the doc has < minTokens tokens.
+    */
+  private[operators] def rollingWindowHashes(toks: scala.collection.IndexedSeq[String],
+                                             minTokens: Int): Array[Long] = {
+    if (toks.length < minTokens) return Array.emptyLongArray
+    val B = 1000003L
+    var bPow = 1L // B^(L-1)
+    var i = 1
+    while (i < minTokens) { bPow *= B; i += 1 }
+    val tokHash = Array.tabulate(toks.length)(j =>
+      (Murmur2.hashString(toks(j), 1315423911.toInt) & 0xffffffffL) | 1L)
+    val out = new Array[Long](toks.length - minTokens + 1)
+    var h = 0L
+    var w = 0
+    while (w < minTokens) { h = h * B + tokHash(w); w += 1 }
+    out(0) = h
+    var start = 1
+    while (start + minTokens <= toks.length) {
+      h = (h - tokHash(start - 1) * bPow) * B + tokHash(start + minTokens - 1)
+      out(start) = h
+      start += 1
+    }
+    out
   }
 
   /** C4-style boilerplate-LINE removal (line-level dedup across the
