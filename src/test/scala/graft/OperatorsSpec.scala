@@ -490,6 +490,10 @@ class OperatorsSpec extends SparkSpec {
     assert(got2(0L) == (("u0a u0b", 10L)), got2(0L).toString)
     assert(got2(1L) == (("", 10L)), got2(1L).toString)
     assert(got2(2L) == (("z2", 10L)), got2(2L).toString)
+    // O18 extension: output invariant under input partition layout
+    val re = Dedup.removeDuplicateSpans(rows.repartition(7), minTokens = 8, maxSpanDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(re == got)
     spark.catalog.clearCache()
   }
 
@@ -515,6 +519,10 @@ class OperatorsSpec extends SparkSpec {
     val plan = Dedup.stripBoilerplateLines(rows, 2L)
       .queryExecution.optimizedPlan.toString
     assert(!plan.toLowerCase.contains("lambdafunction"), plan)
+    // O18 extension: output invariant under input partition layout
+    val re = Dedup.stripBoilerplateLines(rows.repartition(7), maxLineDocFreq = 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(re == got)
     spark.catalog.clearCache() // release the operator's caller-owned caches
   }
 
