@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * shape), built entirely from this library's operators:
   *
   *   1. corpus-wide boilerplate-LINE removal ([[Dedup.stripBoilerplateLines]])
-  *   2. PII redaction ([[TextAnalysis.redactPii]])
-  *   3. quality filtering (token count + punctuation ratio,
-  *      [[TextAnalysis.withQualityColumns]])
+  *   2. quality filtering (token count + punctuation ratio,
+  *      [[TextAnalysis.withQualityColumns]]) — BEFORE redaction, so PII
+  *      placeholders never distort the ratios (and see the in-code CSE
+  *      note: fusing the redact chain into the quality projection makes
+  *      Catalyst inline it per column, measured 3x slower)
+  *   3. PII redaction of the survivors ([[TextAnalysis.redactPii]])
   *   4. exact dedup (sha-256 digest groups, [[Dedup.exactDedup]])
   *   5. near-dup dedup (MinHash/LSH pairs — optionally UNIONED with
   *      embedding-cosine semantic pairs — -> connected components ->
@@ -74,18 +77,19 @@ object CleanPipeline {
           embeddings: Option[DataFrame] = None): (DataFrame, StageCounts) = {
     val nInput = docs.count()
 
-    // 1+2: line-level cleanup (returns a persisted, materialized frame —
-    // we hold its handle and release it once quality materializes), then
-    // PII scrub of what remains
+    // 1: line-level cleanup (returns a persisted, materialized frame —
+    // we hold its handle and release it once quality materializes)
     val stripped = Dedup.stripBoilerplateLines(
       docs, cfg.maxLineDocFreq, idCol = idCol, textCol = textCol)
     val nLineClean = stripped.count() // cache-backed: already materialized
-    val cleaned = stripped
-      .select(col(idCol), TextAnalysis.redactPii(col("clean_text")).as(textCol))
 
-    // 3: quality gate — persisted: feeds the digest groupBy, the survivor
-    // semi-join and (transitively) the near-dup kernel
-    val quality = TextAnalysis.withQualityColumns(cleaned, textCol)
+    // 2: quality gate on the PRE-redaction text. Ordering matters twice:
+    // PII placeholders would distort the token/punct ratios, and feeding
+    // the redact expression INTO withQualityColumns makes CollapseProject
+    // inline the 3-regex chain into every quality column — measured 19.4 s
+    // fused vs 5.4 + 1.0 s sequenced on a 50k-doc corpus (CleanProbe).
+    val quality = TextAnalysis.withQualityColumns(
+        stripped.select(col(idCol), col("clean_text").as(textCol)), textCol)
       .filter(col("n_tokens") >= cfg.minTokens &&
         col("punct_ratio") <= cfg.maxPunctRatio)
       .select(col(idCol), col(textCol))
@@ -93,9 +97,15 @@ object CleanPipeline {
     val nQuality = quality.count()
     stripped.unpersist()
 
-    // 4: exact dedup survivors (digest-keyed: 32-byte shuffle keys)
-    val exact = quality
-      .join(Dedup.exactDedup(quality, idCol, textCol).select(idCol),
+    // 3: PII scrub of the survivors (runs once per surviving row, inside
+    // the exact-stage cache build below)
+    val redacted = quality
+      .select(col(idCol), TextAnalysis.redactPii(col(textCol)).as(textCol))
+
+    // 4: exact dedup survivors on the REDACTED text (digest-keyed:
+    // 32-byte shuffle keys)
+    val exact = redacted
+      .join(Dedup.exactDedup(redacted, idCol, textCol).select(idCol),
         Seq(idCol), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nExact = exact.count()
