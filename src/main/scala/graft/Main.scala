@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *       [--embeddings <parquet> [--embedding-id-col vec_id] [--embedding-col embedding]]]
   *
   * `--clean true` runs the composed C4-style cleaning recipe
-  * (operators.CleanPipeline: boilerplate lines -> PII -> quality ->
+  * (operators.CleanPipeline: boilerplate lines -> quality -> PII ->
   * exact dedup -> near-dup dedup -> split + token shards) and writes the
   * clean corpus to `<output>/clean_corpus` with per-stage counts on
   * stdout, instead of the reference dedup pipeline.

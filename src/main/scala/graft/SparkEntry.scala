@@ -158,7 +158,7 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q_clean_pipeline" -> ((s, dir) => {
-      // the COMPOSED C4-style recipe (boiler-lines -> PII -> quality ->
+      // the COMPOSED C4-style recipe (boiler-lines -> quality -> PII ->
       // exact dedup -> near-dup dedup -> split+shards); cluster-dependent
       // output => murmur-bound, rows-only check (each stage has its own
       // oracle/parity pin)

@@ -97,10 +97,15 @@ object CleanPipeline {
     val nQuality = quality.count()
     stripped.unpersist()
 
-    // 3: PII scrub of the survivors (runs once per surviving row, inside
-    // the exact-stage cache build below)
+    // 3: PII scrub of the survivors — persisted and MATERIALIZED before
+    // the exact-dedup self-join below consumes it from two sides (the
+    // un-persisted projection would re-run the 3-regex chain once per
+    // side: the CLAUDE.md self-join sharp edge)
     val redacted = quality
       .select(col(idCol), TextAnalysis.redactPii(col(textCol)).as(textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    redacted.count()
+    quality.unpersist()
 
     // 4: exact dedup survivors on the REDACTED text (digest-keyed:
     // 32-byte shuffle keys)
@@ -109,7 +114,7 @@ object CleanPipeline {
         Seq(idCol), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nExact = exact.count()
-    quality.unpersist()
+    redacted.unpersist()
 
     // 5: near-dup clusters -> one representative per cluster. Composes
     // candidates+pairs directly (NOT MinHashPipeline.run, whose trailing
