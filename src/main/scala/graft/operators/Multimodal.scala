@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * container (ffmpeg/mplayer-compatible: ASCII stream header, `FRAME`
   * markers, planar 4:2:0 YUV) — written and parsed by [[Codec.encodeY4m]]/
   * [[Codec.decodeY4m]], with real frame grabs (YUV->RGB->PNG via the image
-  * path), per-frame luma statistics and a temporal-motion measure.
+  * path), per-frame luma statistics, a temporal-motion measure and frame-rate resampling.
   * Compressed codecs (H.264 etc.) would swap in at the same boundary; the
   * container round trip, pixel math and every operator around it are real.
   */
@@ -192,6 +192,27 @@ object Multimodal {
         fr
       }
       encodeY4m(frames, w, h, fpsNum)
+    }
+
+    /** REAL video frame-rate resampling (the video analog of
+      * [[resampleWav]]): Y4M bytes in, Y4M bytes out at `targetFps`, frames
+      * chosen by nearest-source-frame sampling on the target timeline
+      * (duplicating on upsample, dropping on downsample — production would
+      * motion-interpolate; the container round trip and timeline math are
+      * identical). Duration is preserved to the frame tick.
+      */
+    def resampleY4m(payload: Array[Byte], targetFps: Int): Array[Byte] = {
+      require(targetFps > 0, s"targetFps must be positive: $targetFps")
+      val v = decodeY4m(payload)
+      if (v.frames.isEmpty || (v.fpsNum == targetFps && v.fpsDen == 1))
+        return encodeY4m(v.frames, v.width, v.height, targetFps)
+      val n = math.max(1, (v.durationMs * targetFps / 1000L).toInt)
+      val frames = (0 until n).map { i =>
+        val src = math.min(v.frames.length - 1,
+          (i.toLong * v.fpsNum / (targetFps.toLong * v.fpsDen)).toInt)
+        v.frames(src)
+      }
+      encodeY4m(frames, v.width, v.height, targetFps)
     }
 
     /** One REAL frame grab: planar 4:2:0 YUV -> RGB (BT.601 full-range
@@ -579,6 +600,30 @@ object Multimodal {
           slice(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs)), 1, maxFrames)
         ).as(Seq("frame_idx", "ts_ms"))
       )
+
+  /** Row of the resampled-video table. */
+  final case class ResampledVideo(asset_id: Long, y4m: Array[Byte], fps: Int,
+                                  n_frames: Int)
+
+  /** REAL video frame-rate normalization (the video analog of
+    * [[resampleAudio]]): models normalize frame rates before frame
+    * sampling exactly like they normalize sample rates and image sizes.
+    * Narrow per-partition batch; payloads never leave the executor.
+    * Undecodable assets are skipped.
+    */
+  def resampleVideo(assets: Dataset[MediaAsset], targetFps: Int = 8): Dataset[ResampledVideo] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .filter(_.modality == "video")
+      .mapPartitions(_.flatMap { a =>
+        try {
+          val out = Codec.resampleY4m(a.payload, targetFps)
+          Iterator.single(ResampledVideo(a.asset_id, out, targetFps,
+            Codec.decodeY4m(out).frames.length))
+        } catch { case _: Exception => Iterator.empty }
+      })
+  }
 
   /** Row of the sampled-frames table: one REAL decoded frame per sampled
     * timestamp, re-encoded as PNG (ready for the image feature path).

@@ -661,6 +661,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: video fps resampling preserves duration and frame bytes") {
+    val w = 8; val h = 6
+    val frameBytes = w * h * 3 / 2
+    val frames = (0 until 8).map(f =>
+      Array.tabulate[Byte](frameBytes)(i => ((i + f * 31) & 0xff).toByte))
+    val y4m = Multimodal.Codec.encodeY4m(frames, w, h, 4) // 8 frames @4fps = 2s
+    // upsample 4 -> 8 fps: 16 frames, same 2s, every source frame doubled
+    val up = Multimodal.Codec.decodeY4m(Multimodal.Codec.resampleY4m(y4m, 8))
+    assert(up.fpsNum == 8 && up.frames.length == 16 && up.durationMs == 2000L)
+    (0 until 16).foreach(i => assert(up.frames(i).toSeq == frames(i / 2).toSeq))
+    // downsample 4 -> 2 fps: 4 frames, same 2s, every other source frame
+    val down = Multimodal.Codec.decodeY4m(Multimodal.Codec.resampleY4m(y4m, 2))
+    assert(down.fpsNum == 2 && down.frames.length == 4 && down.durationMs == 2000L)
+    (0 until 4).foreach(i => assert(down.frames(i).toSeq == frames(i * 2).toSeq))
+    // the operator path over synthesized assets
+    val assets = Multimodal.synthesizeAssets(docs)
+    val res = Multimodal.resampleVideo(assets, targetFps = 8).collect()
+    val durs = assets.filter($"modality" === "video").collect()
+      .map(a => a.asset_id -> a.duration_ms).toMap
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(r.fps == 8)
+      assert(r.n_frames == durs(r.asset_id) * 8 / 1000, s"asset ${r.asset_id}")
+    }
+  }
+
   test("multimodal: WAV encode/decode is a REAL lossless PCM round trip") {
     val sr = 8000
     val samples = Array.tabulate[Short](sr / 2)(i =>
