@@ -15,13 +15,19 @@ import org.apache.spark.sql.functions._
   *     [--candidate-partitions N] [--verbose true] [--dedup-corpus true]
   *     [--content-fingerprint true] [--pairs-csv true]
   *     [--clean true [--max-line-df 1000] [--min-tokens 5] [--tokens-per-shard N]
+  *       [--splits train:0.98,val:0.01,test:0.01] [--split-seed 13]
   *       [--embeddings <parquet> [--embedding-id-col vec_id] [--embedding-col embedding]]]
   *
   * `--clean true` runs the composed C4-style cleaning recipe
   * (operators.CleanPipeline: boilerplate lines -> quality -> PII ->
   * exact dedup -> near-dup dedup -> split + token shards) and writes the
   * clean corpus to `<output>/clean_corpus` with per-stage counts on
-  * stdout, instead of the reference dedup pipeline.
+  * stdout, instead of the reference dedup pipeline. The run is RESUMABLE:
+  * each stage is a tagged parquet table under `<output>` (the same
+  * StageStore protocol as the reference pipeline's checkpoints), so a
+  * rerun after a crash resumes at the first uncommitted stage. `--splits`
+  * takes name:weight pairs (weights are normalized); `--split-seed` varies
+  * the deterministic membership hash.
   *
   * `--candidate-partitions` sizes the bucket-key exchange (the pipeline's
   * big shuffle) independently of spark.sql.shuffle.partitions — the
@@ -137,18 +143,36 @@ object Main {
           col(opts.getOrElse("embedding-id-col", "vec_id")).cast("long").as("doc_id"),
           col(opts.getOrElse("embedding-col", "embedding")).as("embedding"))
       }
-      val (clean, counts) = graft.operators.CleanPipeline.run(
+      // --splits name:weight[,name:weight...] (weights need not sum to 1;
+      // Corpus.split normalizes and validates non-empty intervals)
+      val splits = opts.get("splits").map { s =>
+        s.split(",").toSeq.map { part =>
+          part.split(":") match {
+            case Array(n, w) => n -> w.toDouble
+            case _ => throw new IllegalArgumentException(
+              s"--splits expects name:weight[,name:weight...], got '$part' in '$s'")
+          }
+        }
+      }.getOrElse(graft.operators.CleanPipeline.Config().splits)
+      // RESUMABLE: every stage lands in a tagged parquet table under
+      // <output> (StageStore protocol) — a rerun after a crash resumes at
+      // the first uncommitted stage; the final table IS <output>/clean_corpus
+      val (_, counts, stageLog) = graft.operators.CleanPipeline.runCheckpointed(
+        spark,
         docs.select(col("doc_id"), col("content").as("text")),
+        output,
         graft.operators.CleanPipeline.Config(
           maxLineDocFreq = opts.getOrElse("max-line-df", "1000").toLong,
           minTokens = opts.getOrElse("min-tokens", "5").toLong,
           minhash = cleanCfg,
           starCapBucketSize = starCap.orElse(Some(256)),
           candidatePartitions = candParts,
+          splits = splits,
+          splitSeed = opts.getOrElse("split-seed", "13").toLong,
           tokensPerShard = opts.getOrElse("tokens-per-shard", "1000000").toLong),
-        embeddings = emb)
-      clean.write.mode("overwrite").parquet(s"$output/clean_corpus")
-      clean.unpersist()
+        embeddings = emb,
+        contentFingerprint = contentFp)
+      System.err.println(s"[graft] clean stages: $stageLog")
       val secC = (System.nanoTime() - tC) / 1e9
       println(
         s"""{"input":${counts.input},"after_line_clean":${counts.afterLineClean},""" +

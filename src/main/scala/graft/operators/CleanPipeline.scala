@@ -2,7 +2,8 @@ package graft.operators
 
 import graft.core.MinHashConfig
 import graft.functions.TextAnalysis
-import org.apache.spark.sql.DataFrame
+import graft.plans.{CheckpointedPipeline, StageStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The composed end-to-end training-data cleaning recipe (the C4/RefinedWeb
@@ -172,5 +173,141 @@ object CleanPipeline {
     shards.unpersist()
     exact.unpersist()
     (out, StageCounts(nInput, nLineClean, nQuality, nExact, nOut))
+  }
+
+  /** RESUMABLE variant of [[run]]: every stage lands in a committed,
+    * `_graft_tag`-identified Parquet table under `workDir` (the
+    * [[StageStore]] protocol shared with [[CheckpointedPipeline]]), so a
+    * crash after any stage resumes at the next one instead of restarting a
+    * multi-hour 100 TB run from scratch — a crash after near-dup clustering
+    * resumes directly at split/shards.
+    *
+    * Stage graph (each table is the next stage's input, so a resumed stage
+    * never re-evaluates anything upstream of it):
+    *
+    *   line_clean -> quality -> redact -> exact -> neardup -> clean_corpus
+    *
+    * Tags chain the config: a stage is invalidated by the input fingerprint
+    * plus every parameter at-or-upstream-of it (changing `tokensPerShard`
+    * recomputes only `clean_corpus`; changing `minTokens` recomputes
+    * everything from `quality` down). The optional embeddings table is
+    * fingerprinted into the `neardup` tag — swapping embeddings re-clusters
+    * without re-running the text gates.
+    *
+    * Unlike [[run]] (whose intermediates are caller-released caches), the
+    * returned frame and all intermediates here are Parquet-backed: there is
+    * nothing to unpersist, and stage counts are metadata-cheap counts over
+    * the committed tables.
+    */
+  def runCheckpointed(spark: SparkSession, docs: DataFrame, workDir: String,
+                      cfg: Config = Config(),
+                      idCol: String = "doc_id", textCol: String = "text",
+                      embeddings: Option[DataFrame] = None,
+                      contentFingerprint: Boolean = false)
+      : (DataFrame, StageCounts, CheckpointedPipeline.StageLog) = {
+    val store = new StageStore(spark, workDir)
+    val log = new CheckpointedPipeline.StageLog
+    val fp = StageStore.fingerprint(spark, docs, textCol, contentFingerprint)
+    val embFp = embeddings
+      .map(e => StageStore.fingerprint(spark, e, "embedding", contentFingerprint))
+      .getOrElse("none")
+
+    val cLine = s"mldf=${cfg.maxLineDocFreq}"
+    val cQual = s"$cLine;mintok=${cfg.minTokens};maxpunct=${cfg.maxPunctRatio}"
+    val mh = cfg.minhash
+    val cNear = s"$cQual;sh=${mh.shingleSize};sig=${mh.signatureSize};r=${mh.nBandRows};" +
+      s"seed=${mh.seed};thr=${mh.threshold};cap=${cfg.starCapBucketSize.getOrElse(-1)};" +
+      s"cp=${cfg.candidatePartitions.getOrElse(-1)};cos=${cfg.embeddingMinCosine};emb=$embFp"
+    val cOut = s"$cNear;splits=${cfg.splits.map { case (n, w) => s"$n:$w" }.mkString(",")};" +
+      s"sseed=${cfg.splitSeed};tps=${cfg.tokensPerShard}"
+
+    // 1: line-level cleanup. stripBoilerplateLines returns a persisted
+    // frame (its internal contract) — release it once the table is written.
+    var strippedHandle: Option[DataFrame] = None
+    val lineClean = store.stage("line_clean", fp, cLine, log) {
+      val s = Dedup.stripBoilerplateLines(docs, cfg.maxLineDocFreq, idCol = idCol, textCol = textCol)
+      strippedHandle = Some(s)
+      s.select(col(idCol), col("clean_text").as(textCol))
+    }
+    strippedHandle.foreach(_.unpersist())
+
+    // 2: quality gate on the PRE-redaction text (ordering rationale in [[run]])
+    val quality = store.stage("quality", fp, cQual, log) {
+      TextAnalysis.withQualityColumns(lineClean, textCol)
+        .filter(col("n_tokens") >= cfg.minTokens &&
+          col("punct_ratio") <= cfg.maxPunctRatio)
+        .select(col(idCol), col(textCol))
+    }
+
+    // 3: PII scrub. The committed table replaces [[run]]'s materialization
+    // boundary: downstream self-joins re-scan Parquet, never the regex chain.
+    val redacted = store.stage("redact", fp, cQual, log) {
+      quality.select(col(idCol), TextAnalysis.redactPii(col(textCol)).as(textCol))
+    }
+
+    // 4: exact dedup survivors on the redacted text
+    val exact = store.stage("exact", fp, cQual, log) {
+      redacted.join(Dedup.exactDedup(redacted, idCol, textCol).select(idCol),
+        Seq(idCol), "left_semi")
+    }
+
+    // 5: near-dup (lexical + optional semantic) -> representatives
+    var sigsHandle: Option[DataFrame] = None
+    var sketchHandle: Option[DataFrame] = None
+    val deduped = store.stage("neardup", fp, cNear, log) {
+      val sigs = MinHashPipeline.signatures(
+        exact.select(col(idCol).as("doc_id"), col(textCol).as("content")), mh).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sigsHandle = Some(sigs)
+      val lexPairs = MinHashPipeline.pairs(
+        MinHashPipeline.candidates(sigs, cfg.starCapBucketSize,
+          candidatePartitions = cfg.candidatePartitions), sigs, mh)
+        .select("doc1", "doc2")
+      val allPairs = embeddings match {
+        case Some(emb0) =>
+          val emb = emb0
+            .select(col(idCol).cast("long").as("vec_id"), col("embedding"))
+            .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+              size(col("embedding")) > 0)
+            .join(exact.select(col(idCol).cast("long").as("vec_id")),
+              Seq("vec_id"), "left_semi")
+          val dim = emb.select(size(col("embedding"))).limit(1).collect()
+            .headOption.map(_.getInt(0)).getOrElse(0)
+          if (dim == 0) lexPairs
+          else {
+            val (semPairs, sketch) = Similarity.embeddingNearDupPairsWithHandle(
+              emb, cfg.embeddingMinCosine, dim)
+            sketchHandle = Some(sketch)
+            lexPairs.union(semPairs.select("doc1", "doc2"))
+          }
+        case None => lexPairs
+      }
+      // durable per-iteration labels (a lost executor re-reads parquet);
+      // scratch dropped below once the stage table is the durable copy
+      val clusters = ConnectedComponents.cluster(
+        allPairs, exact.select(col(idCol).as("doc_id")),
+        reliableCheckpointDir = Some(s"$workDir/_cc_scratch"))
+      Dedup.keepRepresentatives(exact, clusters, idCol)
+    }
+    sigsHandle.foreach(_.unpersist())
+    sketchHandle.foreach(_.unpersist())
+    store.deleteScratch("_cc_scratch")
+
+    // 6: deterministic membership + token-budget shards
+    var shardsHandle: Option[DataFrame] = None
+    val out = store.stage("clean_corpus", fp, cOut, log) {
+      val withSplit = Corpus.split(deduped, cfg.splits, cfg.splitSeed, idCol)
+      val shards = Corpus.tokenShards(
+        withSplit.select(col(idCol),
+          TextAnalysis.tokenCountWs(col(textCol)).cast("long").as("n_tokens")),
+        cfg.tokensPerShard, idCol)
+      shardsHandle = Some(shards)
+      withSplit.join(shards.select(col(idCol), col("shard_id")), Seq(idCol))
+    }
+    shardsHandle.foreach(_.unpersist())
+
+    val counts = StageCounts(docs.count(), lineClean.count(), quality.count(),
+      exact.count(), out.count())
+    (out, counts, log)
   }
 }

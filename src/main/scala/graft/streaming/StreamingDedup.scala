@@ -39,9 +39,10 @@ import org.apache.spark.sql.types.StructType
   *     sorted files) and on trickle batches; a batch whose prefixes cover
   *     the domain still pays one narrow columnar scan of history, the
   *     honest floor without an external index
-  *   - [[compact]] periodically merges the per-batch band files into one
-  *     sorted table (standard lakehouse compaction), keeping the file
-  *     count O(1) instead of O(batches)
+  *   - [[compact]] periodically merges the per-batch band, signature AND
+  *     pair files into one sorted generation per table (standard lakehouse
+  *     compaction), keeping every table's file count O(1) instead of
+  *     O(batches)
   *   - the signatures table is read only for the similarity join-back of
   *     candidate ids, and that read is PRUNED the same way: signature files
   *     are range-sorted by did_prefix (doc_id mod [[NumDocPrefixes]]), the
@@ -413,13 +414,34 @@ object StreamingDedup {
     Seq.empty[(Long, Long, Double)].toDF("doc1", "doc2", "similarity")
   }
 
-  /** Lakehouse-style compaction of the bands table: merge every per-batch
-    * directory (and any previous consolidated generation) into ONE
-    * bh_prefix-sorted table under a fresh negative `batch_id=-(g+1)`
-    * generation, then drop the merged source dirs. Keeps the file count
-    * O(1) instead of O(batches); post-compaction files are large enough to
-    * hold many row groups, which is where the bh_prefix row-group skipping
-    * actually bites.
+  /** Lakehouse-style compaction of ALL THREE tables (bands, signatures,
+    * pairs): merge every per-batch directory (and any previous consolidated
+    * generation) into ONE sorted table under a fresh negative
+    * `batch_id=-(g+1)` generation, then drop the merged source dirs. Keeps
+    * each table's file count O(1) instead of O(batches); post-compaction
+    * files are large enough to hold many row groups, which is where the
+    * bh_prefix / did_prefix row-group skipping actually bites — a
+    * trickle-batch history (tiny one-row-group files) defeats stats-based
+    * skipping precisely because every file must still be listed and
+    * footer-read.
+    *
+    * Per-table sort/dedup keys:
+    *   - bands:      dedup (doc_id, band_idx), range-sorted by bh_prefix
+    *   - signatures: dedup doc_id (a doc is signed once, ever), range-sorted
+    *                 by did_prefix, which is RECOMPUTED from doc_id here —
+    *                 this also heals pre-upgrade rows whose did_prefix was
+    *                 null (the migration arm in prunedHistorySignatures)
+    *   - pairs:      dedup (doc1, doc2) (similarity is a deterministic
+    *                 function of the pair), sorted by (doc1, doc2)
+    *
+    * Replay interaction: a compacted batch's rows carry the consolidated
+    * negative batch_id, so a post-compaction REPLAY of that batch (possible
+    * only if the stream checkpoint never committed it, i.e. the run crashed)
+    * re-writes its `batch_id=<id>` dir alongside the consolidated copy.
+    * That is benign by the same convergence argument as a crash between
+    * steps 2 and 3 below: pair outputs are distinct()'d per batch, duplicate
+    * signature/band rows only produce duplicate pair candidates (also
+    * distinct()'d), and the next compact's dropDuplicates folds the copies.
     *
     * MUST run while the stream is quiesced (between start()/termination,
     * as tests and StreamProbe do, or with the query stopped): an in-flight
@@ -453,27 +475,54 @@ object StreamingDedup {
       if (fs.exists(ingestLockPath(workDir)))
         throw new IllegalStateException(
           s"compact: ingest in progress (${ingestLockPath(workDir)})")
-      val dirs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$bandsPath/batch_id=*")))
-        .map(_.toSeq).getOrElse(Seq.empty)
-      if (dirs.size <= 1) return // nothing to merge
-      val gens = dirs.map(_.getPath.getName.stripPrefix("batch_id=").toLong)
-      val nextGen = math.min(-1L, gens.min - 1L)
-      // staging write materializes the merged table; no source dir is touched
-      // until the atomic rename has succeeded
-      val staging = s"$bandsPath/_compact_staging"
-      fs.delete(new org.apache.hadoop.fs.Path(staging), true) // stale crash leftovers
-      spark.read.parquet(bandsPath)
-        .select("doc_id", "band_idx", "band_hash", "bh_prefix")
-        .dropDuplicates("doc_id", "band_idx") // converges reruns after partial deletes
-        .repartitionByRange(col("bh_prefix"))
-        .sortWithinPartitions("bh_prefix")
-        .write.mode(SaveMode.Overwrite).parquet(staging)
-      val target = new org.apache.hadoop.fs.Path(s"$bandsPath/batch_id=$nextGen")
-      require(fs.rename(new org.apache.hadoop.fs.Path(staging), target),
-        s"compact: rename $staging -> $target failed; source dirs left untouched")
-      dirs.foreach(d => fs.delete(d.getPath, true))
-      ()
+      compactTable(spark, fs, bandsPath) { df =>
+        df.select("doc_id", "band_idx", "band_hash", "bh_prefix")
+          .dropDuplicates("doc_id", "band_idx") // converges reruns after partial deletes
+          .repartitionByRange(col("bh_prefix"))
+          .sortWithinPartitions("bh_prefix")
+      }
+      compactTable(spark, fs, s"$workDir/signatures") { df =>
+        // did_prefix is DERIVED from doc_id — recompute instead of trusting
+        // the stored column (heals null pre-upgrade rows; see class doc)
+        df.select("doc_id", "signature", "bands")
+          .dropDuplicates("doc_id")
+          .withColumn("did_prefix",
+            pmod(col("doc_id"), lit(NumDocPrefixes.toLong)).cast("int"))
+          .repartitionByRange(col("did_prefix"))
+          .sortWithinPartitions("did_prefix")
+      }
+      compactTable(spark, fs, s"$workDir/pairs") { df =>
+        df.select("doc1", "doc2", "similarity")
+          .dropDuplicates("doc1", "doc2")
+          .repartitionByRange(col("doc1"), col("doc2"))
+          .sortWithinPartitions("doc1", "doc2")
+      }
     } finally fs.delete(compactLockPath(workDir), false)
+  }
+
+  /** One table's merge under the crash-safe staging protocol (steps 1-3 of
+    * the [[compact]] doc). `shape` sorts/dedups the union of every source
+    * generation; the result lands under a fresh negative batch_id dir via
+    * atomic rename BEFORE any source dir is deleted.
+    */
+  private def compactTable(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                           tablePath: String)(shape: DataFrame => DataFrame): Unit = {
+    val dirs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$tablePath/batch_id=*")))
+      .map(_.toSeq).getOrElse(Seq.empty)
+    if (dirs.size <= 1) return // nothing to merge
+    val gens = dirs.map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+    val nextGen = math.min(-1L, gens.min - 1L)
+    // staging write materializes the merged table; no source dir is touched
+    // until the atomic rename has succeeded
+    val staging = s"$tablePath/_compact_staging"
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true) // stale crash leftovers
+    shape(spark.read.parquet(tablePath))
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    val target = new org.apache.hadoop.fs.Path(s"$tablePath/batch_id=$nextGen")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), target),
+      s"compact: rename $staging -> $target failed; source dirs left untouched")
+    dirs.foreach(d => fs.delete(d.getPath, true))
+    ()
   }
 
   /** Start the streaming dedup job. Tables live under `workDir`:

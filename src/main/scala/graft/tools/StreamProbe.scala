@@ -53,11 +53,24 @@ object StreamProbe {
       q.recentProgress.filter(_.numInputRows > 0).foreach { p =>
         durations += ((p.batchId, p.numInputRows, p.batchDuration))
       }
-      if (compactEvery > 0 && (b + 1) % compactEvery == 0)
+      // never compact the FINAL batch: the prune-evidence block below
+      // identifies "the last batch" by its signatures batch_id dir, which
+      // compaction (now covering signatures too) would fold away
+      if (compactEvery > 0 && (b + 1) % compactEvery == 0 && b < nBatches - 1)
         graft.streaming.StreamingDedup.compact(spark, work)
     }
     durations.foreach { case (id, rows, ms) =>
       println(f"batch=$id%3d rows=$rows%7d ms=$ms%6d")
+    }
+    // file-count evidence: with compactEvery=N the counts must stay flat
+    // (O(1) generations per table) instead of growing one dir per batch
+    Seq("bands", "signatures", "pairs").foreach { t =>
+      val files = Option(new java.io.File(s"$work/$t").listFiles()).getOrElse(Array.empty)
+        .flatMap(d => if (d.isDirectory) d.listFiles() else Array(d))
+        .count(_.getName.endsWith(".parquet"))
+      val dirs = Option(new java.io.File(s"$work/$t").listFiles()).getOrElse(Array.empty)
+        .count(d => d.isDirectory && d.getName.startsWith("batch_id="))
+      println(s"table=$t generations=$dirs parquet_files=$files")
     }
     val ms = durations.map(_._3.toDouble)
     if (ms.length >= 6) {

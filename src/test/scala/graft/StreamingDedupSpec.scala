@@ -242,34 +242,86 @@ class StreamingDedupSpec extends SparkSpec {
     fs.delete(orphanFresh, false)
   }
 
-  test("compact merges batch band dirs into one sorted table; dedup still works") {
+  test("compact merges ALL batch dirs (bands+signatures+pairs) into one sorted gen each; dedup still works") {
     val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
     val work = java.nio.file.Files.createTempDirectory("stream_compact").toString
     val mk = (id: Long, salt: Int) =>
       (id, s"compact probe text number $salt with enough words to shingle repeatedly " * 3)
+    // batch 3 plants a dup of batch 0's doc 2 so the PAIRS table is non-empty
     (0 until 5).foreach { b =>
-      StreamingDedup.processBatch(spark,
-        (0 until 10).map(i => mk(b * 100L + i, b * 100 + i)).toDF("doc_id", "content"),
-        b.toLong, work, cfg)
+      val rows = (0 until 10).map(i => mk(b * 100L + i, if (b == 3 && i == 0) 2 else b * 100 + i))
+      StreamingDedup.processBatch(spark, rows.toDF("doc_id", "content"), b.toLong, work, cfg)
     }
-    val before = spark.read.parquet(s"$work/bands")
+    def gens(table: String) = new java.io.File(s"$work/$table").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch_id=")).toSeq.sorted
+    val beforeBands = spark.read.parquet(s"$work/bands")
       .select("doc_id", "band_idx", "band_hash").collect().toSet
+    val beforeSigs = spark.read.parquet(s"$work/signatures")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val beforePairs = spark.read.parquet(s"$work/pairs")
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(beforePairs.nonEmpty, "planted cross-batch dup should have produced a pair")
+    assert(gens("signatures").size == 5 && gens("pairs").size == 5)
+
     StreamingDedup.compact(spark, work)
-    val dirs = new java.io.File(s"$work/bands").listFiles()
-      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch_id="))
-    assert(dirs.toSeq == Seq("batch_id=-1"), dirs.mkString(","))
-    val after = spark.read.parquet(s"$work/bands")
-      .select("doc_id", "band_idx", "band_hash").collect().toSet
-    assert(after == before)
+    // every table collapses to ONE consolidated generation — the O(batches)
+    // file-count term is gone for signatures and pairs too
+    assert(gens("bands") == Seq("batch_id=-1"), gens("bands").mkString(","))
+    assert(gens("signatures") == Seq("batch_id=-1"), gens("signatures").mkString(","))
+    assert(gens("pairs") == Seq("batch_id=-1"), gens("pairs").mkString(","))
+    assert(spark.read.parquet(s"$work/bands")
+      .select("doc_id", "band_idx", "band_hash").collect().toSet == beforeBands)
+    assert(spark.read.parquet(s"$work/signatures")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == beforeSigs)
+    assert(spark.read.parquet(s"$work/pairs")
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet == beforePairs)
+    // compacted signatures keep the did_prefix prune column, recomputed
+    val badPrefix = spark.read.parquet(s"$work/signatures")
+      .filter(col("did_prefix").isNull ||
+        col("did_prefix") =!= pmod(col("doc_id"), lit(StreamingDedup.NumDocPrefixes.toLong)).cast("int"))
+      .count()
+    assert(badPrefix == 0L)
     // compact is idempotent
     StreamingDedup.compact(spark, work)
-    assert(spark.read.parquet(s"$work/bands").count() == before.size)
-    // and a post-compaction batch still finds its cross-history dup
+    assert(spark.read.parquet(s"$work/bands").count() == beforeBands.size)
+    assert(spark.read.parquet(s"$work/signatures").count() == beforeSigs.size)
+    // and a post-compaction batch still finds its cross-history dup (the
+    // signature join-back now reads ONLY the consolidated generation)
     StreamingDedup.processBatch(spark,
       Seq(mk(9999L, 103)).toDF("doc_id", "content"), 5L, work, cfg)
     val pairs = spark.read.parquet(s"$work/pairs")
       .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((103L, 9999L)), pairs.toString)
+  }
+
+  test("compact heals pre-upgrade signature rows (null did_prefix recomputed)") {
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
+    val work = java.nio.file.Files.createTempDirectory("stream_compact_migrate").toString
+    val textA = "the quick brown fox jumps over the lazy dog while rain falls on the hills"
+    // pre-upgrade signature dir: NO did_prefix column
+    val sigs0 = graft.operators.MinHashPipeline.signatures(
+      Seq((0L, textA)).toDF("doc_id", "content"), cfg).toDF()
+    sigs0.coalesce(1).write.parquet(s"$work/signatures/batch_id=0")
+    graft.operators.MinHashPipeline.bandBuckets(sigs0)
+      .withColumn("bh_prefix", pmod(col("band_hash"), lit(StreamingDedup.NumBandPrefixes)))
+      .select("doc_id", "band_idx", "band_hash", "bh_prefix")
+      .coalesce(1).write.parquet(s"$work/bands/batch_id=0")
+    // current-layout batch alongside it -> mixed schema
+    StreamingDedup.processBatch(spark,
+      Seq((5L, "some very unique text about nothing else in particular today"))
+        .toDF("doc_id", "content"), 1L, work, cfg)
+
+    StreamingDedup.compact(spark, work)
+    val sigs = spark.read.parquet(s"$work/signatures")
+    assert(sigs.count() == 2L)
+    assert(sigs.filter(col("did_prefix").isNull).count() == 0L,
+      "compaction must heal pre-upgrade rows into the pruned layout")
+    // the healed history still yields the cross-history dup of doc 0
+    StreamingDedup.processBatch(spark,
+      Seq((10L, textA)).toDF("doc_id", "content"), 2L, work, cfg)
+    val got = spark.read.parquet(s"$work/pairs")
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 10L)), got.toString)
   }
 
   test("pre-upgrade signature batches (no did_prefix column) still join cross-history") {
