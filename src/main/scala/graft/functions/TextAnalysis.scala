@@ -96,6 +96,85 @@ object TextAnalysis {
             col("n_chars").cast("double")).as("dup_line_char_frac"))
   }
 
+  /** The other half of Gopher's repetition family: for n in {2,3,4}, the
+    * fraction of the document's characters covered by its single most
+    * frequent word n-gram — boilerplate scrapes ("buy now buy now buy
+    * now...") score high even when no whole LINE repeats, which is exactly
+    * the case [[repetitionSignals]] misses.
+    *
+    * Pinned semantics (exact, DuckDB-oracle-replayable):
+    *   - tokens = whitespace-class split of trim(text) (the gram kernels'
+    *     tokenization); occurrences counted at EVERY sliding position
+    *     (overlapping), gram string = tokens joined by one space
+    *   - top gram per (doc, n) = max count, ties broken by lexicographically
+    *     smallest gram (deterministic on both engines: binary collation)
+    *   - fraction = count × length(gram) / length(text); docs with < n
+    *     tokens score 0.0. Overlapping occurrences of a self-overlapping
+    *     gram ("aa bb aa" in "aa bb aa bb aa") can push the value past 1.0
+    *     — harmless for the Gopher usage (threshold ~0.18-0.2), and kept
+    *     raw so the statistic stays an exact integer-arithmetic ratio
+    *
+    * Scale shape: one narrow typed kernel emits (doc, n, gram) rows for all
+    * three n in a single pass; a map-side-combinable count groupBy, an
+    * argmin-by-struct rollup to one row per (doc, n), a join against the
+    * per-doc char lengths, and a 3-column pivot. The (doc, n, gram) shuffle
+    * key is as skew-free as the corpus itself (grams are doc-scoped — no
+    * corpus-wide hot key is possible by construction).
+    *
+    * @return (idCol, top_2gram_char_frac, top_3gram_char_frac,
+    *         top_4gram_char_frac)
+    */
+  def topNgramCharFractions(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ns = Seq(2, 3, 4)
+    val idc = col(idCol).cast("long")
+    val safeId = when(idc.isNotNull, idc)
+      .otherwise(raise_error(lit(
+        s"topNgramCharFractions: null or non-integral $idCol")).cast("long"))
+    val base = docs.select(safeId.as("doc_id"), col(textCol).cast("string").as("t"))
+    // ALL-position grams (no per-doc dedupe — counts are the signal here,
+    // unlike Dedup.gramRows' distinct sets); typed kernel, not higher-order
+    // Column lambdas (those run interpreted — CLAUDE.md sharp edge)
+    val grams = graft.operators.Spread(base)
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = if (text == null) "" else text.trim
+        if (t.isEmpty) Iterator.empty
+        else {
+          val toks = graft.operators.Dedup.WsPattern.split(t)
+          ns.iterator.filter(toks.length >= _).flatMap { n =>
+            (0 to toks.length - n).iterator.map { i =>
+              val sb = new java.lang.StringBuilder
+              var j = 0
+              while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+              (id, n, sb.toString)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "n", "gram")
+    val counts = grams.groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
+    // argmin over (-cnt, gram): highest count, lexicographically-smallest
+    // gram on ties — one deterministic row per (doc, n), no window sort
+    val top = counts
+      .groupBy("doc_id", "n")
+      .agg(min(struct((-col("cnt")).as("neg_cnt"), col("gram").as("gram"))).as("top"))
+      .select(col("doc_id"), col("n"),
+        ((-col("top.neg_cnt")) * length(col("top.gram"))).as("covered"))
+    val lens = docs.select(safeId.as("doc_id"),
+      length(col(textCol)).cast("long").as("total_chars"))
+    val fracs = top.join(lens, "doc_id")
+      .groupBy("doc_id")
+      .pivot("n", ns)
+      .agg(first(col("covered").cast("double") / col("total_chars").cast("double")))
+    // left join re-introduces docs with < 2 tokens (no gram rows) at 0.0
+    lens.join(fracs, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol) +:
+        ns.map(n => coalesce(col(n.toString), lit(0.0)).as(s"top_${n}gram_char_frac")): _*)
+  }
+
   /** Quality-scoring columns (length / punctuation / stopword signals).
     * All per-row double arithmetic — deterministic and oracle-comparable.
     * Stopword counting and token-length summing run through the custom

@@ -29,7 +29,7 @@ object Dedup {
   /** Precompiled whitespace splitter for the gram kernels (String.split
     * would recompile the regex once per document).
     */
-  private[operators] val WsPattern: java.util.regex.Pattern =
+  private[graft] val WsPattern: java.util.regex.Pattern =
     java.util.regex.Pattern.compile("\\s+")
 
   /** Exact duplicate groups by content hash. Single map-side-combinable
@@ -158,12 +158,13 @@ object Dedup {
     * threshold role; false positives (hash collisions at 64 bits) are
     * negligible and can be re-verified by the exact-Jaccard stage.
     *
-    * Returns (doc1, doc2, n_shared_windows), n_shared_windows counting
-    * DISTINCT window hashes present in both docs — or just the distinct
-    * (doc1, doc2) pair set with `existsMode = true` (cheaper: the count
-    * aggregation over the joined window rows is replaced by a distinct,
-    * for callers that only need pairhood, e.g. as a candidate gate before
-    * exact verification).
+    * Returns the distinct (doc1, doc2) pair set (the DEFAULT,
+    * `existsMode = true`: the production gate needs only pairhood, and the
+    * count aggregation over the joined window rows is the operator's one
+    * quadratic-at-the-cap residual) — or (doc1, doc2, n_shared_windows)
+    * with `existsMode = false`, n_shared_windows counting DISTINCT window
+    * hashes present in both docs, for callers that demand the exact
+    * shared-window relation and accept ~cap²/2 joined rows per hot window.
     *
     * Residual skew note: the doc-freq cap bounds but does not eliminate the
     * quadratic — a window at the cap still emits ~cap²/2 pairs on one join
@@ -180,7 +181,7 @@ object Dedup {
   def substringDupPairs(docs: DataFrame, minTokens: Int,
                         idCol: String = "doc_id", textCol: String = "text",
                         maxWindowDocFreq: Int = 100,
-                        existsMode: Boolean = false): DataFrame = {
+                        existsMode: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val windows = Spread(docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
