@@ -126,6 +126,13 @@ class PlanSpec extends SparkSpec {
     assert(phys.contains("* Project"), phys)
   }
 
+  test("topNgramCharFractions plan: typed kernel, no interpreted lambdas") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = graft.functions.TextAnalysis.topNgramCharFractions(docs)
+    val planStr = q.queryExecution.optimizedPlan.toString
+    assert(!planStr.toLowerCase.contains("lambdafunction"), planStr)
+  }
+
   test("self-joined kernel subtrees are cached: kernel appears once") {
     import org.apache.spark.sql.catalyst.plans.logical.SerializeFromObject
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
