@@ -430,8 +430,11 @@ object SparkEntry {
       // identical injection; overlapping all-position grams (one UNION ALL
       // branch per n — DuckDB slices are INCLUSIVE: toks[i:i+n-1]); top
       // gram per (doc,n) = max count, ties by lexicographically smallest
-      // gram (binary collation both engines); whitespace split uses the
-      // explicit RE2-safe class (DuckDB \s excludes \x0b)
+      // gram (binary collation both engines); BOTH trim and split use the
+      // explicit 6-char class — bare trim() is spaces-only in DuckDB and
+      // String.trim strips <=0x20 in Java, so the kernel's wsClassTrim and
+      // this two-arg trim are the only matching pair (DuckDB \s also
+      // excludes \x0b — never use it in oracle SQL)
       """WITH s AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0
@@ -439,8 +442,11 @@ object SparkEntry {
         |         ELSE text END AS text
         |  FROM documents),
         |t AS (SELECT doc_id, length(text) AS total_chars,
-        |        regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+') AS toks
-        |      FROM s WHERE length(trim(text)) > 0),
+        |        regexp_split_to_array(
+        |          trim(text, concat(' ', chr(9), chr(10), chr(11), chr(12), chr(13))),
+        |          '[ \t\n\x0b\f\r]+') AS toks
+        |      FROM s
+        |      WHERE length(trim(text, concat(' ', chr(9), chr(10), chr(11), chr(12), chr(13)))) > 0),
         |g AS (
         |  SELECT doc_id, total_chars, 2 AS n,
         |    unnest(list_transform(generate_series(1, len(toks) - 1),

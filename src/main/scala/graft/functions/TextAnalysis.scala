@@ -96,6 +96,21 @@ object TextAnalysis {
             col("n_chars").cast("double")).as("dup_line_char_frac"))
   }
 
+  /** Trim exactly the regex-\s class `[ \t\n\x0b\f\r]` from both ends —
+    * NOT String.trim (which strips every char <= 0x20, unreplayable in
+    * SQL) and NOT DuckDB's bare trim() (spaces only). The oracle mirrors
+    * this with DuckDB's two-arg trim(text, <same 6 chars>).
+    */
+  private def wsClassTrim(s: String): String = {
+    def isWs(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\u000b' ||
+      c == '\f' || c == '\r'
+    var a = 0
+    var b = s.length
+    while (a < b && isWs(s.charAt(a))) a += 1
+    while (b > a && isWs(s.charAt(b - 1))) b -= 1
+    s.substring(a, b)
+  }
+
   /** The other half of Gopher's repetition family: for n in {2,3,4}, the
     * fraction of the document's characters covered by its single most
     * frequent word n-gram — boilerplate scrapes ("buy now buy now buy
@@ -103,9 +118,13 @@ object TextAnalysis {
     * the case [[repetitionSignals]] misses.
     *
     * Pinned semantics (exact, DuckDB-oracle-replayable):
-    *   - tokens = whitespace-class split of trim(text) (the gram kernels'
-    *     tokenization); occurrences counted at EVERY sliding position
-    *     (overlapping), gram string = tokens joined by one space
+    *   - tokens = whitespace-class split of class-trimmed text, where BOTH
+    *     trim and split use the explicit 6-char class `[ \t\n\x0b\f\r]` on
+    *     both engines (Java's String.trim strips all chars <= 0x20 and
+    *     DuckDB's trim() strips only spaces — either one alone silently
+    *     diverges on leading/trailing control whitespace); occurrences
+    *     counted at EVERY sliding position (overlapping), gram string =
+    *     tokens joined by one space
     *   - top gram per (doc, n) = max count, ties broken by lexicographically
     *     smallest gram (deterministic on both engines: binary collation)
     *   - fraction = count × length(gram) / length(text); docs with < n
@@ -140,7 +159,7 @@ object TextAnalysis {
     val grams = graft.operators.Spread(base)
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val t = if (text == null) "" else text.trim
+        val t = wsClassTrim(if (text == null) "" else text)
         if (t.isEmpty) Iterator.empty
         else {
           val toks = graft.operators.Dedup.WsPattern.split(t)

@@ -130,30 +130,7 @@ object CleanPipeline {
       MinHashPipeline.candidates(sigs, cfg.starCapBucketSize,
         candidatePartitions = cfg.candidatePartitions), sigs, cfg.minhash)
       .select("doc1", "doc2")
-    // optional SEMANTIC pairs: embedding-cosine near-dups of surviving
-    // docs, merged into the same clustering
-    val (allPairs, sketchHandle) = embeddings match {
-      case Some(emb0) =>
-        // uncurated input guard: null ids / null or empty vectors would NPE
-        // inside the sketch kernel (and a null first row would crash the
-        // dim probe) — drop them; vectors must share one dimension
-        val emb = emb0
-          .select(col(idCol).cast("long").as("vec_id"), col("embedding"))
-          .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
-            size(col("embedding")) > 0)
-          .join(exact.select(col(idCol).cast("long").as("vec_id")),
-            Seq("vec_id"), "left_semi")
-        // dim probed from the FILTERED survivors (size > 0, never null)
-        val dim = emb.select(size(col("embedding"))).limit(1).collect()
-          .headOption.map(_.getInt(0)).getOrElse(0)
-        if (dim == 0) (lexPairs, None)
-        else {
-          val (semPairs, sketch) = Similarity.embeddingNearDupPairsWithHandle(
-            emb, cfg.embeddingMinCosine, dim)
-          (lexPairs.union(semPairs.select("doc1", "doc2")), Some(sketch))
-        }
-      case None => (lexPairs, None)
-    }
+    val (allPairs, sketchHandle) = withSemanticPairs(exact, lexPairs, embeddings, cfg, idCol)
     val clusters = ConnectedComponents.cluster(
       allPairs, exact.select(col(idCol).as("doc_id")))
     sigs.unpersist()
@@ -174,6 +151,40 @@ object CleanPipeline {
     exact.unpersist()
     (out, StageCounts(nInput, nLineClean, nQuality, nExact, nOut))
   }
+
+  /** Optional SEMANTIC pairs (embedding-cosine near-dups of the surviving
+    * docs, LSH-candidate join) unioned with the lexical pairs — the one
+    * near-dup pair source for BOTH [[run]] and [[runCheckpointed]] (shared
+    * so the guard logic cannot drift between the two paths). Returns the
+    * pair frame plus the sketch cache handle the CALLER must release after
+    * clustering materializes.
+    */
+  private def withSemanticPairs(exact: DataFrame, lexPairs: DataFrame,
+                                embeddings: Option[DataFrame], cfg: Config,
+                                idCol: String): (DataFrame, Option[DataFrame]) =
+    embeddings match {
+      case Some(emb0) =>
+        // uncurated input guard: null ids / null or empty vectors would NPE
+        // inside the sketch kernel (and a null first row would crash the
+        // dim probe) — drop them; vectors must share one dimension.
+        // Only embeddings of docs that survived the earlier gates join.
+        val emb = emb0
+          .select(col(idCol).cast("long").as("vec_id"), col("embedding"))
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+            size(col("embedding")) > 0)
+          .join(exact.select(col(idCol).cast("long").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+        // dim probed from the FILTERED survivors (size > 0, never null)
+        val dim = emb.select(size(col("embedding"))).limit(1).collect()
+          .headOption.map(_.getInt(0)).getOrElse(0)
+        if (dim == 0) (lexPairs, None)
+        else {
+          val (semPairs, sketch) = Similarity.embeddingNearDupPairsWithHandle(
+            emb, cfg.embeddingMinCosine, dim)
+          (lexPairs.union(semPairs.select("doc1", "doc2")), Some(sketch))
+        }
+      case None => (lexPairs, None)
+    }
 
   /** RESUMABLE variant of [[run]]: every stage lands in a committed,
     * `_graft_tag`-identified Parquet table under `workDir` (the
@@ -207,9 +218,9 @@ object CleanPipeline {
       : (DataFrame, StageCounts, CheckpointedPipeline.StageLog) = {
     val store = new StageStore(spark, workDir)
     val log = new CheckpointedPipeline.StageLog
-    val fp = StageStore.fingerprint(spark, docs, textCol, contentFingerprint)
+    val fp = StageStore.fingerprint(spark, docs, contentFingerprint)
     val embFp = embeddings
-      .map(e => StageStore.fingerprint(spark, e, "embedding", contentFingerprint))
+      .map(e => StageStore.fingerprint(spark, e, contentFingerprint))
       .getOrElse("none")
 
     val cLine = s"mldf=${cfg.maxLineDocFreq}"
@@ -263,25 +274,8 @@ object CleanPipeline {
         MinHashPipeline.candidates(sigs, cfg.starCapBucketSize,
           candidatePartitions = cfg.candidatePartitions), sigs, mh)
         .select("doc1", "doc2")
-      val allPairs = embeddings match {
-        case Some(emb0) =>
-          val emb = emb0
-            .select(col(idCol).cast("long").as("vec_id"), col("embedding"))
-            .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
-              size(col("embedding")) > 0)
-            .join(exact.select(col(idCol).cast("long").as("vec_id")),
-              Seq("vec_id"), "left_semi")
-          val dim = emb.select(size(col("embedding"))).limit(1).collect()
-            .headOption.map(_.getInt(0)).getOrElse(0)
-          if (dim == 0) lexPairs
-          else {
-            val (semPairs, sketch) = Similarity.embeddingNearDupPairsWithHandle(
-              emb, cfg.embeddingMinCosine, dim)
-            sketchHandle = Some(sketch)
-            lexPairs.union(semPairs.select("doc1", "doc2"))
-          }
-        case None => lexPairs
-      }
+      val (allPairs, sketch) = withSemanticPairs(exact, lexPairs, embeddings, cfg, idCol)
+      sketchHandle = sketch
       // durable per-iteration labels (a lost executor re-reads parquet);
       // scratch dropped below once the stage table is the durable copy
       val clusters = ConnectedComponents.cluster(

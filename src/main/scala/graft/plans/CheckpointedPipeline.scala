@@ -32,7 +32,7 @@ class CheckpointedPipeline(
     * hash when `contentFingerprint` is set or the input is not file-backed.
     */
   def fingerprint(docs: DataFrame): String =
-    StageStore.fingerprint(spark, docs, "content", forceContent = contentFingerprint)
+    StageStore.fingerprint(spark, docs, forceContent = contentFingerprint)
 
   /** Per-stage config tag: a stage is only invalidated by the parameters it
     * actually depends on (a threshold-only change must not recompute

@@ -117,9 +117,16 @@ object StageStore {
     *     listing, NOT a full data pass per run.
     *   - CONTENT (`forceContent = true`, and the automatic fallback for
     *     non-file inputs like the synthetic corpus): row count + sum of a
-    *     32-bit hash of `contentCol`. Order-insensitive, one full pass.
+    *     32-bit hash over the ENTIRE row serialized as JSON (field names
+    *     included). Order-insensitive, one full pass. Hashing only a
+    *     content column here would be the same bug the plan-crc exists
+    *     for on the metadata path: a rerun with re-assigned ids (e.g. a
+    *     different --offset) or a changed projection would present
+    *     identical texts and silently resume stage tables keyed by the
+    *     OLD ids — fatal when downstream stages (splits, shards) are pure
+    *     functions of the id.
     */
-  def fingerprint(spark: SparkSession, docs: DataFrame, contentCol: String,
+  def fingerprint(spark: SparkSession, docs: DataFrame,
                   forceContent: Boolean = false): String = {
     val files = docs.inputFiles
     if (files.nonEmpty && !forceContent) {
@@ -147,7 +154,8 @@ object StageStore {
       s"files=${files.length};plan=$planHash;meta=${crc.getValue}"
     } else {
       val row = docs
-        .agg(count(lit(1)).as("n"), sum(crc32(col(contentCol).cast("string"))).as("h"))
+        .agg(count(lit(1)).as("n"),
+          sum(crc32(to_json(struct(docs.columns.map(col): _*)))).as("h"))
         .head()
       s"n=${row.getLong(0)};h=${row.get(1)}"
     }

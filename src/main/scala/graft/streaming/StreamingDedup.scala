@@ -106,6 +106,21 @@ object StreamingDedup {
   private def ingestLockPath(workDir: String) =
     new org.apache.hadoop.fs.Path(s"$workDir/bands/_ingest_lock")
 
+  /** Monotonic manifest of the highest batch id folded into a consolidated
+    * generation (see the class doc's replay-interaction contract).
+    */
+  private def maxFoldedPath(workDir: String) =
+    new org.apache.hadoop.fs.Path(s"$workDir/bands/_max_folded_batch")
+
+  private def readMaxFolded(fs: org.apache.hadoop.fs.FileSystem,
+                            workDir: String): Long =
+    try {
+      val in = fs.open(maxFoldedPath(workDir))
+      val s = new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+      in.close()
+      s.toLong
+    } catch { case _: Exception => Long.MinValue } // absent/corrupt => no skip
+
   /** Minimum age of a same-identity leftover lock before a replay may take
     * it over. The lease distinguishes "crashed run's corpse" from "live but
     * stalled holder" (zombie driver, long GC pause): a genuinely live
@@ -267,6 +282,16 @@ object StreamingDedup {
       fsw.delete(ingestLockPath(workDir), false)
       throw new IllegalStateException(
         s"processBatch($batchId): compaction in progress (${compactLockPath(workDir)})")
+    }
+    // Replay of a FOLDED batch: its sink-complete output already lives in a
+    // consolidated generation (compact folds only _SUCCESS-complete batches)
+    // — re-writing would duplicate every row. True no-op, idempotency holds.
+    if (batchId <= readMaxFolded(fsw, workDir)) {
+      fsw.delete(ingestLockPath(workDir), false)
+      System.err.println(
+        s"[graft] processBatch($batchId): already folded into a consolidated " +
+          "generation by compact; replay is a no-op")
+      return
     }
     // scoped conf override: the history reads below want a >NumBandPrefixes
     // In-filter pushdown threshold; restore the caller's value on exit (the
@@ -434,14 +459,21 @@ object StreamingDedup {
     *   - pairs:      dedup (doc1, doc2) (similarity is a deterministic
     *                 function of the pair), sorted by (doc1, doc2)
     *
-    * Replay interaction: a compacted batch's rows carry the consolidated
-    * negative batch_id, so a post-compaction REPLAY of that batch (possible
-    * only if the stream checkpoint never committed it, i.e. the run crashed)
-    * re-writes its `batch_id=<id>` dir alongside the consolidated copy.
-    * That is benign by the same convergence argument as a crash between
-    * steps 2 and 3 below: pair outputs are distinct()'d per batch, duplicate
-    * signature/band rows only produce duplicate pair candidates (also
-    * distinct()'d), and the next compact's dropDuplicates folds the copies.
+    * Replay interaction (per-batchId idempotency is PRESERVED across
+    * compaction, not merely eventually-consistent):
+    *   - compact folds ONLY sink-complete batches — a batch id whose dir
+    *     carries _SUCCESS in ALL THREE tables. An incomplete batch (a
+    *     processBatch crash mid-write) keeps its dirs untouched, so its
+    *     replay overwrites them exactly as before.
+    *   - the max folded batch id is recorded in a `_max_folded_batch`
+    *     manifest (monotonic, written after all three tables fold). A
+    *     replay of a batch <= that id is a NO-OP in processBatch: folding
+    *     required sink-completeness, so everything the replay would write
+    *     is already durably consolidated — re-writing it would duplicate
+    *     rows until the next compact.
+    *   - an unreadable/missing manifest degrades to the pre-manifest
+    *     behavior (replay re-writes; duplicates converge at the next
+    *     compact's dropDuplicates) — the safe direction.
     *
     * MUST run while the stream is quiesced (between start()/termination,
     * as tests and StreamProbe do, or with the query stopped): an in-flight
@@ -475,13 +507,27 @@ object StreamingDedup {
       if (fs.exists(ingestLockPath(workDir)))
         throw new IllegalStateException(
           s"compact: ingest in progress (${ingestLockPath(workDir)})")
-      compactTable(spark, fs, bandsPath) { df =>
+      // Fold only SINK-COMPLETE batches: a batch id with _SUCCESS in ALL
+      // THREE tables. An incomplete batch (processBatch crash mid-write)
+      // keeps its dirs so the stream's replay can overwrite them — folding
+      // a partial batch would freeze the partial rows into the consolidated
+      // generation and the manifest would then veto the repairing replay.
+      val tables = Seq(bandsPath, s"$workDir/signatures", s"$workDir/pairs")
+      def nonNegIds(t: String): Set[Long] =
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$t/batch_id=*")))
+          .map(_.toSet).getOrElse(Set.empty)
+          .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+          .filter(_ >= 0L)
+      def completeIds(t: String): Set[Long] = nonNegIds(t).filter(id =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$t/batch_id=$id/_SUCCESS")))
+      val complete = tables.map(completeIds).reduce(_ intersect _)
+      compactTable(spark, fs, bandsPath, complete) { df =>
         df.select("doc_id", "band_idx", "band_hash", "bh_prefix")
           .dropDuplicates("doc_id", "band_idx") // converges reruns after partial deletes
           .repartitionByRange(col("bh_prefix"))
           .sortWithinPartitions("bh_prefix")
       }
-      compactTable(spark, fs, s"$workDir/signatures") { df =>
+      compactTable(spark, fs, s"$workDir/signatures", complete) { df =>
         // did_prefix is DERIVED from doc_id — recompute instead of trusting
         // the stored column (heals null pre-upgrade rows; see class doc)
         df.select("doc_id", "signature", "bands")
@@ -491,37 +537,55 @@ object StreamingDedup {
           .repartitionByRange(col("did_prefix"))
           .sortWithinPartitions("did_prefix")
       }
-      compactTable(spark, fs, s"$workDir/pairs") { df =>
+      compactTable(spark, fs, s"$workDir/pairs", complete) { df =>
         df.select("doc1", "doc2", "similarity")
           .dropDuplicates("doc1", "doc2")
           .repartitionByRange(col("doc1"), col("doc2"))
           .sortWithinPartitions("doc1", "doc2")
       }
+      // Manifest LAST, after every table folded (a throw above leaves the
+      // manifest unchanged and all un-folded dirs intact). Monotonic; a
+      // sink-complete batch is durable whether or not its fold was skipped
+      // by the <=1-dir guard, so recording max(complete) is always safe.
+      if (complete.nonEmpty) {
+        val newMax = math.max(readMaxFolded(fs, workDir), complete.max)
+        val out = fs.create(maxFoldedPath(workDir), true)
+        out.write(newMax.toString.getBytes("UTF-8"))
+        out.close()
+      }
     } finally fs.delete(compactLockPath(workDir), false)
   }
 
   /** One table's merge under the crash-safe staging protocol (steps 1-3 of
-    * the [[compact]] doc). `shape` sorts/dedups the union of every source
-    * generation; the result lands under a fresh negative batch_id dir via
-    * atomic rename BEFORE any source dir is deleted.
+    * the [[compact]] doc). Folds previous consolidated generations (negative
+    * ids) plus the batches in `foldIds`; other dirs (incomplete batches) are
+    * read around and left untouched. `shape` sorts/dedups the union; the
+    * result lands under a fresh negative batch_id dir via atomic rename
+    * BEFORE any source dir is deleted.
     */
   private def compactTable(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
-                           tablePath: String)(shape: DataFrame => DataFrame): Unit = {
+                           tablePath: String, foldIds: Set[Long])
+                          (shape: DataFrame => DataFrame): Unit = {
     val dirs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$tablePath/batch_id=*")))
       .map(_.toSeq).getOrElse(Seq.empty)
-    if (dirs.size <= 1) return // nothing to merge
+    val folded = dirs.filter { d =>
+      val gen = d.getPath.getName.stripPrefix("batch_id=").toLong
+      gen < 0L || foldIds.contains(gen)
+    }
+    if (folded.size <= 1) return // nothing to merge
     val gens = dirs.map(_.getPath.getName.stripPrefix("batch_id=").toLong)
     val nextGen = math.min(-1L, gens.min - 1L)
     // staging write materializes the merged table; no source dir is touched
-    // until the atomic rename has succeeded
+    // until the atomic rename has succeeded. The folded dirs are read
+    // EXPLICITLY (not the table root) so un-folded batch dirs stay out.
     val staging = s"$tablePath/_compact_staging"
     fs.delete(new org.apache.hadoop.fs.Path(staging), true) // stale crash leftovers
-    shape(spark.read.parquet(tablePath))
+    shape(spark.read.parquet(folded.map(_.getPath.toString): _*))
       .write.mode(SaveMode.Overwrite).parquet(staging)
     val target = new org.apache.hadoop.fs.Path(s"$tablePath/batch_id=$nextGen")
     require(fs.rename(new org.apache.hadoop.fs.Path(staging), target),
       s"compact: rename $staging -> $target failed; source dirs left untouched")
-    dirs.foreach(d => fs.delete(d.getPath, true))
+    folded.foreach(d => fs.delete(d.getPath, true))
     ()
   }
 

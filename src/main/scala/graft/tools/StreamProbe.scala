@@ -83,9 +83,12 @@ object StreamProbe {
     // against its prior history and count how many history signature rows
     // the pruned production read (prunedHistorySignatures) actually joins —
     // must be << the history signature count (the old code joined ALL of it).
-    // Batch membership comes from the SIGNATURES table (never compacted);
-    // the bands table's batch_id dirs collapse into negative generations
-    // after compact(), so they can't identify "the last batch" here.
+    // Batch membership comes from the last batch's signatures batch_id dir,
+    // which exists ONLY because the loop above never compacts the final
+    // batch — compact() folds signatures (and bands/pairs) into negative
+    // consolidated generations, after which max(batch_id) would be -1 and
+    // this block would silently compare history against itself. Keep the
+    // `b < nBatches - 1` guard if touching the loop.
     import org.apache.spark.sql.functions._
     val lastBatch = spark.read.parquet(s"$work/signatures")
       .agg(max("batch_id")).head().getInt(0).toLong

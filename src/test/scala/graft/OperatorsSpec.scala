@@ -405,7 +405,10 @@ class OperatorsSpec extends SparkSpec {
       (1L, "xx yy zz"),       // 3 tokens: single occurrence of everything
       (2L, "single"),         // < 2 tokens: all zeros
       (3L, "a  b"),           // double space: ws-CLASS split, len(text)=4
-      (4L, "")                // empty
+      (4L, ""),               // empty
+      (5L, "foo bar\n"),      // trailing newline: class trim, len(text)=8
+      (6L, "\u0001ab cd")     // leading CONTROL char is NOT trimmed (it is
+                              // part of the first token on both engines)
     ).toDF("doc_id", "text")
     val got = TextAnalysis.topNgramCharFractions(rows)
       .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
@@ -417,6 +420,12 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2L) == ((0.0, 0.0, 0.0)))
     assert(got(3L) == ((3.0 / 4, 0.0, 0.0)), got(3L).toString)
     assert(got(4L) == ((0.0, 0.0, 0.0)))
+    // class trim strips the trailing \n (tokens [foo, bar]) but the char
+    // base stays length(text)=8 — the SQL-replayable contract
+    assert(got(5L) == ((7.0 / 8, 0.0, 0.0)), got(5L).toString)
+    // \u0001 is NOT in the trim/split class: it stays in the first token
+    // (Java String.trim would have stripped it — oracle divergence)
+    assert(got(6L) == ((1.0, 0.0, 0.0)), got(6L).toString)
   }
 
   test("CleanPipeline: the composed recipe applies every gate") {

@@ -139,12 +139,29 @@ class ResumeSpec extends SparkSpec {
     assert(log5.computed.toSeq == allStages.tail, log5.toString)
 
     // adding an embeddings table re-clusters (its fingerprint is in the
-    // neardup tag) without re-running any text gate
+    // neardup tag) without re-running any text gate — and the embeddings
+    // ARM of the checkpointed path must match run() exactly (the semantic
+    // pair source is shared; this guards the two paths against drift)
     val emb = (0L until 12L).map(i => (i, Array.fill(8)(1.0f))).toDF("doc_id", "embedding")
-    val (_, _, log6) = CleanPipeline.runCheckpointed(spark, rows, work,
+    val (refEmbOut, refEmbCounts) = CleanPipeline.run(rows, cfg.copy(minTokens = 6L),
+      embeddings = Some(emb))
+    val refEmb = refEmbOut.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    refEmbOut.unpersist()
+    spark.catalog.clearCache()
+    val (o6, n6, log6) = CleanPipeline.runCheckpointed(spark, rows, work,
       cfg.copy(minTokens = 6L), embeddings = Some(emb))
     assert(log6.skipped.toSeq == Seq("line_clean", "quality", "redact", "exact"), log6.toString)
     assert(log6.computed.toSeq == Seq("neardup", "clean_corpus"), log6.toString)
+    assert(n6 == refEmbCounts && snap(o6) == refEmb)
+
+    // content fingerprint captures IDS, not just texts: identical texts
+    // under re-assigned ids must invalidate EVERY stage (splits/shards are
+    // pure functions of the id — resuming would emit the old memberships)
+    val shifted = rows.select((col("doc_id") + 5000L).as("doc_id"), col("text"))
+    val (_, _, log7) = CleanPipeline.runCheckpointed(spark, shifted, work,
+      cfg.copy(minTokens = 6L))
+    assert(log7.computed.toSeq == allStages, log7.toString)
 
     // lineage: every stage has per-partition metrics rows
     val m = new graft.plans.StageStore(spark, work).metrics

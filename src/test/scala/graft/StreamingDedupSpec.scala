@@ -306,6 +306,10 @@ class StreamingDedupSpec extends SparkSpec {
       .withColumn("bh_prefix", pmod(col("band_hash"), lit(StreamingDedup.NumBandPrefixes)))
       .select("doc_id", "band_idx", "band_hash", "bh_prefix")
       .coalesce(1).write.parquet(s"$work/bands/batch_id=0")
+    // legacy processBatch wrote pairs too — compact folds only batches
+    // sink-complete across ALL tables, so the pairs dir must exist
+    Seq.empty[(Long, Long, Double)].toDF("doc1", "doc2", "similarity")
+      .coalesce(1).write.parquet(s"$work/pairs/batch_id=0")
     // current-layout batch alongside it -> mixed schema
     StreamingDedup.processBatch(spark,
       Seq((5L, "some very unique text about nothing else in particular today"))
@@ -322,6 +326,63 @@ class StreamingDedupSpec extends SparkSpec {
     val got = spark.read.parquet(s"$work/pairs")
       .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((0L, 10L)), got.toString)
+  }
+
+  test("replay of a FOLDED batch is a no-op; incomplete batches are never folded") {
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
+    val work = java.nio.file.Files.createTempDirectory("stream_fold_replay").toString
+    val mk = (id: Long, salt: Int) =>
+      (id, s"fold replay probe text number $salt with enough words to shingle " * 3)
+    (0 until 3).foreach { b =>
+      val rows = (0 until 8).map(i => mk(b * 100L + i, if (b == 2 && i == 0) 1 else b * 100 + i))
+      StreamingDedup.processBatch(spark, rows.toDF("doc_id", "content"), b.toLong, work, cfg)
+    }
+    StreamingDedup.compact(spark, work)
+    def snapshot() = (
+      spark.read.parquet(s"$work/signatures").select("doc_id").collect().map(_.getLong(0)).sorted.toSeq,
+      spark.read.parquet(s"$work/bands").count(),
+      spark.read.parquet(s"$work/pairs").select("doc1", "doc2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    val before = snapshot()
+    // replay batch 2 (same data, same id — the stream's at-least-once case):
+    // folded => strict no-op, NO duplicate rows, no batch_id=2 dir revival
+    StreamingDedup.processBatch(spark,
+      (0 until 8).map(i => mk(200L + i, if (i == 0) 1 else 200 + i)).toDF("doc_id", "content"),
+      2L, work, cfg)
+    assert(snapshot() == before, "folded-batch replay must not change any table")
+    val dirs = new java.io.File(s"$work/signatures").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch_id=")).toSeq
+    assert(dirs == Seq("batch_id=-1"), dirs.mkString(","))
+    val dupSigs = spark.read.parquet(s"$work/signatures")
+      .groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(dupSigs == 0L)
+
+    // a NEW batch (id above the manifest) still processes normally
+    StreamingDedup.processBatch(spark,
+      Seq(mk(999L, 1)).toDF("doc_id", "content"), 3L, work, cfg)
+    val pairs = spark.read.parquet(s"$work/pairs")
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 999L)) && pairs.contains((200L, 999L)), pairs.toString)
+
+    // an INCOMPLETE batch (missing _SUCCESS in one table) is NOT folded:
+    // its dirs survive compaction and its replay repairs it
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(work), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$work/signatures/batch_id=3/_SUCCESS"), false)
+    StreamingDedup.compact(spark, work)
+    val sigDirs = new java.io.File(s"$work/signatures").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch_id=")).toSeq.sorted
+    assert(sigDirs.contains("batch_id=3"), sigDirs.mkString(","))
+    // bands/pairs for batch 3 must ALSO have been left (all-or-nothing fold)
+    assert(new java.io.File(s"$work/bands/batch_id=3").isDirectory)
+    assert(new java.io.File(s"$work/pairs/batch_id=3").isDirectory)
+    // the repairing replay proceeds (3 > manifest) and restores _SUCCESS
+    StreamingDedup.processBatch(spark,
+      Seq(mk(999L, 1)).toDF("doc_id", "content"), 3L, work, cfg)
+    assert(new java.io.File(s"$work/signatures/batch_id=3/_SUCCESS").isFile)
+    val dupSigs2 = spark.read.parquet(s"$work/signatures")
+      .groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(dupSigs2 == 0L)
   }
 
   test("pre-upgrade signature batches (no did_prefix column) still join cross-history") {
