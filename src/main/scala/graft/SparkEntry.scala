@@ -25,6 +25,12 @@ object SparkEntry {
   private val docCfg = MinHashConfig(
     shingleSize = 3, signatureSize = 128, nBandRows = 4, seed = 13, threshold = 0.3)
 
+  /** 12-token template block injected (twice) for q_repetition_dupgrams —
+    * must stay byte-identical between the Spark query and its oracle SQL.
+    */
+  private val DupGramPhrase =
+    " tpl one two three four five six seven eight nine ten end"
+
   private def documents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
@@ -169,6 +175,18 @@ object SparkEntry {
         concat(col("text"), lit(" lorem ipsum lorem ipsum lorem ipsum")))
         .otherwise(col("text"))
       TextAnalysis.topNgramCharFractions(
+          documents(s, dir).select(col("doc_id"), injected.as("text")))
+        .orderBy("doc_id")
+    }),
+    "q_repetition_dupgrams" -> ((s, dir) => {
+      // duplicate-5..10-gram character fractions (Gopher's diffuse-
+      // repetition signals); every 4th doc gets a 12-token template block
+      // appended TWICE (mirrored in the oracle) so every n in 5..10 has
+      // duplicated grams to cover the sum path
+      val injected = when(pmod(col("doc_id"), lit(4L)) === 0,
+        concat(col("text"), lit(DupGramPhrase), lit(DupGramPhrase)))
+        .otherwise(col("text"))
+      TextAnalysis.dupNgramCharFractions(
           documents(s, dir).select(col("doc_id"), injected.as("text")))
         .orderBy("doc_id")
     }),
@@ -477,6 +495,51 @@ object SparkEntry {
         |  coalesce(max(CASE WHEN n = 4 THEN frac END), 0.0) AS top_4gram_char_frac
         |FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "q_repetition_dupgrams" -> {
+      // identical double injection of DupGramPhrase; same class-trim/split
+      // and slicing conventions as q_repetition_ngrams; per (doc, n) the
+      // covered mass is SUM over grams with cnt >= 2 of cnt*length(gram)
+      // (HUGEINT sum cast to DOUBLE before the IEEE division). Backslash
+      // segments stay in PLAIN triple quotes: the s-interpolator processes
+      // escapes even in triple-quoted parts, and \x0b is not a valid Scala
+      // escape (runtime InvalidEscapeException) — the phrase is spliced by
+      // replace instead.
+      val head = """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN text || '@PHRASE@' || '@PHRASE@'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, length(text) AS total_chars,
+        |        regexp_split_to_array(
+        |          trim(text, concat(' ', chr(9), chr(10), chr(11), chr(12), chr(13))),
+        |          '[ \t\n\x0b\f\r]+') AS toks
+        |      FROM s
+        |      WHERE length(trim(text, concat(' ', chr(9), chr(10), chr(11), chr(12), chr(13)))) > 0),
+        |g AS (
+        |""".stripMargin.replace("@PHRASE@", DupGramPhrase)
+      val branches = (5 to 10).map { n =>
+        s"""  SELECT doc_id, total_chars, $n AS n,
+           |    unnest(list_transform(generate_series(1, len(toks) - ${n - 1}),
+           |      i -> array_to_string(toks[i:i+${n - 1}], ' '))) AS gram
+           |  FROM t WHERE len(toks) >= $n""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      val cols = (5 to 10).map { n =>
+        s"  coalesce(max(CASE WHEN n = $n THEN frac END), 0.0) AS dup_${n}gram_char_frac"
+      }.mkString(",\n")
+      val tail = """
+        |),
+        |c AS (SELECT doc_id, total_chars, n, gram, count(*) AS cnt
+        |      FROM g GROUP BY 1, 2, 3, 4),
+        |f AS (SELECT doc_id, n,
+        |        CAST(sum(cnt * length(gram)) AS DOUBLE) / CAST(total_chars AS DOUBLE) AS frac
+        |      FROM c WHERE cnt >= 2 GROUP BY doc_id, total_chars, n)
+        |SELECT d.doc_id,
+        |@COLS@
+        |FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin.replace("@COLS@", cols)
+      head + branches + tail
+    },
     "q_line_dedup" ->
       // identical injection, eligibility (trimmed length >= 10), doc-freq
       // cut (> 20 distinct docs) and order-preserving reassembly; DuckDB

@@ -143,20 +143,29 @@ object TextAnalysis {
     * @return (idCol, top_2gram_char_frac, top_3gram_char_frac,
     *         top_4gram_char_frac)
     */
-  def topNgramCharFractions(docs: DataFrame, idCol: String = "doc_id",
-                            textCol: String = "text"): DataFrame = {
+  /** Guarded id cast shared by the repetition-family operators. */
+  private def safeLongId(idCol: String, opName: String) = {
+    val idc = col(idCol).cast("long")
+    when(idc.isNotNull, idc)
+      .otherwise(raise_error(lit(
+        s"$opName: null or non-integral $idCol")).cast("long"))
+  }
+
+  /** ALL-position word n-gram rows (doc_id, n, gram) for every n in `ns`,
+    * one pass — the shared kernel behind [[topNgramCharFractions]] and
+    * [[dupNgramCharFractions]]. No per-doc dedupe (counts are the signal,
+    * unlike Dedup.gramRows' distinct sets); a typed kernel, not
+    * higher-order Column lambdas (those run interpreted — CLAUDE.md sharp
+    * edge). Tokenization = [[wsClassTrim]] + the `\s+` split.
+    */
+  private def allPositionGramRows(docs: DataFrame, ns: Seq[Int],
+                                  idCol: String, textCol: String,
+                                  opName: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ns = Seq(2, 3, 4)
-    val idc = col(idCol).cast("long")
-    val safeId = when(idc.isNotNull, idc)
-      .otherwise(raise_error(lit(
-        s"topNgramCharFractions: null or non-integral $idCol")).cast("long"))
-    val base = docs.select(safeId.as("doc_id"), col(textCol).cast("string").as("t"))
-    // ALL-position grams (no per-doc dedupe — counts are the signal here,
-    // unlike Dedup.gramRows' distinct sets); typed kernel, not higher-order
-    // Column lambdas (those run interpreted — CLAUDE.md sharp edge)
-    val grams = graft.operators.Spread(base)
+    val base = docs.select(safeLongId(idCol, opName).as("doc_id"),
+      col(textCol).cast("string").as("t"))
+    graft.operators.Spread(base)
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val t = wsClassTrim(if (text == null) "" else text)
@@ -174,6 +183,31 @@ object TextAnalysis {
         }
       }
       .toDF("doc_id", "n", "gram")
+  }
+
+  /** Per-doc char base + n-pivot of a (doc_id, n, covered) frame into
+    * `<prefix>_<n>gram_char_frac` columns, re-introducing gram-less docs
+    * at 0.0 — the shared tail of the two n-gram fraction operators.
+    */
+  private def pivotCharFractions(docs: DataFrame, covered: DataFrame,
+                                 ns: Seq[Int], prefix: String,
+                                 idCol: String, textCol: String,
+                                 opName: String): DataFrame = {
+    val lens = docs.select(safeLongId(idCol, opName).as("doc_id"),
+      length(col(textCol)).cast("long").as("total_chars"))
+    val fracs = covered.join(lens, "doc_id")
+      .groupBy("doc_id")
+      .pivot("n", ns)
+      .agg(first(col("covered").cast("double") / col("total_chars").cast("double")))
+    lens.join(fracs, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol) +:
+        ns.map(n => coalesce(col(n.toString), lit(0.0)).as(s"${prefix}_${n}gram_char_frac")): _*)
+  }
+
+  def topNgramCharFractions(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val ns = Seq(2, 3, 4)
+    val grams = allPositionGramRows(docs, ns, idCol, textCol, "topNgramCharFractions")
     val counts = grams.groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
     // argmin over (-cnt, gram): highest count, lexicographically-smallest
     // gram on ties — one deterministic row per (doc, n), no window sort
@@ -182,16 +216,34 @@ object TextAnalysis {
       .agg(min(struct((-col("cnt")).as("neg_cnt"), col("gram").as("gram"))).as("top"))
       .select(col("doc_id"), col("n"),
         ((-col("top.neg_cnt")) * length(col("top.gram"))).as("covered"))
-    val lens = docs.select(safeId.as("doc_id"),
-      length(col(textCol)).cast("long").as("total_chars"))
-    val fracs = top.join(lens, "doc_id")
-      .groupBy("doc_id")
-      .pivot("n", ns)
-      .agg(first(col("covered").cast("double") / col("total_chars").cast("double")))
-    // left join re-introduces docs with < 2 tokens (no gram rows) at 0.0
-    lens.join(fracs, Seq("doc_id"), "left")
-      .select(col("doc_id").as(idCol) +:
-        ns.map(n => coalesce(col(n.toString), lit(0.0)).as(s"top_${n}gram_char_frac")): _*)
+    pivotCharFractions(docs, top, ns, "top", idCol, textCol, "topNgramCharFractions")
+  }
+
+  /** The duplicate-n-gram arm of Gopher's repetition family: for n in
+    * {5..10}, the fraction of the document's characters covered by ALL
+    * n-grams that occur more than once within it —
+    * `sum over grams with cnt >= 2 of cnt × length(gram) / length(text)`.
+    * Where [[topNgramCharFractions]] flags one dominant phrase, this flags
+    * diffuse self-repetition (templated sections, loops of paragraphs)
+    * that no single gram dominates.
+    *
+    * Same pinned tokenization/arithmetic contract as
+    * [[topNgramCharFractions]] (class trim, overlapping positions, exact
+    * integer products, one IEEE division; overlap can push past 1.0), same
+    * scale shape: one narrow kernel pass for all six n, map-side-combinable
+    * count groupBy, a per-(doc,n) sum, a pivot.
+    *
+    * @return (idCol, dup_5gram_char_frac .. dup_10gram_char_frac)
+    */
+  def dupNgramCharFractions(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val ns = Seq(5, 6, 7, 8, 9, 10)
+    val grams = allPositionGramRows(docs, ns, idCol, textCol, "dupNgramCharFractions")
+    val dupCovered = grams.groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .groupBy("doc_id", "n")
+      .agg(sum(col("cnt") * length(col("gram"))).as("covered"))
+    pivotCharFractions(docs, dupCovered, ns, "dup", idCol, textCol, "dupNgramCharFractions")
   }
 
   /** Quality-scoring columns (length / punctuation / stopword signals).

@@ -428,6 +428,24 @@ class OperatorsSpec extends SparkSpec {
     assert(got(6L) == ((1.0, 0.0, 0.0)), got(6L).toString)
   }
 
+  test("dupNgramCharFractions: exact duplicated-gram coverage for n=5..10") {
+    val rows = Seq(
+      (0L, "p q r s t p q r s t"),         // "p q r s t" x2 at n=5, nothing longer
+      (1L, "a b a b a b a b a b a b"),     // alternating: dups at every n
+      (2L, (1 to 12).map(i => s"u$i").mkString(" ")), // all distinct
+      (3L, "x y")                          // < 5 tokens
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dupNgramCharFractions(rows)
+      .collect().map(r => r.getLong(0) -> (1 to 6).map(i => r.getDouble(i))).toMap
+    // doc 0 (len 19): n=5 -> 2 x len("p q r s t")=9 -> 18/19; n>5 all distinct
+    assert(got(0L) == Seq(18.0 / 19, 0.0, 0.0, 0.0, 0.0, 0.0), got(0L).toString)
+    // doc 1 (len 23), hand-counted duplicated-window masses per n
+    assert(got(1L) == Seq(72.0 / 23, 77.0 / 23, 78.0 / 23, 75.0 / 23, 68.0 / 23, 38.0 / 23),
+      got(1L).toString)
+    assert(got(2L) == Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    assert(got(3L) == Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+  }
+
   test("CleanPipeline: the composed recipe applies every gate") {
     val header = "REPEATED BOILERPLATE NAVIGATION HEADER LINE"
     val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
