@@ -178,6 +178,18 @@ object SparkEntry {
           documents(s, dir).select(col("doc_id"), injected.as("text")))
         .orderBy("doc_id")
     }),
+    "q_gopher_quality" -> ((s, dir) => {
+      // Gopher document-shape filters (bullet/ellipsis lines, symbol-to-
+      // word, alpha-word fraction); every 6th doc gets injected bullets,
+      // an ellipsis line and '#'/'...' symbols (mirrored in the oracle)
+      val injected = when(pmod(col("doc_id"), lit(6L)) === 0,
+        concat(lit("- bullet item\n* another bullet\nplain line\ntrailing dots...\n"),
+          col("text"), lit(" sym#bol ### trailing...")))
+        .otherwise(col("text"))
+      TextAnalysis.gopherQualitySignals(
+          documents(s, dir).select(col("doc_id"), injected.as("text")))
+        .orderBy("doc_id")
+    }),
     "q_repetition_dupgrams" -> ((s, dir) => {
       // duplicate-5..10-gram character fractions (Gopher's diffuse-
       // repetition signals); every 4th doc gets a 12-token template block
@@ -495,6 +507,47 @@ object SparkEntry {
         |  coalesce(max(CASE WHEN n = 4 THEN frac END), 0.0) AS top_4gram_char_frac
         |FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "q_gopher_quality" ->
+      // identical injection; per-LINE and per-WORD predicates on exploded
+      // elements (never multiline flags — engine corner cases differ);
+      // explicit ASCII classes; word split keeps both engines' arrays
+      // equal after the length>0 filter (Java split drops only TRAILING
+      // empties, DuckDB keeps all — the filter erases the difference)
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0 THEN
+        |      '- bullet item' || chr(10) || '* another bullet' || chr(10) ||
+        |      'plain line' || chr(10) || 'trailing dots...' || chr(10) ||
+        |      text || ' sym#bol ### trailing...'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM s),
+        |la AS (SELECT doc_id, count(*) AS n_lines,
+        |         sum(CASE WHEN regexp_matches(line, '^[ \t]*[-*] ') THEN 1 ELSE 0 END) AS n_bullet,
+        |         sum(CASE WHEN regexp_matches(line, '\.\.\.[ \t]*$') THEN 1 ELSE 0 END) AS n_ell
+        |       FROM l GROUP BY doc_id),
+        |w AS (SELECT doc_id, word FROM (
+        |        SELECT doc_id,
+        |          unnest(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+')) AS word
+        |        FROM s) WHERE length(word) > 0),
+        |wa AS (SELECT doc_id, count(*) AS n_words,
+        |         sum(CASE WHEN regexp_matches(word, '[A-Za-z]') THEN 1 ELSE 0 END) AS n_alpha,
+        |         sum(length(word) - length(replace(word, '#', ''))) AS n_hash,
+        |         sum((length(word) - length(replace(word, '...', ''))) / 3) AS n_dotruns
+        |       FROM w GROUP BY doc_id)
+        |SELECT la.doc_id,
+        |  CAST(la.n_lines AS BIGINT) AS n_lines,
+        |  CAST(coalesce(wa.n_words, 0) AS BIGINT) AS n_words,
+        |  CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) AS bullet_line_frac,
+        |  CAST(n_ell AS DOUBLE) / CAST(n_lines AS DOUBLE) AS ellipsis_line_frac,
+        |  CASE WHEN coalesce(wa.n_words, 0) = 0 THEN 0.0
+        |       ELSE CAST(coalesce(n_hash, 0) + coalesce(n_dotruns, 0) AS DOUBLE)
+        |            / CAST(n_words AS DOUBLE) END AS symbol_word_ratio,
+        |  CASE WHEN coalesce(wa.n_words, 0) = 0 THEN 0.0
+        |       ELSE CAST(coalesce(n_alpha, 0) AS DOUBLE)
+        |            / CAST(n_words AS DOUBLE) END AS alpha_word_frac
+        |FROM la LEFT JOIN wa ON la.doc_id = wa.doc_id
+        |ORDER BY la.doc_id""".stripMargin,
     "q_repetition_dupgrams" -> {
       // identical double injection of DupGramPhrase; same class-trim/split
       // and slicing conventions as q_repetition_ngrams; per (doc, n) the

@@ -111,38 +111,6 @@ object TextAnalysis {
     s.substring(a, b)
   }
 
-  /** The other half of Gopher's repetition family: for n in {2,3,4}, the
-    * fraction of the document's characters covered by its single most
-    * frequent word n-gram — boilerplate scrapes ("buy now buy now buy
-    * now...") score high even when no whole LINE repeats, which is exactly
-    * the case [[repetitionSignals]] misses.
-    *
-    * Pinned semantics (exact, DuckDB-oracle-replayable):
-    *   - tokens = whitespace-class split of class-trimmed text, where BOTH
-    *     trim and split use the explicit 6-char class `[ \t\n\x0b\f\r]` on
-    *     both engines (Java's String.trim strips all chars <= 0x20 and
-    *     DuckDB's trim() strips only spaces — either one alone silently
-    *     diverges on leading/trailing control whitespace); occurrences
-    *     counted at EVERY sliding position (overlapping), gram string =
-    *     tokens joined by one space
-    *   - top gram per (doc, n) = max count, ties broken by lexicographically
-    *     smallest gram (deterministic on both engines: binary collation)
-    *   - fraction = count × length(gram) / length(text); docs with < n
-    *     tokens score 0.0. Overlapping occurrences of a self-overlapping
-    *     gram ("aa bb aa" in "aa bb aa bb aa") can push the value past 1.0
-    *     — harmless for the Gopher usage (threshold ~0.18-0.2), and kept
-    *     raw so the statistic stays an exact integer-arithmetic ratio
-    *
-    * Scale shape: one narrow typed kernel emits (doc, n, gram) rows for all
-    * three n in a single pass; a map-side-combinable count groupBy, an
-    * argmin-by-struct rollup to one row per (doc, n), a join against the
-    * per-doc char lengths, and a 3-column pivot. The (doc, n, gram) shuffle
-    * key is as skew-free as the corpus itself (grams are doc-scoped — no
-    * corpus-wide hot key is possible by construction).
-    *
-    * @return (idCol, top_2gram_char_frac, top_3gram_char_frac,
-    *         top_4gram_char_frac)
-    */
   /** Guarded id cast shared by the repetition-family operators. */
   private def safeLongId(idCol: String, opName: String) = {
     val idc = col(idCol).cast("long")
@@ -204,6 +172,38 @@ object TextAnalysis {
         ns.map(n => coalesce(col(n.toString), lit(0.0)).as(s"${prefix}_${n}gram_char_frac")): _*)
   }
 
+  /** The other half of Gopher's repetition family: for n in {2,3,4}, the
+    * fraction of the document's characters covered by its single most
+    * frequent word n-gram — boilerplate scrapes ("buy now buy now buy
+    * now...") score high even when no whole LINE repeats, which is exactly
+    * the case [[repetitionSignals]] misses.
+    *
+    * Pinned semantics (exact, DuckDB-oracle-replayable):
+    *   - tokens = whitespace-class split of class-trimmed text, where BOTH
+    *     trim and split use the explicit 6-char class `[ \t\n\x0b\f\r]` on
+    *     both engines (Java's String.trim strips all chars <= 0x20 and
+    *     DuckDB's trim() strips only spaces — either one alone silently
+    *     diverges on leading/trailing control whitespace); occurrences
+    *     counted at EVERY sliding position (overlapping), gram string =
+    *     tokens joined by one space
+    *   - top gram per (doc, n) = max count, ties broken by lexicographically
+    *     smallest gram (deterministic on both engines: binary collation)
+    *   - fraction = count × length(gram) / length(text); docs with < n
+    *     tokens score 0.0. Overlapping occurrences of a self-overlapping
+    *     gram ("aa bb aa" in "aa bb aa bb aa") can push the value past 1.0
+    *     — harmless for the Gopher usage (threshold ~0.18-0.2), and kept
+    *     raw so the statistic stays an exact integer-arithmetic ratio
+    *
+    * Scale shape: one narrow typed kernel emits (doc, n, gram) rows for all
+    * three n in a single pass; a map-side-combinable count groupBy, an
+    * argmin-by-struct rollup to one row per (doc, n), a join against the
+    * per-doc char lengths, and a 3-column pivot. The (doc, n, gram) shuffle
+    * key is as skew-free as the corpus itself (grams are doc-scoped — no
+    * corpus-wide hot key is possible by construction).
+    *
+    * @return (idCol, top_2gram_char_frac, top_3gram_char_frac,
+    *         top_4gram_char_frac)
+    */
   def topNgramCharFractions(docs: DataFrame, idCol: String = "doc_id",
                             textCol: String = "text"): DataFrame = {
     val ns = Seq(2, 3, 4)
@@ -244,6 +244,65 @@ object TextAnalysis {
       .groupBy("doc_id", "n")
       .agg(sum(col("cnt") * length(col("gram"))).as("covered"))
     pivotCharFractions(docs, dupCovered, ns, "dup", idCol, textCol, "dupNgramCharFractions")
+  }
+
+  /** Gopher's remaining document-shape quality filters (beyond
+    * [[withQualityColumns]]'s length/punct/stopword ratios and the two
+    * repetition-fraction operators):
+    *
+    *   bullet_line_frac   = lines starting `[ \t]*[-*] ` / lines
+    *   ellipsis_line_frac = lines ending `...` (plus trailing ws) / lines
+    *   symbol_word_ratio  = ('#' chars + '...' occurrences) / words
+    *   alpha_word_frac    = words containing an ASCII letter / words
+    *
+    * (Gopher's cuts: bullet > 0.9, ellipsis > 0.3, symbol > 0.1,
+    * alpha < 0.8 — thresholds are the caller's policy.)
+    *
+    * Exact + DuckDB-replayable: two narrow explode+count aggregations
+    * (lines; non-empty ws-class words) joined per doc, integer counts,
+    * IEEE divisions. Per-line/per-word predicates are UNANCHORED-safe
+    * explicit-ASCII regexes evaluated on the exploded element — never a
+    * multiline flag over the whole text (the engines' `(?m)` corner cases
+    * differ; per-element `^`/`$` do not). No higher-order lambdas.
+    *
+    * @return (idCol, n_lines, n_words, bullet_line_frac,
+    *         ellipsis_line_frac, symbol_word_ratio, alpha_word_frac)
+    */
+  def gopherQualitySignals(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val base = graft.operators.Spread(
+      docs.select(safeLongId(idCol, "gopherQualitySignals").as("doc_id"),
+        col(textCol).cast("string").as("t")))
+    val lineAgg = base
+      .select(col("doc_id"), explode(split(col("t"), "\n")).as("line"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("line").rlike("^[ \t]*[-*] "), 1L).otherwise(0L)).as("n_bullet"),
+        sum(when(col("line").rlike("\\.\\.\\.[ \t]*$"), 1L).otherwise(0L)).as("n_ellipsis_lines"))
+    val wordAgg = base
+      .select(col("doc_id"),
+        explode(split(col("t"), "[ \t\n\u000b\f\r]+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(when(col("word").rlike("[A-Za-z]"), 1L).otherwise(0L)).as("n_alpha_words"),
+        sum(length(col("word")) - length(replace(col("word"), lit("#"), lit("")))).as("n_hash"),
+        sum((length(col("word")) - length(replace(col("word"), lit("..."), lit("")))) / 3).as("n_dotruns"))
+    lineAgg.join(wordAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id").as(idCol),
+        col("n_lines"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        (col("n_bullet").cast("double") / col("n_lines").cast("double")).as("bullet_line_frac"),
+        (col("n_ellipsis_lines").cast("double") / col("n_lines").cast("double")).as("ellipsis_line_frac"),
+        when(coalesce(col("n_words"), lit(0L)) === 0, lit(0.0))
+          .otherwise((coalesce(col("n_hash"), lit(0L)) + coalesce(col("n_dotruns"), lit(0L))).cast("double") /
+            col("n_words").cast("double")).as("symbol_word_ratio"),
+        when(coalesce(col("n_words"), lit(0L)) === 0, lit(0.0))
+          .otherwise(coalesce(col("n_alpha_words"), lit(0L)).cast("double") /
+            col("n_words").cast("double")).as("alpha_word_frac"))
   }
 
   /** Quality-scoring columns (length / punctuation / stopword signals).

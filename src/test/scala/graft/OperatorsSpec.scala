@@ -446,6 +446,28 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L) == Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
   }
 
+  test("gopherQualitySignals: exact bullet/ellipsis/symbol/alpha fractions") {
+    val rows = Seq(
+      (0L, "- a b\nplain...\nno"), // 3 lines: 1 bullet, 1 ellipsis
+      (1L, "#### ###"),             // pure symbols
+      (2L, ""),                     // empty: 1 empty line, 0 words
+      (3L, "  * spaced bullet\n-not a bullet\nmid...dots here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQualitySignals(rows)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // doc 0: words [-, a, b, plain..., no]: alpha 4/5, dotruns 1 -> symbol 1/5
+    assert(got(0L) == ((3L, 5L, 1.0 / 3, 1.0 / 3, 1.0 / 5, 4.0 / 5)), got(0L).toString)
+    // doc 1: 1 line, 2 words, 7 '#' chars -> symbol 3.5, alpha 0
+    assert(got(1L) == ((1L, 2L, 0.0, 0.0, 3.5, 0.0)), got(1L).toString)
+    assert(got(2L) == ((1L, 0L, 0.0, 0.0, 0.0, 0.0)), got(2L).toString)
+    // doc 3: "  * spaced bullet" IS a bullet (leading ws ok); "-not a bullet"
+    // is NOT (no space after -); "mid...dots here" has no TRAILING ellipsis
+    // but its word "mid...dots" carries one '...' run; words: 8, all alpha
+    // except none... [*, spaced, bullet, -not, a, bullet, mid...dots, here]
+    assert(got(3L) == ((3L, 8L, 1.0 / 3, 0.0, 1.0 / 8, 7.0 / 8)), got(3L).toString)
+  }
+
   test("CleanPipeline: the composed recipe applies every gate") {
     val header = "REPEATED BOILERPLATE NAVIGATION HEADER LINE"
     val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
