@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *     [--candidate-partitions N] [--verbose true] [--dedup-corpus true]
   *     [--content-fingerprint true] [--pairs-csv true]
   *     [--clean true [--max-line-df 1000] [--min-tokens 5] [--tokens-per-shard N]
-  *       [--splits train:0.98,val:0.01,test:0.01] [--split-seed 13]
+  *       [--gopher true] [--splits train:0.98,val:0.01,test:0.01] [--split-seed 13]
   *       [--embeddings <parquet> [--embedding-id-col vec_id] [--embedding-col embedding]]]
   *
   * `--clean true` runs the composed C4-style cleaning recipe
@@ -164,6 +164,10 @@ object Main {
         graft.operators.CleanPipeline.Config(
           maxLineDocFreq = opts.getOrElse("max-line-df", "1000").toLong,
           minTokens = opts.getOrElse("min-tokens", "5").toLong,
+          // --gopher true: the full Gopher repetition + document-shape
+          // rule set at the paper's published thresholds
+          gopher = if (opts.get("gopher").exists(_.toBoolean))
+            Some(graft.operators.CleanPipeline.GopherGates()) else None,
           minhash = cleanCfg,
           starCapBucketSize = starCap.orElse(Some(256)),
           candidatePartitions = candParts,

@@ -34,10 +34,35 @@ import org.apache.spark.sql.functions._
   */
 object CleanPipeline {
 
+  /** The Gopher rule set (Rae et al. 2021, A1.1) as optional extra quality
+    * gates — defaults are the paper's published thresholds. All fractions
+    * are this library's exact operators (repetitionSignals,
+    * top/dupNgramCharFractions, gopherQualitySignals).
+    */
+  final case class GopherGates(
+      maxDupLineFrac: Double = 0.30,
+      maxDupLineCharFrac: Double = 0.20,
+      maxTopNgramCharFrac: Seq[Double] = Seq(0.20, 0.18, 0.16), // n = 2, 3, 4
+      maxDupNgramCharFrac: Seq[Double] = Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10), // n = 5..10
+      maxSymbolWordRatio: Double = 0.10,
+      maxBulletLineFrac: Double = 0.90,
+      maxEllipsisLineFrac: Double = 0.30,
+      minAlphaWordFrac: Double = 0.80) {
+    require(maxTopNgramCharFrac.length == 3, "one threshold per n in 2..4")
+    require(maxDupNgramCharFrac.length == 6, "one threshold per n in 5..10")
+    /** Stable tag fragment for the resumable path's stage identity. */
+    def tag: String = s"gopher=$maxDupLineFrac,$maxDupLineCharFrac," +
+      s"${maxTopNgramCharFrac.mkString("/")},${maxDupNgramCharFrac.mkString("/")}," +
+      s"$maxSymbolWordRatio,$maxBulletLineFrac,$maxEllipsisLineFrac,$minAlphaWordFrac"
+  }
+
   final case class Config(
       maxLineDocFreq: Long = 1000L,
       minTokens: Long = 5L,
       maxPunctRatio: Double = 0.5,
+      // optional Gopher repetition + document-shape gates, applied after
+      // the token/punct gate on the same pre-redaction text; None = off
+      gopher: Option[GopherGates] = None,
       minhash: MinHashConfig =
         MinHashConfig(shingleSize = 3, signatureSize = 128, nBandRows = 4,
           seed = 13, threshold = 0.8),
@@ -89,12 +114,26 @@ object CleanPipeline {
     // the redact expression INTO withQualityColumns makes CollapseProject
     // inline the 3-regex chain into every quality column — measured 19.4 s
     // fused vs 5.4 + 1.0 s sequenced on a 50k-doc corpus (CleanProbe).
-    val quality = TextAnalysis.withQualityColumns(
+    val basicQuality = TextAnalysis.withQualityColumns(
         stripped.select(col(idCol), col("clean_text").as(textCol)), textCol)
       .filter(col("n_tokens") >= cfg.minTokens &&
         col("punct_ratio") <= cfg.maxPunctRatio)
       .select(col(idCol), col(textCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // optional Gopher gates: the signal operators consume the survivors
+    // from SEVERAL join sides — persist the pre-gate frame first (the
+    // self-join recompute sharp edge), gate, then persist the result
+    val quality = cfg.gopher match {
+      case Some(g) =>
+        val pre = basicQuality.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pre.count()
+        val gated = applyGopherGates(pre, g, idCol, textCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        gated.count()
+        pre.unpersist()
+        gated
+      case None =>
+        basicQuality.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val nQuality = quality.count()
     stripped.unpersist()
 
@@ -150,6 +189,38 @@ object CleanPipeline {
     shards.unpersist()
     exact.unpersist()
     (out, StageCounts(nInput, nLineClean, nQuality, nExact, nOut))
+  }
+
+  /** Apply the [[GopherGates]] thresholds to (idCol, textCol) docs: four
+    * exact signal operators joined per doc, one conjunctive filter — the
+    * one gate implementation for BOTH [[run]] and [[runCheckpointed]].
+    * The input must be materialization-backed (cache or parquet): the
+    * signal kernels consume it from four sides.
+    */
+  private def applyGopherGates(docs: DataFrame, g: GopherGates,
+                               idCol: String, textCol: String): DataFrame = {
+    val rep = TextAnalysis.repetitionSignals(docs, idCol, textCol)
+      .select(col(idCol), col("dup_line_frac"), col("dup_line_char_frac"))
+    val top = TextAnalysis.topNgramCharFractions(docs, idCol, textCol)
+    val dup = TextAnalysis.dupNgramCharFractions(docs, idCol, textCol)
+    val shape = TextAnalysis.gopherQualitySignals(docs, idCol, textCol)
+      .select(col(idCol), col("symbol_word_ratio"), col("bullet_line_frac"),
+        col("ellipsis_line_frac"), col("alpha_word_frac"))
+    val topCond = Seq(2, 3, 4).zip(g.maxTopNgramCharFrac)
+      .map { case (n, t) => col(s"top_${n}gram_char_frac") <= t }.reduce(_ && _)
+    val dupCond = (5 to 10).zip(g.maxDupNgramCharFrac)
+      .map { case (n, t) => col(s"dup_${n}gram_char_frac") <= t }.reduce(_ && _)
+    docs
+      .join(rep, Seq(idCol)).join(top, Seq(idCol))
+      .join(dup, Seq(idCol)).join(shape, Seq(idCol))
+      .filter(col("dup_line_frac") <= g.maxDupLineFrac &&
+        col("dup_line_char_frac") <= g.maxDupLineCharFrac &&
+        topCond && dupCond &&
+        col("symbol_word_ratio") <= g.maxSymbolWordRatio &&
+        col("bullet_line_frac") <= g.maxBulletLineFrac &&
+        col("ellipsis_line_frac") <= g.maxEllipsisLineFrac &&
+        col("alpha_word_frac") >= g.minAlphaWordFrac)
+      .select(col(idCol), col(textCol))
   }
 
   /** Optional SEMANTIC pairs (embedding-cosine near-dups of the surviving
@@ -224,7 +295,8 @@ object CleanPipeline {
       .getOrElse("none")
 
     val cLine = s"mldf=${cfg.maxLineDocFreq}"
-    val cQual = s"$cLine;mintok=${cfg.minTokens};maxpunct=${cfg.maxPunctRatio}"
+    val cQual = s"$cLine;mintok=${cfg.minTokens};maxpunct=${cfg.maxPunctRatio};" +
+      cfg.gopher.map(_.tag).getOrElse("gopher=off")
     val mh = cfg.minhash
     val cNear = s"$cQual;sh=${mh.shingleSize};sig=${mh.signatureSize};r=${mh.nBandRows};" +
       s"seed=${mh.seed};thr=${mh.threshold};cap=${cfg.starCapBucketSize.getOrElse(-1)};" +
@@ -242,13 +314,26 @@ object CleanPipeline {
     }
     strippedHandle.foreach(_.unpersist())
 
-    // 2: quality gate on the PRE-redaction text (ordering rationale in [[run]])
+    // 2: quality gate on the PRE-redaction text (ordering rationale in
+    // [[run]]); with Gopher gates the signal kernels consume the pre-gate
+    // survivors from four join sides — cache it for the stage write, then
+    // release (the committed table is the durable copy)
+    var preGateHandle: Option[DataFrame] = None
     val quality = store.stage("quality", fp, cQual, log) {
-      TextAnalysis.withQualityColumns(lineClean, textCol)
+      val basic = TextAnalysis.withQualityColumns(lineClean, textCol)
         .filter(col("n_tokens") >= cfg.minTokens &&
           col("punct_ratio") <= cfg.maxPunctRatio)
         .select(col(idCol), col(textCol))
+      cfg.gopher match {
+        case Some(g) =>
+          val pre = basic.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          preGateHandle = Some(pre)
+          pre.count()
+          applyGopherGates(pre, g, idCol, textCol)
+        case None => basic
+      }
     }
+    preGateHandle.foreach(_.unpersist())
 
     // 3: PII scrub. The committed table replaces [[run]]'s materialization
     // boundary: downstream self-joins re-scan Parquet, never the regex chain.

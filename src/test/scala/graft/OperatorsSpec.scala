@@ -468,6 +468,33 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L) == ((3L, 8L, 1.0 / 3, 0.0, 1.0 / 8, 7.0 / 8)), got(3L).toString)
   }
 
+  test("CleanPipeline gopher gates drop repetition/shape offenders, keep clean docs") {
+    val words = Seq("quasar", "nebula", "photon", "gluon", "hadron", "lepton", "meson",
+      "boson", "proton", "neutron", "quark", "tachyon", "axion", "graviton", "dilaton", "instanton")
+    // 40 disjoint-vocab tokens per doc: long enough that the paper's
+    // top-n-gram thresholds pass for organic text
+    def body(i: Int): String =
+      (0 until 40).map(k => words((i * 5 + k * 3) % 16) + i + "x" + k).mkString(" ")
+    val rows = Seq(
+      (0L, body(0)), (1L, body(1)), (2L, body(2)),
+      (10L, "buy now " * 30),                                  // top-2gram spam
+      (11L, body(11) + " " + Seq.fill(12)("######").mkString(" ")), // symbol ratio
+      (12L, (1 to 10).map(k => s"- bullet line number $k").mkString("\n")), // all bullets
+      (13L, Seq.fill(10)("the same exact line repeated").mkString("\n"))    // dup lines
+    ).toDF("doc_id", "text")
+    val cfg = CleanPipeline.Config(
+      maxLineDocFreq = 100L, minTokens = 5L,
+      gopher = Some(CleanPipeline.GopherGates()),
+      minhash = graft.core.MinHashConfig(3, 64, 4, 13, 0.8),
+      tokensPerShard = 1000L)
+    val (out, counts) = CleanPipeline.run(rows, cfg)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 2L), kept.toString)
+    assert(counts.afterQuality == 3, counts.toString)
+    out.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("CleanPipeline: the composed recipe applies every gate") {
     val header = "REPEATED BOILERPLATE NAVIGATION HEADER LINE"
     val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",

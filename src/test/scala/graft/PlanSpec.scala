@@ -126,11 +126,16 @@ class PlanSpec extends SparkSpec {
     assert(phys.contains("* Project"), phys)
   }
 
-  test("topNgramCharFractions plan: typed kernel, no interpreted lambdas") {
+  test("repetition/quality operators: typed kernels, no interpreted lambdas") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val q = graft.functions.TextAnalysis.topNgramCharFractions(docs)
-    val planStr = q.queryExecution.optimizedPlan.toString
-    assert(!planStr.toLowerCase.contains("lambdafunction"), planStr)
+    Seq(
+      "top_ngram" -> graft.functions.TextAnalysis.topNgramCharFractions(docs),
+      "dup_ngram" -> graft.functions.TextAnalysis.dupNgramCharFractions(docs),
+      "gopher_quality" -> graft.functions.TextAnalysis.gopherQualitySignals(docs)
+    ).foreach { case (name, q) =>
+      val planStr = q.queryExecution.optimizedPlan.toString
+      assert(!planStr.toLowerCase.contains("lambdafunction"), s"$name: $planStr")
+    }
   }
 
   test("self-joined kernel subtrees are cached: kernel appears once") {

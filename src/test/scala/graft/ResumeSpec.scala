@@ -163,6 +163,18 @@ class ResumeSpec extends SparkSpec {
       cfg.copy(minTokens = 6L))
     assert(log7.computed.toSeq == allStages, log7.toString)
 
+    // enabling Gopher gates (pass-through thresholds — only the tag moves)
+    // invalidates quality and downstream, resumes line_clean
+    val passThrough = CleanPipeline.GopherGates(
+      maxDupLineFrac = 1.0, maxDupLineCharFrac = 1.0,
+      maxTopNgramCharFrac = Seq(9, 9, 9), maxDupNgramCharFrac = Seq(9, 9, 9, 9, 9, 9),
+      maxSymbolWordRatio = 9, maxBulletLineFrac = 1.0,
+      maxEllipsisLineFrac = 1.0, minAlphaWordFrac = 0.0)
+    val (_, _, log8) = CleanPipeline.runCheckpointed(spark, shifted, work,
+      cfg.copy(minTokens = 6L, gopher = Some(passThrough)))
+    assert(log8.skipped.toSeq == Seq("line_clean"), log8.toString)
+    assert(log8.computed.toSeq == allStages.tail, log8.toString)
+
     // lineage: every stage has per-partition metrics rows
     val m = new graft.plans.StageStore(spark, work).metrics
     assert(m.select("stage").distinct().count() == allStages.size.toLong)
