@@ -509,10 +509,12 @@ object SparkEntry {
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "q_gopher_quality" ->
       // identical injection; per-LINE and per-WORD predicates on exploded
-      // elements (never multiline flags — engine corner cases differ);
-      // explicit ASCII classes; word split keeps both engines' arrays
-      // equal after the length>0 filter (Java split drops only TRAILING
-      // empties, DuckDB keeps all — the filter erases the difference)
+      // elements (never multiline flags); the ellipsis check is a SUFFIX
+      // test after rtrim of space/tab/CR — a `$` anchor diverges (Java's
+      // matches before a trailing \r, RE2's does not); explicit ASCII
+      // classes; word split keeps both engines' arrays equal after the
+      // length>0 filter (Java split drops only TRAILING empties, DuckDB
+      // keeps all — the filter erases the difference)
       """WITH s AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 6 = 0 THEN
@@ -524,7 +526,8 @@ object SparkEntry {
         |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM s),
         |la AS (SELECT doc_id, count(*) AS n_lines,
         |         sum(CASE WHEN regexp_matches(line, '^[ \t]*[-*] ') THEN 1 ELSE 0 END) AS n_bullet,
-        |         sum(CASE WHEN regexp_matches(line, '\.\.\.[ \t]*$') THEN 1 ELSE 0 END) AS n_ell
+        |         sum(CASE WHEN right(rtrim(line, ' ' || chr(9) || chr(13)), 3) = '...'
+        |                  THEN 1 ELSE 0 END) AS n_ell
         |       FROM l GROUP BY doc_id),
         |w AS (SELECT doc_id, word FROM (
         |        SELECT doc_id,

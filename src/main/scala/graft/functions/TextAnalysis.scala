@@ -158,7 +158,7 @@ object TextAnalysis {
     * at 0.0 — the shared tail of the two n-gram fraction operators.
     */
   private def pivotCharFractions(docs: DataFrame, covered: DataFrame,
-                                 ns: Seq[Int], prefix: String,
+                                 ns: Seq[Int], colName: Int => String,
                                  idCol: String, textCol: String,
                                  opName: String): DataFrame = {
     val lens = docs.select(safeLongId(idCol, opName).as("doc_id"),
@@ -169,7 +169,7 @@ object TextAnalysis {
       .agg(first(col("covered").cast("double") / col("total_chars").cast("double")))
     lens.join(fracs, Seq("doc_id"), "left")
       .select(col("doc_id").as(idCol) +:
-        ns.map(n => coalesce(col(n.toString), lit(0.0)).as(s"${prefix}_${n}gram_char_frac")): _*)
+        ns.map(n => coalesce(col(n.toString), lit(0.0)).as(colName(n))): _*)
   }
 
   /** The other half of Gopher's repetition family: for n in {2,3,4}, the
@@ -216,7 +216,7 @@ object TextAnalysis {
       .agg(min(struct((-col("cnt")).as("neg_cnt"), col("gram").as("gram"))).as("top"))
       .select(col("doc_id"), col("n"),
         ((-col("top.neg_cnt")) * length(col("top.gram"))).as("covered"))
-    pivotCharFractions(docs, top, ns, "top", idCol, textCol, "topNgramCharFractions")
+    pivotCharFractions(docs, top, ns, n => s"top_${n}gram_char_frac", idCol, textCol, "topNgramCharFractions")
   }
 
   /** The duplicate-n-gram arm of Gopher's repetition family: for n in
@@ -243,7 +243,37 @@ object TextAnalysis {
       .filter(col("cnt") >= 2)
       .groupBy("doc_id", "n")
       .agg(sum(col("cnt") * length(col("gram"))).as("covered"))
-    pivotCharFractions(docs, dupCovered, ns, "dup", idCol, textCol, "dupNgramCharFractions")
+    pivotCharFractions(docs, dupCovered, ns, n => s"dup_${n}gram_char_frac", idCol, textCol, "dupNgramCharFractions")
+  }
+
+  /** BOTH n-gram repetition families in ONE kernel pass — the top-2/3/4
+    * fractions of [[topNgramCharFractions]] and the dup-5..10 fractions of
+    * [[dupNgramCharFractions]], column-identical to running the two
+    * operators separately (property-tested). One tokenize+gram-explode
+    * over n=2..10 (same total gram rows as the two separate passes, but
+    * ONE input scan), one (doc, n, gram) count exchange instead of two,
+    * one combined per-(doc, n) aggregation computing the argmin AND the
+    * duplicated-mass sum, one pivot. This is what CleanPipeline's Gopher
+    * gates call; the separate operators remain the single-family API (and
+    * the oracle surface).
+    */
+  def ngramRepetitionFractions(docs: DataFrame, idCol: String = "doc_id",
+                               textCol: String = "text"): DataFrame = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val ns = topNs ++ dupNs
+    val grams = allPositionGramRows(docs, ns, idCol, textCol, "ngramRepetitionFractions")
+    val covered = grams.groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "n")
+      .agg(
+        min(struct((-col("cnt")).as("neg_cnt"), col("gram").as("gram"))).as("top"),
+        sum(when(col("cnt") >= 2, col("cnt") * length(col("gram"))).otherwise(0L)).as("dupcov"))
+      .select(col("doc_id"), col("n"),
+        when(col("n") <= 4, (-col("top.neg_cnt")) * length(col("top.gram")))
+          .otherwise(col("dupcov")).as("covered"))
+    pivotCharFractions(docs, covered, ns,
+      n => if (n <= 4) s"top_${n}gram_char_frac" else s"dup_${n}gram_char_frac",
+      idCol, textCol, "ngramRepetitionFractions")
   }
 
   /** Gopher's remaining document-shape quality filters (beyond
@@ -260,10 +290,15 @@ object TextAnalysis {
     *
     * Exact + DuckDB-replayable: two narrow explode+count aggregations
     * (lines; non-empty ws-class words) joined per doc, integer counts,
-    * IEEE divisions. Per-line/per-word predicates are UNANCHORED-safe
-    * explicit-ASCII regexes evaluated on the exploded element — never a
-    * multiline flag over the whole text (the engines' `(?m)` corner cases
-    * differ; per-element `^`/`$` do not). No higher-order lambdas.
+    * IEEE divisions. Per-line/per-word predicates are evaluated on the
+    * exploded element — never a multiline flag over the whole text. The
+    * ellipsis check is a SUFFIX test after rtrim of `[ \t\r]`, NOT a `$`
+    * anchor: Java's non-MULTILINE `$` still matches before a trailing
+    * line terminator (a CRLF corpus's "foo...\r" line) while RE2's `$`
+    * does not — an anchor here silently breaks oracle parity. The bullet
+    * `^` anchor has no such corner (both engines: start of text only).
+    * Null text is treated as "" (one empty line, zero words) so every
+    * input doc gets an output row. No higher-order lambdas.
     *
     * @return (idCol, n_lines, n_words, bullet_line_frac,
     *         ellipsis_line_frac, symbol_word_ratio, alpha_word_frac)
@@ -272,14 +307,14 @@ object TextAnalysis {
                            textCol: String = "text"): DataFrame = {
     val base = graft.operators.Spread(
       docs.select(safeLongId(idCol, "gopherQualitySignals").as("doc_id"),
-        col(textCol).cast("string").as("t")))
+        coalesce(col(textCol).cast("string"), lit("")).as("t")))
     val lineAgg = base
       .select(col("doc_id"), explode(split(col("t"), "\n")).as("line"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_lines"),
         sum(when(col("line").rlike("^[ \t]*[-*] "), 1L).otherwise(0L)).as("n_bullet"),
-        sum(when(col("line").rlike("\\.\\.\\.[ \t]*$"), 1L).otherwise(0L)).as("n_ellipsis_lines"))
+        sum(when(rtrim(col("line"), " \t\r").endsWith("..."), 1L).otherwise(0L)).as("n_ellipsis_lines"))
     val wordAgg = base
       .select(col("doc_id"),
         explode(split(col("t"), "[ \t\n\u000b\f\r]+")).as("word"))

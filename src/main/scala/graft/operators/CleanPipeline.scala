@@ -122,19 +122,19 @@ object CleanPipeline {
     // optional Gopher gates: the signal operators consume the survivors
     // from SEVERAL join sides — persist the pre-gate frame first (the
     // self-join recompute sharp edge), gate, then persist the result
-    val quality = cfg.gopher match {
+    val (quality, nQuality) = cfg.gopher match {
       case Some(g) =>
         val pre = basicQuality.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         pre.count()
         val gated = applyGopherGates(pre, g, idCol, textCol)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        gated.count()
+        val n = gated.count() // materializes AND is the stage count — one job
         pre.unpersist()
-        gated
+        (gated, n)
       case None =>
-        basicQuality.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val q = basicQuality.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (q, q.count())
     }
-    val nQuality = quality.count()
     stripped.unpersist()
 
     // 3: PII scrub of the survivors — persisted and MATERIALIZED before
@@ -201,8 +201,9 @@ object CleanPipeline {
                                idCol: String, textCol: String): DataFrame = {
     val rep = TextAnalysis.repetitionSignals(docs, idCol, textCol)
       .select(col(idCol), col("dup_line_frac"), col("dup_line_char_frac"))
-    val top = TextAnalysis.topNgramCharFractions(docs, idCol, textCol)
-    val dup = TextAnalysis.dupNgramCharFractions(docs, idCol, textCol)
+    // both gram families in ONE kernel pass/exchange (column-identical to
+    // the separate operators — property-tested in OperatorsSpec)
+    val grams = TextAnalysis.ngramRepetitionFractions(docs, idCol, textCol)
     val shape = TextAnalysis.gopherQualitySignals(docs, idCol, textCol)
       .select(col(idCol), col("symbol_word_ratio"), col("bullet_line_frac"),
         col("ellipsis_line_frac"), col("alpha_word_frac"))
@@ -211,8 +212,7 @@ object CleanPipeline {
     val dupCond = (5 to 10).zip(g.maxDupNgramCharFrac)
       .map { case (n, t) => col(s"dup_${n}gram_char_frac") <= t }.reduce(_ && _)
     docs
-      .join(rep, Seq(idCol)).join(top, Seq(idCol))
-      .join(dup, Seq(idCol)).join(shape, Seq(idCol))
+      .join(rep, Seq(idCol)).join(grams, Seq(idCol)).join(shape, Seq(idCol))
       .filter(col("dup_line_frac") <= g.maxDupLineFrac &&
         col("dup_line_char_frac") <= g.maxDupLineCharFrac &&
         topCond && dupCond &&

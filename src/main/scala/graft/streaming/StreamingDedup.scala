@@ -113,13 +113,15 @@ object StreamingDedup {
     new org.apache.hadoop.fs.Path(s"$workDir/bands/_max_folded_batch")
 
   private def readMaxFolded(fs: org.apache.hadoop.fs.FileSystem,
-                            workDir: String): Long =
+                            workDir: String): Long = {
+    val p = maxFoldedPath(workDir)
     try {
-      val in = fs.open(maxFoldedPath(workDir))
-      val s = new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
-      in.close()
-      s.toLong
-    } catch { case _: Exception => Long.MinValue } // absent/corrupt => no skip
+      if (!fs.exists(p)) return Long.MinValue // fast path: no exception per batch
+      val in = fs.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong
+      finally in.close()
+    } catch { case _: Exception => Long.MinValue } // corrupt => no skip (safe)
+  }
 
   /** Minimum age of a same-identity leftover lock before a replay may take
     * it over. The lease distinguishes "crashed run's corpse" from "live but
@@ -286,11 +288,29 @@ object StreamingDedup {
     // Replay of a FOLDED batch: its sink-complete output already lives in a
     // consolidated generation (compact folds only _SUCCESS-complete batches)
     // — re-writing would duplicate every row. True no-op, idempotency holds.
+    // BUT a batchId <= manifest is a replay ONLY when the stream checkpoint
+    // that assigned it is still alive: a reset/deleted checkpoint reusing
+    // this workDir restarts ids at 0 carrying NEW docs, and silently
+    // skipping those would lose recall (the cardinal failure). VERIFY the
+    // no-op claim: every doc id in the batch must already be consolidated.
+    // One anti-join per vetoed replay — rare (post-crash restarts only).
     if (batchId <= readMaxFolded(fsw, workDir)) {
-      fsw.delete(ingestLockPath(workDir), false)
+      val missing =
+        try batch.select(col("doc_id")).distinct()
+          .join(spark.read.parquet(sigPath).select("doc_id"), Seq("doc_id"), "left_anti")
+          .limit(1).count()
+        finally fsw.delete(ingestLockPath(workDir), false)
+      if (missing > 0)
+        throw new IllegalStateException(
+          s"processBatch($batchId): batch id is <= the compaction manifest's max " +
+            s"folded batch, but the batch contains doc_ids absent from the " +
+            s"consolidated signatures — this is NOT a replay of the folded batch. " +
+            s"A fresh/reset stream checkpoint is reusing this workDir with " +
+            s"restarted batch ids; workDir and its _stream_checkpoint must live " +
+            s"and die together. Use a fresh workDir (or restore the checkpoint).")
       System.err.println(
         s"[graft] processBatch($batchId): already folded into a consolidated " +
-          "generation by compact; replay is a no-op")
+          "generation by compact; replay is a no-op (containment verified)")
       return
     }
     // scoped conf override: the history reads below want a >NumBandPrefixes

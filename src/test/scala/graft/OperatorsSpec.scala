@@ -468,6 +468,31 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L) == ((3L, 8L, 1.0 / 3, 0.0, 1.0 / 8, 7.0 / 8)), got(3L).toString)
   }
 
+  test("ngramRepetitionFractions (one pass) == the two separate operators, exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(150)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (1 until r.length).map(r.getDouble)).toMap
+    val combined = rows(TextAnalysis.ngramRepetitionFractions(docs))
+    val top = rows(TextAnalysis.topNgramCharFractions(docs))
+    val dup = rows(TextAnalysis.dupNgramCharFractions(docs))
+    assert(combined.keySet == top.keySet && combined.keySet == dup.keySet)
+    combined.foreach { case (id, vals) =>
+      assert(vals == top(id) ++ dup(id), s"doc $id: $vals vs ${top(id)} ++ ${dup(id)}")
+    }
+  }
+
+  test("gopherQualitySignals: CR-terminated ellipsis lines and null text") {
+    val rows = Seq(
+      (0L, "crlf dots...\r\nplain line"),  // \r-terminated ellipsis line COUNTS
+      (1L, null.asInstanceOf[String])       // null text = one empty line, zero words
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQualitySignals(rows)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    assert(got(0L)._3 == 0.5, got(0L).toString) // 1 of 2 lines is ellipsis
+    assert(got(1L) == ((1L, 0L, 0.0)), got(1L).toString)
+  }
+
   test("CleanPipeline gopher gates drop repetition/shape offenders, keep clean docs") {
     val words = Seq("quasar", "nebula", "photon", "gluon", "hadron", "lepton", "meson",
       "boson", "proton", "neutron", "quark", "tachyon", "axion", "graviton", "dilaton", "instanton")

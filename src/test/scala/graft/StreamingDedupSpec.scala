@@ -357,6 +357,19 @@ class StreamingDedupSpec extends SparkSpec {
       .groupBy("doc_id").count().filter(col("count") > 1).count()
     assert(dupSigs == 0L)
 
+    // a folded batchId carrying NEW doc ids is NOT a replay (a reset stream
+    // checkpoint reusing the workDir) — the veto must detect the missing
+    // docs and fail loudly instead of silently dropping them
+    val eFresh = intercept[IllegalStateException] {
+      StreamingDedup.processBatch(spark,
+        Seq(mk(55555L, 7)).toDF("doc_id", "content"), 2L, work, cfg)
+    }
+    assert(eFresh.getMessage.contains("NOT a replay"), eFresh.getMessage)
+    // and the failed veto released its lock (next call may proceed)
+    val fs0 = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(work), spark.sparkContext.hadoopConfiguration)
+    assert(!fs0.exists(new org.apache.hadoop.fs.Path(s"$work/bands/_ingest_lock")))
+
     // a NEW batch (id above the manifest) still processes normally
     StreamingDedup.processBatch(spark,
       Seq(mk(999L, 1)).toDF("doc_id", "content"), 3L, work, cfg)
