@@ -609,6 +609,52 @@ object StreamingDedup {
     ()
   }
 
+  /** On-demand CLUSTER snapshot over the accumulated streaming tables —
+    * the consumer view "current duplicate-cluster assignments of every
+    * ingested doc", computed with the same pointer-jumping
+    * [[ConnectedComponents]] the batch pipeline uses (identical label
+    * semantics: cluster_id = component-min doc id) over the durable pairs
+    * table and the signatures doc set.
+    *
+    * Scale shape: O(all pairs) per call by design — this is a MAINTENANCE
+    * materialization like [[compact]] (run it on the same cadence), not a
+    * per-batch incremental update; CC itself is the O(log D)-round batch
+    * operator that already carries the 10^9-edge story. Runs under the
+    * compact lock (exclusive vs ingest AND other maintenance), so it reads
+    * a consistent table set. The snapshot lands at `workDir/clusters` via
+    * the staging->rename protocol; a crash leaves the previous snapshot's
+    * dir absent only if it crashed between delete and rename — re-running
+    * heals (the snapshot is derived state, never the source of truth).
+    *
+    * Returns the snapshot DataFrame (doc_id, cluster_id) read back from
+    * the committed table.
+    */
+  def clusterSnapshot(spark: SparkSession, workDir: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(workDir), spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$workDir/bands"))
+    acquire(fs, compactLockPath(workDir), "clusterSnapshot")
+    try {
+      if (fs.exists(ingestLockPath(workDir)))
+        throw new IllegalStateException(
+          s"clusterSnapshot: ingest in progress (${ingestLockPath(workDir)})")
+      val pairs = spark.read.parquet(s"$workDir/pairs").select("doc1", "doc2")
+      // dropDuplicates: post-compaction-replay convergence can leave
+      // transient duplicate signature rows (class doc) — labels need the set
+      val docs = spark.read.parquet(s"$workDir/signatures")
+        .select("doc_id").dropDuplicates("doc_id")
+      val clusters = graft.operators.ConnectedComponents.cluster(pairs, docs)
+      val target = new org.apache.hadoop.fs.Path(s"$workDir/clusters")
+      val staging = new org.apache.hadoop.fs.Path(s"$workDir/_clusters_staging")
+      fs.delete(staging, true)
+      clusters.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      fs.delete(target, true)
+      require(fs.rename(staging, target),
+        s"clusterSnapshot: rename $staging -> $target failed")
+    } finally fs.delete(compactLockPath(workDir), false)
+    spark.read.parquet(s"$workDir/clusters")
+  }
+
   /** Start the streaming dedup job. Tables live under `workDir`:
     * signatures/, bands/, pairs/ — all append-only via batchId-keyed
     * partition dirs. Returns the query; callers drive it with

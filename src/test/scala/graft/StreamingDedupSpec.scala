@@ -398,6 +398,35 @@ class StreamingDedupSpec extends SparkSpec {
     assert(dupSigs2 == 0L)
   }
 
+  test("clusterSnapshot: batch-CC-identical labels over the streaming tables") {
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
+    val work = java.nio.file.Files.createTempDirectory("stream_snapshot").toString
+    val textA = "the quick brown fox jumps over the lazy dog while rain falls on the hills"
+    val textB = "completely different content about spark structured streaming micro batches and state"
+    StreamingDedup.processBatch(spark,
+      Seq((0L, textA), (1L, textA), (2L, textB)).toDF("doc_id", "content"), 0L, work, cfg)
+    StreamingDedup.processBatch(spark,
+      Seq((10L, textA), (11L, "some very unique text about nothing else here")).toDF("doc_id", "content"),
+      1L, work, cfg)
+    val snap = StreamingDedup.clusterSnapshot(spark, work)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // {0,1,10} one component labeled by its min; 2 and 11 singletons
+    assert(snap == Map(0L -> 0L, 1L -> 0L, 10L -> 0L, 2L -> 2L, 11L -> 11L), snap.toString)
+    // durable + re-runnable; works after compaction too
+    StreamingDedup.compact(spark, work)
+    val snap2 = StreamingDedup.clusterSnapshot(spark, work)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(snap2 == snap)
+    // fence: ingest in progress blocks the snapshot fast
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(work), spark.sparkContext.hadoopConfiguration)
+    val ingestLock = new org.apache.hadoop.fs.Path(s"$work/bands/_ingest_lock")
+    fs.create(ingestLock, false).close()
+    val e = intercept[IllegalStateException] { StreamingDedup.clusterSnapshot(spark, work) }
+    assert(e.getMessage.contains("ingest in progress"), e.getMessage)
+    fs.delete(ingestLock, false)
+  }
+
   test("pre-upgrade signature batches (no did_prefix column) still join cross-history") {
     // MIGRATION: a workDir whose signature dirs were written before the
     // did_prefix prune column existed must not silently lose those docs
