@@ -280,6 +280,13 @@ object CleanPipeline {
     * returned frame and all intermediates here are Parquet-backed: there is
     * nothing to unpersist, and stage counts are metadata-cheap counts over
     * the committed tables.
+    *
+    * Storage trade (deliberate): four of the six stage tables carry the
+    * full text, so durable intermediates cost ~4x the corpus on disk while
+    * a run is resumable. That is the standard price of mid-pipeline
+    * resume; reclaim by deleting upstream stage dirs once a downstream
+    * stage is committed and resume-from-upstream is no longer wanted (the
+    * tags make a deleted stage recompute, never corrupt).
     */
   def runCheckpointed(spark: SparkSession, docs: DataFrame, workDir: String,
                       cfg: Config = Config(),
