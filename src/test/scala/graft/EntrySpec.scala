@@ -14,6 +14,17 @@ class EntrySpec extends SparkSpec {
     assert(missing.isEmpty, missing.toString)
   }
 
+  test("oracle SQL mentions every Spark output column (rename-drift guard)") {
+    // the driver hash-compares columns SORTED BY NAME — a Spark-side alias
+    // the SQL doesn't carry hash-mismatches even with identical values.
+    // Plan-only check: building the frame never executes it.
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val cols = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").columns
+      val missing = cols.filterNot(sql.contains)
+      assert(missing.isEmpty, s"$name: oracle SQL lacks columns ${missing.mkString(",")}")
+    }
+  }
+
   test("all queries run at sf0.001 and return rows") {
     val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, "/root/testdata/sf0.001").count()
