@@ -532,15 +532,16 @@ object StreamingDedup {
       // keeps its dirs so the stream's replay can overwrite them — folding
       // a partial batch would freeze the partial rows into the consolidated
       // generation and the manifest would then veto the repairing replay.
-      val tables = Seq(bandsPath, s"$workDir/signatures", s"$workDir/pairs")
-      def nonNegIds(t: String): Set[Long] =
-        Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$t/batch_id=*")))
-          .map(_.toSet).getOrElse(Set.empty)
-          .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
-          .filter(_ >= 0L)
-      def completeIds(t: String): Set[Long] = nonNegIds(t).filter(id =>
-        fs.exists(new org.apache.hadoop.fs.Path(s"$t/batch_id=$id/_SUCCESS")))
-      val complete = tables.map(completeIds).reduce(_ intersect _)
+      // When a CLUSTERS table exists, additionally fold only batches the
+      // cluster maintenance has INCORPORATED: folding a newer batch would
+      // erase its batch_id identity, making updateClusters unable to find
+      // its pairs — run updateClusters/clusterSnapshot on the compact
+      // cadence to keep the foldable window moving.
+      val allComplete = sinkCompleteIds(fs, workDir)
+      val complete =
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$workDir/clusters/_SUCCESS")))
+          allComplete.filter(_ <= readIncorporated(fs, workDir))
+        else allComplete
       compactTable(spark, fs, bandsPath, complete) { df =>
         df.select("doc_id", "band_idx", "band_hash", "bh_prefix")
           .dropDuplicates("doc_id", "band_idx") // converges reruns after partial deletes
@@ -638,11 +639,20 @@ object StreamingDedup {
       if (fs.exists(ingestLockPath(workDir)))
         throw new IllegalStateException(
           s"clusterSnapshot: ingest in progress (${ingestLockPath(workDir)})")
-      val pairs = spark.read.parquet(s"$workDir/pairs").select("doc1", "doc2")
+      // read consolidated generations + SINK-COMPLETE batches only: an
+      // incomplete trailing batch (mid-crash) may hold truncated files and
+      // will be (re)incorporated after its replay completes it
+      val complete = sinkCompleteIds(fs, workDir)
+      val pairPaths = readableGenPaths(fs, s"$workDir/pairs", complete)
+      val sigPaths = readableGenPaths(fs, s"$workDir/signatures", complete)
+      val pairs =
+        if (pairPaths.isEmpty) emptyPairs(spark).select("doc1", "doc2")
+        else spark.read.parquet(pairPaths: _*).select("doc1", "doc2")
       // dropDuplicates: post-compaction-replay convergence can leave
       // transient duplicate signature rows (class doc) — labels need the set
-      val docs = spark.read.parquet(s"$workDir/signatures")
-        .select("doc_id").dropDuplicates("doc_id")
+      val docs =
+        if (sigPaths.isEmpty) emptyPairs(spark).select(col("doc1").as("doc_id"))
+        else spark.read.parquet(sigPaths: _*).select("doc_id").dropDuplicates("doc_id")
       val clusters = graft.operators.ConnectedComponents.cluster(pairs, docs)
       val target = new org.apache.hadoop.fs.Path(s"$workDir/clusters")
       val staging = new org.apache.hadoop.fs.Path(s"$workDir/_clusters_staging")
@@ -651,8 +661,174 @@ object StreamingDedup {
       fs.delete(target, true)
       require(fs.rename(staging, target),
         s"clusterSnapshot: rename $staging -> $target failed")
+      // meta LAST (see [[clustersMetaPath]]): everything read above —
+      // complete positives and previously-folded batches — is incorporated
+      val watermark = (complete + readMaxFolded(fs, workDir)).max
+      if (watermark > Long.MinValue) writeIncorporated(fs, workDir, watermark)
     } finally fs.delete(compactLockPath(workDir), false)
     spark.read.parquet(s"$workDir/clusters")
+  }
+
+  /** High-water mark of pairs batch ids already incorporated into the
+    * clusters table (underscore file inside the clusters dir — invisible
+    * to parquet reads). Written LAST by [[clusterSnapshot]]/
+    * [[updateClusters]]: a crash after the table rename but before the
+    * meta write makes the next update re-incorporate already-merged
+    * batches, which is a no-op by construction (their contracted edges
+    * collapse to self-loops and their docs are already labeled).
+    */
+  private def clustersMetaPath(workDir: String) =
+    new org.apache.hadoop.fs.Path(s"$workDir/clusters/_incorporated")
+
+  private def readIncorporated(fs: org.apache.hadoop.fs.FileSystem,
+                               workDir: String): Long = {
+    val p = clustersMetaPath(workDir)
+    try {
+      if (!fs.exists(p)) return Long.MinValue
+      val in = fs.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong
+      finally in.close()
+    } catch { case _: Exception => Long.MinValue }
+  }
+
+  private def writeIncorporated(fs: org.apache.hadoop.fs.FileSystem,
+                                workDir: String, v: Long): Unit = {
+    val out = fs.create(clustersMetaPath(workDir), true)
+    out.write(v.toString.getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Positive batch ids present under a table. */
+  private def positiveBatchIds(fs: org.apache.hadoop.fs.FileSystem,
+                               tablePath: String): Seq[Long] =
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$tablePath/batch_id=*")))
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+      .filter(_ >= 0L)
+
+  /** SINK-COMPLETE batch ids: _SUCCESS present in ALL THREE tables. The
+    * shared eligibility rule for folding ([[compact]]) and cluster
+    * incorporation ([[clusterSnapshot]]/[[updateClusters]]) — an
+    * incomplete (mid-crash) trailing batch is skipped by both and picked
+    * up after its replay completes it.
+    */
+  private def sinkCompleteIds(fs: org.apache.hadoop.fs.FileSystem,
+                              workDir: String): Set[Long] =
+    Seq(s"$workDir/bands", s"$workDir/signatures", s"$workDir/pairs")
+      .map { t =>
+        positiveBatchIds(fs, t).filter(id =>
+          fs.exists(new org.apache.hadoop.fs.Path(s"$t/batch_id=$id/_SUCCESS"))).toSet
+      }
+      .reduce(_ intersect _)
+
+  /** Generation dirs to read for a table: consolidated (negative) plus the
+    * given positive ids — never a possibly-truncated incomplete dir.
+    */
+  private def readableGenPaths(fs: org.apache.hadoop.fs.FileSystem,
+                               tablePath: String, positives: Set[Long]): Seq[String] =
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$tablePath/batch_id=*")))
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .filter { d =>
+        val gen = d.getPath.getName.stripPrefix("batch_id=").toLong
+        gen < 0L || positives.contains(gen)
+      }
+      .map(_.getPath.toString)
+
+  /** INCREMENTAL cluster maintenance — the bounded-work alternative to
+    * re-running [[clusterSnapshot]]'s full CC over all pairs:
+    *
+    *   1. read only the pairs batch dirs NEWER than the incorporated
+    *      high-water mark (compact never folds those — see [[compact]])
+    *   2. contract each new pair through the existing labels: an already-
+    *      labeled endpoint is replaced by its component ROOT (the root IS
+    *      the component min, so minima are preserved under contraction)
+    *   3. run the pointer-jumping CC on the contracted graph — O(new
+    *      pairs) nodes/edges, NOT O(all pairs)
+    *   4. remap old roots that merged (tiny broadcast join against the
+    *      labels table) and append labels for the new batches' docs
+    *
+    * Per-update cost: O(new pairs) CC + one pass over the labels table
+    * (read + staged rewrite) — at 10^9 docs that is a ~16 GB/doc-id-pair
+    * table pass vs CC over 10^10+ accumulated pairs for the full rebuild.
+    * (The labels pass is the remaining term; a prefix-partitioned
+    * affected-dir rewrite would cut the WRITE side too, at the cost of a
+    * per-dir journal protocol — documented trade, not yet needed.)
+    *
+    * First call (no clusters table) delegates to [[clusterSnapshot]].
+    * Idempotent: re-incorporating an already-merged batch produces only
+    * self-loop contracted edges and already-present labels. Runs under
+    * the maintenance fence. Returns the refreshed labels table.
+    */
+  def updateClusters(spark: SparkSession, workDir: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(workDir), spark.sparkContext.hadoopConfiguration)
+    val clustersPath = s"$workDir/clusters"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$clustersPath/_SUCCESS")))
+      return clusterSnapshot(spark, workDir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$workDir/bands"))
+    acquire(fs, compactLockPath(workDir), "updateClusters")
+    try {
+      if (fs.exists(ingestLockPath(workDir)))
+        throw new IllegalStateException(
+          s"updateClusters: ingest in progress (${ingestLockPath(workDir)})")
+      val incorporated = readIncorporated(fs, workDir)
+      // only SINK-COMPLETE new batches (same eligibility as compact): the
+      // complete-in-all-tables rule guarantees both the pairs AND the
+      // signatures dirs below exist for every id in the set
+      val newIds = sinkCompleteIds(fs, workDir).filter(_ > incorporated).toSeq.sorted
+      if (newIds.isEmpty) return spark.read.parquet(clustersPath)
+      val labels = spark.read.parquet(clustersPath)
+      val newPairs = spark.read.parquet(
+          newIds.map(id => s"$workDir/pairs/batch_id=$id"): _*)
+        .select(col("doc1"), col("doc2"))
+      // 2: contract through existing labels (missing => the doc is its own
+      // root). Two hash joins against the labels table.
+      val l1 = labels.select(col("doc_id").as("doc1"), col("cluster_id").as("c1"))
+      val l2 = labels.select(col("doc_id").as("doc2"), col("cluster_id").as("c2"))
+      val contracted = newPairs
+        .join(l1, Seq("doc1"), "left").join(l2, Seq("doc2"), "left")
+        .select(coalesce(col("c1"), col("doc1")).as("doc1"),
+          coalesce(col("c2"), col("doc2")).as("doc2"))
+        .filter(col("doc1") =!= col("doc2"))
+      // 3: CC on the contracted graph — nodes are old roots + new docs;
+      // an old root is its component's min, so the contracted component
+      // min IS the true merged-component min
+      val nodes = contracted.select(col("doc1").as("doc_id"))
+        .union(contracted.select(col("doc2").as("doc_id"))).distinct()
+      val merged = graft.operators.ConnectedComponents.cluster(contracted, nodes)
+      // 4a: remap of old roots that changed — bounded by the contracted
+      // graph's node count, broadcast against the labels table
+      val remap = merged
+        .join(labels.select(col("cluster_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("old_root"), col("cluster_id").as("new_root"))
+      val remapped = labels.alias("l")
+        .join(broadcast(remap), col("l.cluster_id") === col("old_root"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          coalesce(col("new_root"), col("l.cluster_id")).as("cluster_id"))
+      // 4b: labels for the new batches' docs (signature dirs carry exactly
+      // the docs signed in those batches): component root if the doc hit
+      // the contracted graph, else itself (singleton) — minus docs already
+      // labeled (idempotent re-incorporation)
+      val newDocs = spark.read.parquet(
+          newIds.map(id => s"$workDir/signatures/batch_id=$id"): _*)
+        .select("doc_id").dropDuplicates("doc_id")
+        .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+      val newLabels = newDocs.alias("d")
+        .join(merged.alias("m"), col("d.doc_id") === col("m.doc_id"), "left")
+        .select(col("d.doc_id").as("doc_id"),
+          coalesce(col("m.cluster_id"), col("d.doc_id")).as("cluster_id"))
+      val updated = remapped.union(newLabels)
+      val staging = new org.apache.hadoop.fs.Path(s"$workDir/_clusters_staging")
+      fs.delete(staging, true)
+      updated.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      val target = new org.apache.hadoop.fs.Path(clustersPath)
+      fs.delete(target, true)
+      require(fs.rename(staging, target),
+        s"updateClusters: rename $staging -> $target failed")
+      writeIncorporated(fs, workDir, newIds.max)
+    } finally fs.delete(compactLockPath(workDir), false)
+    spark.read.parquet(clustersPath)
   }
 
   /** Start the streaming dedup job. Tables live under `workDir`:

@@ -427,6 +427,97 @@ class StreamingDedupSpec extends SparkSpec {
     fs.delete(ingestLock, false)
   }
 
+  test("updateClusters: incremental labels == full snapshot across merges, compaction, replays") {
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
+    val work = java.nio.file.Files.createTempDirectory("stream_inc_cc").toString
+    val mk = (id: Long, salt: Int) =>
+      (id, s"incremental cluster probe text $salt with plenty of words to shingle " * 3)
+    def fullRecompute(): Map[Long, Long] = {
+      // ground truth: batch CC over ALL pairs + docs, computed out-of-band
+      val pairs = spark.read.parquet(s"$work/pairs").select("doc1", "doc2")
+      val docs = spark.read.parquet(s"$work/signatures").select("doc_id").dropDuplicates("doc_id")
+      graft.operators.ConnectedComponents.cluster(pairs, docs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    def incremental(): Map[Long, Long] =
+      StreamingDedup.updateClusters(spark, work)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // batch 0: docs 10,11 dups (salt 1); 12 unique. First call = full build.
+    StreamingDedup.processBatch(spark,
+      Seq(mk(10L, 1), mk(11L, 1), mk(12L, 2)).toDF("doc_id", "content"), 0L, work, cfg)
+    assert(incremental() == fullRecompute())
+
+    // batch 1: 20 dups 12 (merges {12,20}); 21 singleton — INCREMENTAL path
+    StreamingDedup.processBatch(spark,
+      Seq(mk(20L, 2), mk(21L, 3)).toDF("doc_id", "content"), 1L, work, cfg)
+    val inc1 = incremental()
+    assert(inc1 == fullRecompute())
+    assert(inc1(20L) == 12L && inc1(21L) == 21L, inc1.toString)
+
+    // batch 2: doc 5 dups salt 1 — its id is SMALLER than the existing
+    // component min, so the whole {10,11} component must RELABEL to 5
+    StreamingDedup.processBatch(spark,
+      Seq(mk(5L, 1)).toDF("doc_id", "content"), 2L, work, cfg)
+    val inc2 = incremental()
+    assert(inc2 == fullRecompute())
+    assert(inc2(10L) == 5L && inc2(11L) == 5L && inc2(5L) == 5L, inc2.toString)
+
+    // batch 3: a cross-component BRIDGE (salt-1 text also near salt... use
+    // two docs: 30 dups salt 2 AND 31 dups salt 3 — merges {12,20} & {21}
+    // stay separate; then 32 bridges nothing new)
+    StreamingDedup.processBatch(spark,
+      Seq(mk(30L, 2), mk(31L, 3)).toDF("doc_id", "content"), 3L, work, cfg)
+    assert(incremental() == fullRecompute())
+
+    // idempotent: calling again with nothing new changes nothing
+    val again = incremental()
+    assert(again == fullRecompute())
+
+    // compaction folds ONLY incorporated batches; post-compaction the
+    // incremental path still matches ground truth after a further batch
+    StreamingDedup.compact(spark, work)
+    StreamingDedup.processBatch(spark,
+      Seq(mk(40L, 1)).toDF("doc_id", "content"), 4L, work, cfg)
+    val inc4 = incremental()
+    assert(inc4 == fullRecompute())
+    assert(inc4(40L) == 5L, inc4.toString)
+
+    // simulated crash between table rename and meta write: stale meta makes
+    // the next update RE-incorporate batch 4 — must be a no-op
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(work), spark.sparkContext.hadoopConfiguration)
+    val meta = new org.apache.hadoop.fs.Path(s"$work/clusters/_incorporated")
+    val o = fs.create(meta, true); o.write("3".getBytes("UTF-8")); o.close()
+    assert(incremental() == inc4)
+  }
+
+  test("compact does not fold batches the cluster maintenance has not incorporated") {
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
+    val work = java.nio.file.Files.createTempDirectory("stream_fold_gate").toString
+    val mk = (id: Long, salt: Int) =>
+      (id, s"fold gate probe text $salt with plenty of words to shingle " * 3)
+    StreamingDedup.processBatch(spark, Seq(mk(1L, 1)).toDF("doc_id", "content"), 0L, work, cfg)
+    StreamingDedup.processBatch(spark, Seq(mk(2L, 2)).toDF("doc_id", "content"), 1L, work, cfg)
+    StreamingDedup.updateClusters(spark, work) // incorporates batches 0,1
+    StreamingDedup.processBatch(spark, Seq(mk(3L, 3)).toDF("doc_id", "content"), 2L, work, cfg)
+    StreamingDedup.compact(spark, work)
+    // batch 2 (unincorporated) must keep its dirs; batches 0,1 fold
+    def gens(t: String) = new java.io.File(s"$work/$t").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch_id=")).toSeq.sorted
+    Seq("pairs", "signatures", "bands").foreach { t =>
+      assert(gens(t).contains("batch_id=2"), s"$t: ${gens(t).mkString(",")}")
+      assert(!gens(t).contains("batch_id=0") && !gens(t).contains("batch_id=1"),
+        s"$t: ${gens(t).mkString(",")}")
+    }
+    // after incorporation the next compact folds it (into the existing gen)
+    StreamingDedup.updateClusters(spark, work)
+    StreamingDedup.compact(spark, work)
+    Seq("pairs", "signatures", "bands").foreach { t =>
+      assert(!gens(t).contains("batch_id=2"), s"$t: ${gens(t).mkString(",")}")
+    }
+  }
+
   test("pre-upgrade signature batches (no did_prefix column) still join cross-history") {
     // MIGRATION: a workDir whose signature dirs were written before the
     // did_prefix prune column existed must not silently lose those docs
