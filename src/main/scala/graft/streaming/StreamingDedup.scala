@@ -112,16 +112,52 @@ object StreamingDedup {
   private def maxFoldedPath(workDir: String) =
     new org.apache.hadoop.fs.Path(s"$workDir/bands/_max_folded_batch")
 
-  private def readMaxFolded(fs: org.apache.hadoop.fs.FileSystem,
-                            workDir: String): Long = {
-    val p = maxFoldedPath(workDir)
+  /** Shared tiny-state-file readers/writers (manifest, clusters watermark,
+    * fold intent) — one implementation so a future hardening (e.g. atomic
+    * tmp+rename writes) cannot be applied to one copy and missed by the
+    * other.
+    */
+  private def readStateFile(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path): Option[String] =
     try {
-      if (!fs.exists(p)) return Long.MinValue // fast path: no exception per batch
+      if (!fs.exists(p)) return None // fast path: no exception per call
       val in = fs.open(p)
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
       finally in.close()
-    } catch { case _: Exception => Long.MinValue } // corrupt => no skip (safe)
+    } catch { case _: Exception => None } // corrupt => caller's safe default
+
+  private def writeStateFile(fs: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    out.write(content.getBytes("UTF-8"))
+    out.close()
   }
+
+  private def readMaxFolded(fs: org.apache.hadoop.fs.FileSystem,
+                            workDir: String): Long =
+    readStateFile(fs, maxFoldedPath(workDir))
+      .flatMap(_.toLongOption).getOrElse(Long.MinValue) // absent/corrupt => no skip (safe)
+
+  /** Fold-intent journal: the set of batch ids a compact run is folding,
+    * written BEFORE the first table fold and removed after the manifest.
+    * A compact crash BETWEEN per-table folds otherwise strands a batch
+    * forever: with (say) its bands dir already folded away, the
+    * all-three-tables completeness rule can never re-admit it, so its
+    * surviving pairs/signatures dirs would be un-foldable and invisible to
+    * the complete-only cluster reads. Ids in a leftover intent were
+    * verified sink-complete when it was written — the next compact re-adds
+    * them to the foldable set (folding whatever dirs remain; re-folds
+    * converge via the per-table dropDuplicates) and cluster maintenance
+    * treats them as complete.
+    */
+  private def foldIntentPath(workDir: String) =
+    new org.apache.hadoop.fs.Path(s"$workDir/bands/_fold_intent")
+
+  private def readFoldIntent(fs: org.apache.hadoop.fs.FileSystem,
+                             workDir: String): Set[Long] =
+    readStateFile(fs, foldIntentPath(workDir))
+      .map(_.split(",").toSeq.flatMap(_.trim.toLongOption).toSet)
+      .getOrElse(Set.empty)
 
   /** Minimum age of a same-identity leftover lock before a replay may take
     * it over. The lease distinguishes "crashed run's corpse" from "live but
@@ -538,10 +574,25 @@ object StreamingDedup {
       // its pairs — run updateClusters/clusterSnapshot on the compact
       // cadence to keep the foldable window moving.
       val allComplete = sinkCompleteIds(fs, workDir)
-      val complete =
-        if (fs.exists(new org.apache.hadoop.fs.Path(s"$workDir/clusters/_SUCCESS")))
-          allComplete.filter(_ <= readIncorporated(fs, workDir))
-        else allComplete
+      val haveClusters = fs.exists(new org.apache.hadoop.fs.Path(s"$workDir/clusters/_SUCCESS"))
+      val incorporated = readIncorporated(fs, workDir) // hoisted: one read, not one per id
+      if (haveClusters && incorporated == Long.MinValue)
+        // a clusters table with no (or unreadable) watermark — e.g. written
+        // by a pre-watermark snapshot — would gate EVERY fold forever and
+        // silently regrow the O(batches) file count; say so instead
+        System.err.println(
+          s"[graft] compact: clusters table exists but $workDir/clusters/_incorporated " +
+            "is missing/unreadable — folding nothing this run; run " +
+            "updateClusters/clusterSnapshot to (re)write the watermark")
+      val gated =
+        if (haveClusters) allComplete.filter(_ <= incorporated) else allComplete
+      // leftover fold intent (a previous compact crashed between per-table
+      // folds): those ids were sink-complete then; re-admit them so their
+      // surviving dirs fold instead of stranding (see [[foldIntentPath]])
+      val complete = gated ++ readFoldIntent(fs, workDir)
+      if (complete.nonEmpty)
+        writeStateFile(fs, foldIntentPath(workDir),
+          complete.toSeq.sorted.mkString(","))
       compactTable(spark, fs, bandsPath, complete) { df =>
         df.select("doc_id", "band_idx", "band_hash", "bh_prefix")
           .dropDuplicates("doc_id", "band_idx") // converges reruns after partial deletes
@@ -570,10 +621,10 @@ object StreamingDedup {
       // by the <=1-dir guard, so recording max(complete) is always safe.
       if (complete.nonEmpty) {
         val newMax = math.max(readMaxFolded(fs, workDir), complete.max)
-        val out = fs.create(maxFoldedPath(workDir), true)
-        out.write(newMax.toString.getBytes("UTF-8"))
-        out.close()
+        writeStateFile(fs, maxFoldedPath(workDir), newMax.toString)
       }
+      // all tables folded + manifest durable: the intent journal has served
+      fs.delete(foldIntentPath(workDir), false)
     } finally fs.delete(compactLockPath(workDir), false)
   }
 
@@ -641,8 +692,10 @@ object StreamingDedup {
           s"clusterSnapshot: ingest in progress (${ingestLockPath(workDir)})")
       // read consolidated generations + SINK-COMPLETE batches only: an
       // incomplete trailing batch (mid-crash) may hold truncated files and
-      // will be (re)incorporated after its replay completes it
-      val complete = sinkCompleteIds(fs, workDir)
+      // will be (re)incorporated after its replay completes it. Fold-intent
+      // ids are complete by construction (their missing dirs are already in
+      // the generations; readableGenPaths keeps only existing ones).
+      val complete = sinkCompleteIds(fs, workDir) ++ readFoldIntent(fs, workDir)
       val pairPaths = readableGenPaths(fs, s"$workDir/pairs", complete)
       val sigPaths = readableGenPaths(fs, s"$workDir/signatures", complete)
       val pairs =
@@ -681,22 +734,13 @@ object StreamingDedup {
     new org.apache.hadoop.fs.Path(s"$workDir/clusters/_incorporated")
 
   private def readIncorporated(fs: org.apache.hadoop.fs.FileSystem,
-                               workDir: String): Long = {
-    val p = clustersMetaPath(workDir)
-    try {
-      if (!fs.exists(p)) return Long.MinValue
-      val in = fs.open(p)
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong
-      finally in.close()
-    } catch { case _: Exception => Long.MinValue }
-  }
+                               workDir: String): Long =
+    readStateFile(fs, clustersMetaPath(workDir))
+      .flatMap(_.toLongOption).getOrElse(Long.MinValue)
 
   private def writeIncorporated(fs: org.apache.hadoop.fs.FileSystem,
-                                workDir: String, v: Long): Unit = {
-    val out = fs.create(clustersMetaPath(workDir), true)
-    out.write(v.toString.getBytes("UTF-8"))
-    out.close()
-  }
+                                workDir: String, v: Long): Unit =
+    writeStateFile(fs, clustersMetaPath(workDir), v.toString)
 
   /** Positive batch ids present under a table. */
   private def positiveBatchIds(fs: org.apache.hadoop.fs.FileSystem,
@@ -774,36 +818,57 @@ object StreamingDedup {
       val incorporated = readIncorporated(fs, workDir)
       // only SINK-COMPLETE new batches (same eligibility as compact): the
       // complete-in-all-tables rule guarantees both the pairs AND the
-      // signatures dirs below exist for every id in the set
+      // signatures dirs below exist for every id in the set. (Fold-intent
+      // ids cannot appear here: with a clusters table present, compact
+      // folds only ids <= the watermark — belt-and-braces existence
+      // filters below anyway.)
       val newIds = sinkCompleteIds(fs, workDir).filter(_ > incorporated).toSeq.sorted
-      if (newIds.isEmpty) return spark.read.parquet(clustersPath)
+      def existing(table: String): Seq[String] =
+        newIds.map(id => s"$workDir/$table/batch_id=$id")
+          .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      val pairDirs = existing("pairs")
+      if (newIds.isEmpty || pairDirs.isEmpty) return spark.read.parquet(clustersPath)
       val labels = spark.read.parquet(clustersPath)
-      val newPairs = spark.read.parquet(
-          newIds.map(id => s"$workDir/pairs/batch_id=$id"): _*)
+      val newPairs = spark.read.parquet(pairDirs: _*)
         .select(col("doc1"), col("doc2"))
       // 2: contract through existing labels (missing => the doc is its own
       // root). Two hash joins against the labels table.
       val l1 = labels.select(col("doc_id").as("doc1"), col("cluster_id").as("c1"))
       val l2 = labels.select(col("doc_id").as("doc2"), col("cluster_id").as("c2"))
+      // persisted: the contracted table feeds CC, its node derivation, and
+      // (transitively) both the remap and new-label branches — un-persisted
+      // the newPairs+labels joins would re-run per consumer (CLAUDE.md
+      // self-join sharp edge)
       val contracted = newPairs
         .join(l1, Seq("doc1"), "left").join(l2, Seq("doc2"), "left")
         .select(coalesce(col("c1"), col("doc1")).as("doc1"),
           coalesce(col("c2"), col("doc2")).as("doc2"))
         .filter(col("doc1") =!= col("doc2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var remapHandle: Option[DataFrame] = None
+      try {
       // 3: CC on the contracted graph — nodes are old roots + new docs;
       // an old root is its component's min, so the contracted component
       // min IS the true merged-component min
       val nodes = contracted.select(col("doc1").as("doc_id"))
         .union(contracted.select(col("doc2").as("doc_id"))).distinct()
       val merged = graft.operators.ConnectedComponents.cluster(contracted, nodes)
-      // 4a: remap of old roots that changed — bounded by the contracted
-      // graph's node count, broadcast against the labels table
+      // 4a: remap of old roots that changed — usually bounded by the
+      // contracted graph's node count, but adversarially O(merged old
+      // components) (one boilerplate doc pairing with millions of
+      // singleton-cluster history docs), so the broadcast hint is
+      // SIZE-GATED exactly like processBatch's candidate semi-join —
+      // above the gate AQE plans a plain shuffle join
       val remap = merged
         .join(labels.select(col("cluster_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id").as("old_root"), col("cluster_id").as("new_root"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      remapHandle = Some(remap)
+      val remapSide =
+        if (remap.count() <= MaxBroadcastCandIds) broadcast(remap) else remap
       val remapped = labels.alias("l")
-        .join(broadcast(remap), col("l.cluster_id") === col("old_root"), "left")
+        .join(remapSide, col("l.cluster_id") === col("old_root"), "left")
         .select(col("l.doc_id").as("doc_id"),
           coalesce(col("new_root"), col("l.cluster_id")).as("cluster_id"))
       // 4b: labels for the new batches' docs (signature dirs carry exactly
@@ -827,6 +892,11 @@ object StreamingDedup {
       require(fs.rename(staging, target),
         s"updateClusters: rename $staging -> $target failed")
       writeIncorporated(fs, workDir, newIds.max)
+      ()
+      } finally {
+        remapHandle.foreach(_.unpersist())
+        contracted.unpersist()
+      }
     } finally fs.delete(compactLockPath(workDir), false)
     spark.read.parquet(clustersPath)
   }

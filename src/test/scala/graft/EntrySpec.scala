@@ -20,7 +20,10 @@ class EntrySpec extends SparkSpec {
     // Plan-only check: building the frame never executes it.
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       val cols = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").columns
-      val missing = cols.filterNot(sql.contains)
+      // whole-word match: bare substring containment would let a column
+      // named `sim` ride on the SQL's `similarity`
+      val missing = cols.filterNot(c =>
+        ("\\b" + java.util.regex.Pattern.quote(c) + "\\b").r.findFirstIn(sql).isDefined)
       assert(missing.isEmpty, s"$name: oracle SQL lacks columns ${missing.mkString(",")}")
     }
   }

@@ -518,6 +518,55 @@ class StreamingDedupSpec extends SparkSpec {
     }
   }
 
+  test("fold-intent journal: a compact crash between per-table folds does not strand a batch") {
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
+    val work = java.nio.file.Files.createTempDirectory("stream_fold_crash").toString
+    val mk = (id: Long, salt: Int) =>
+      (id, s"fold crash probe text $salt with plenty of words to shingle " * 3)
+    // two batches with a cross-batch dup so the pairs table matters
+    StreamingDedup.processBatch(spark,
+      Seq(mk(1L, 1), mk(2L, 2)).toDF("doc_id", "content"), 0L, work, cfg)
+    StreamingDedup.processBatch(spark,
+      Seq(mk(10L, 1)).toDF("doc_id", "content"), 1L, work, cfg)
+
+    // SIMULATED mid-compact crash: bands folded (batch dirs gone), pairs +
+    // signatures untouched, intent left behind — the exact stranding shape
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(work), spark.sparkContext.hadoopConfiguration)
+    val intent = new org.apache.hadoop.fs.Path(s"$work/bands/_fold_intent")
+    val o = fs.create(intent, false); o.write("0,1".getBytes("UTF-8")); o.close()
+    val bandRows = spark.read.parquet(s"$work/bands")
+      .select("doc_id", "band_idx", "band_hash", "bh_prefix")
+    bandRows.write.parquet(s"$work/_crash_staging") // outside the read root
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$work/_crash_staging"),
+      new org.apache.hadoop.fs.Path(s"$work/bands/batch_id=-1")))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$work/bands/batch_id=0"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$work/bands/batch_id=1"), true)
+
+    // a snapshot sees the FULL pair/doc sets (intent ids count as complete)
+    val snap = StreamingDedup.clusterSnapshot(spark, work)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(snap == Map(1L -> 1L, 2L -> 2L, 10L -> 1L), snap.toString)
+
+    // the next compact re-admits the intent ids and folds their surviving
+    // pairs/signatures dirs; nothing is stranded and the intent is cleared
+    StreamingDedup.compact(spark, work)
+    def gens(t: String) = Option(new java.io.File(s"$work/$t").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("batch_id=")).toSeq.sorted
+    Seq("pairs", "signatures").foreach { t =>
+      assert(gens(t).forall(_.startsWith("batch_id=-")), s"$t: ${gens(t).mkString(",")}")
+    }
+    assert(!fs.exists(intent))
+    // and the data survived the recovery end-to-end
+    val sigDocs = spark.read.parquet(s"$work/signatures")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sigDocs == Set(1L, 2L, 10L), sigDocs.toString)
+    val pairSet = spark.read.parquet(s"$work/pairs")
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet.contains((1L, 10L)), pairSet.toString)
+  }
+
   test("pre-upgrade signature batches (no did_prefix column) still join cross-history") {
     // MIGRATION: a workDir whose signature dirs were written before the
     // did_prefix prune column existed must not silently lose those docs
