@@ -117,6 +117,25 @@ object StreamProbe {
       f"fraction=${if (histRows == 0) 0.0 else prunedRows.toDouble / histRows}%.4f")
     assert(histRows == 0 || prunedRows <= histRows / 2,
       s"signature prune ineffective: $prunedRows of $histRows history rows joined")
+
+    // cluster-maintenance evidence: full snapshot cost over the whole
+    // accumulated history vs the incremental update for ONE new batch —
+    // the O(all pairs) vs O(new pairs + labels pass) claim, measured
+    val tSnap0 = System.nanoTime()
+    graft.streaming.StreamingDedup.clusterSnapshot(spark, work)
+    val snapSec = (System.nanoTime() - tSnap0) / 1e9
+    val extraId = nBatches.toLong
+    CorpusGen.sourceFilesWithIds(spark, perBatch, seed = 5000L)
+      .filter($"doc_id" % 20 >= 6)
+      .select(($"doc_id" + extraId * perBatch).as("doc_id"), $"content")
+      .coalesce(1).write.mode("append").parquet(input)
+    val q2 = graft.streaming.StreamingDedup.start(spark, input, work, cfg)
+    q2.awaitTermination()
+    val tInc0 = System.nanoTime()
+    graft.streaming.StreamingDedup.updateClusters(spark, work)
+    val incSec = (System.nanoTime() - tInc0) / 1e9
+    println(f"clusters: full_snapshot=$snapSec%.1fs incremental_update=$incSec%.1fs " +
+      f"speedup=${snapSec / math.max(0.001, incSec)}%.1fx")
     spark.stop()
   }
 }
