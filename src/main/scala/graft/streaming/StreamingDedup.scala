@@ -113,9 +113,14 @@ object StreamingDedup {
     new org.apache.hadoop.fs.Path(s"$workDir/bands/_max_folded_batch")
 
   /** Shared tiny-state-file readers/writers (manifest, clusters watermark,
-    * fold intent) — one implementation so a future hardening (e.g. atomic
-    * tmp+rename writes) cannot be applied to one copy and missed by the
-    * other.
+    * fold intent) — one implementation for all three.
+    *
+    * Writes are ATOMIC (tmp + rename-with-overwrite): for the fold-intent
+    * journal this is not hardening but the feature itself — a truncating
+    * in-place overwrite could lose journal entries if the RECOVERY compact
+    * crashed mid-write, re-creating exactly the stranding the journal
+    * exists to prevent. Local filesystem: NIO ATOMIC_MOVE (POSIX rename).
+    * HDFS-like: FileContext.rename(OVERWRITE), atomic on the NameNode.
     */
   private def readStateFile(fs: org.apache.hadoop.fs.FileSystem,
                             p: org.apache.hadoop.fs.Path): Option[String] =
@@ -128,9 +133,20 @@ object StreamingDedup {
 
   private def writeStateFile(fs: org.apache.hadoop.fs.FileSystem,
                              p: org.apache.hadoop.fs.Path, content: String): Unit = {
-    val out = fs.create(p, true)
-    out.write(content.getBytes("UTF-8"))
-    out.close()
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    if ("file" == fs.getUri.getScheme)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(p.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, fs.getConf)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+    ()
   }
 
   private def readMaxFolded(fs: org.apache.hadoop.fs.FileSystem,
@@ -582,7 +598,8 @@ object StreamingDedup {
         // silently regrow the O(batches) file count; say so instead
         System.err.println(
           s"[graft] compact: clusters table exists but $workDir/clusters/_incorporated " +
-            "is missing/unreadable — folding nothing this run; run " +
+            "is missing/unreadable — no NEW batches will fold this run (leftover " +
+            "fold-intent ids, if any, are still re-admitted and folded); run " +
             "updateClusters/clusterSnapshot to (re)write the watermark")
       val gated =
         if (haveClusters) allComplete.filter(_ <= incorporated) else allComplete
@@ -820,16 +837,17 @@ object StreamingDedup {
       // complete-in-all-tables rule guarantees both the pairs AND the
       // signatures dirs below exist for every id in the set. (Fold-intent
       // ids cannot appear here: with a clusters table present, compact
-      // folds only ids <= the watermark — belt-and-braces existence
-      // filters below anyway.)
+      // folds only ids <= the watermark.)
       val newIds = sinkCompleteIds(fs, workDir).filter(_ > incorporated).toSeq.sorted
-      def existing(table: String): Seq[String] =
-        newIds.map(id => s"$workDir/$table/batch_id=$id")
-          .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-      val pairDirs = existing("pairs")
-      if (newIds.isEmpty || pairDirs.isEmpty) return spark.read.parquet(clustersPath)
+      if (newIds.isEmpty) return spark.read.parquet(clustersPath)
       val labels = spark.read.parquet(clustersPath)
-      val newPairs = spark.read.parquet(pairDirs: _*)
+      // read the dirs DIRECTLY — sinkCompleteIds just verified _SUCCESS in
+      // each, under the maintenance lock. A dir vanishing here is external
+      // interference and must fail LOUDLY: silently skipping it while
+      // still advancing the watermark below would exclude its pairs from
+      // clustering forever (compact would fold the batch away).
+      val newPairs = spark.read.parquet(
+          newIds.map(id => s"$workDir/pairs/batch_id=$id"): _*)
         .select(col("doc1"), col("doc2"))
       // 2: contract through existing labels (missing => the doc is its own
       // root). Two hash joins against the labels table.
