@@ -811,9 +811,15 @@ object StreamingDedup {
     * Per-update cost: O(new pairs) CC + one pass over the labels table
     * (read + staged rewrite) — at 10^9 docs that is a ~16 GB/doc-id-pair
     * table pass vs CC over 10^10+ accumulated pairs for the full rebuild.
-    * (The labels pass is the remaining term; a prefix-partitioned
-    * affected-dir rewrite would cut the WRITE side too, at the cost of a
-    * per-dir journal protocol — documented trade, not yet needed.)
+    * The labels WRITE is the remaining term. The affected-dir rewrite that
+    * would cut it must partition labels by CLUSTER-id prefix, not doc-id
+    * prefix: changed rows are the docs of merged components, which share
+    * few cluster ids but have uniformly-spread doc ids — doc-prefix
+    * partitioning makes even one 64-doc merge touch every dir, while
+    * cluster-prefix bounds affected dirs by the number of merged
+    * components. Needs a journaled per-dir replace protocol (remap +
+    * new-label journal, idempotent re-apply) — documented trade, not yet
+    * needed at maintenance cadence.
     *
     * First call (no clusters table) delegates to [[clusterSnapshot]].
     * Idempotent: re-incorporating an already-merged batch produces only
