@@ -518,6 +518,38 @@ class StreamingDedupSpec extends SparkSpec {
     }
   }
 
+  test("updateClusters parity under randomized batch sequences (seeded)") {
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
+    val rnd = new scala.util.Random(7) // deterministic
+    (0 until 2).foreach { trial =>
+      val work = java.nio.file.Files.createTempDirectory(s"stream_rand_cc_$trial").toString
+      var nextId = 100L * trial
+      val pool = scala.collection.mutable.ArrayBuffer[String]()
+      (0 until 5).foreach { b =>
+        val rows = (0 until (3 + rnd.nextInt(4))).map { _ =>
+          val id = nextId; nextId += 1
+          val text =
+            if (pool.nonEmpty && rnd.nextBoolean()) pool(rnd.nextInt(pool.size))
+            else {
+              val t = s"random clause ${rnd.nextInt(1 << 20)} with several more words to shingle over " * 3
+              pool += t; t
+            }
+          (id, text)
+        }
+        StreamingDedup.processBatch(spark, rows.toDF("doc_id", "content"), b.toLong, work, cfg)
+        if (rnd.nextBoolean()) StreamingDedup.updateClusters(spark, work)
+        if (b == 2 && rnd.nextBoolean()) StreamingDedup.compact(spark, work)
+      }
+      val inc = StreamingDedup.updateClusters(spark, work)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = graft.operators.ConnectedComponents.cluster(
+          spark.read.parquet(s"$work/pairs").select("doc1", "doc2"),
+          spark.read.parquet(s"$work/signatures").select("doc_id").dropDuplicates("doc_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(inc == full, s"trial $trial: incremental labels diverged from full CC")
+    }
+  }
+
   test("fold-intent journal: a compact crash between per-table folds does not strand a batch") {
     val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
     val work = java.nio.file.Files.createTempDirectory("stream_fold_crash").toString
