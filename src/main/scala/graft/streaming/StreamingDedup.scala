@@ -930,8 +930,18 @@ object StreamingDedup {
     * partition dirs. Returns the query; callers drive it with
     * processAllAvailable() (tests) or awaitTermination.
     */
+  /** @param maintainEvery when set, the stream is SELF-MAINTAINING: after
+    *   every N-th committed batch the foreachBatch callback (batches are
+    *   sequential, so this point is quiesced by construction — both locks
+    *   are free) runs [[updateClusters]] (incremental labels, which also
+    *   advances the fold watermark) followed by [[compact]]. A maintenance
+    *   failure is logged, not rethrown: the ingest must not die for a
+    *   deferrable compaction — the next cadence point retries.
+    */
   def start(spark: SparkSession, inputDir: String, workDir: String,
-            cfg: MinHashConfig): StreamingQuery = {
+            cfg: MinHashConfig,
+            maintainEvery: Option[Int] = None): StreamingQuery = {
+    maintainEvery.foreach(n => require(n > 0, s"maintainEvery must be positive: $n"))
     val stream = spark.readStream
       .schema(inputSchema)
       .option("maxFilesPerTrigger", "16")
@@ -942,6 +952,18 @@ object StreamingDedup {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(spark, batch, batchId, workDir, cfg)
+        maintainEvery.foreach { n =>
+          if ((batchId + 1) % n == 0)
+            try {
+              updateClusters(spark, workDir)
+              compact(spark, workDir)
+            } catch {
+              case e: Exception =>
+                System.err.println(
+                  s"[graft] maintenance after batch $batchId failed (will retry " +
+                    s"at the next cadence point): $e")
+            }
+        }
       }
       .start()
   }

@@ -518,6 +518,29 @@ class StreamingDedupSpec extends SparkSpec {
     }
   }
 
+  test("self-maintaining stream: maintainEvery runs clusters+compact between batches") {
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
+    val input = java.nio.file.Files.createTempDirectory("stream_maint_in").toString
+    val work = java.nio.file.Files.createTempDirectory("stream_maint_work").toString
+    val textA = "the quick brown fox jumps over the lazy dog while rain falls on the hills"
+    Seq((0L, textA), (1L, textA)).toDF("doc_id", "content")
+      .coalesce(1).write.mode("append").parquet(input)
+    val q1 = StreamingDedup.start(spark, input, work, cfg, maintainEvery = Some(1))
+    q1.awaitTermination()
+    // maintenance ran: clusters table exists with correct labels
+    val labels = spark.read.parquet(s"$work/clusters")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(0L -> 0L, 1L -> 0L), labels.toString)
+    // a second drop keeps maintaining incrementally (cross-history dup)
+    Seq((10L, textA)).toDF("doc_id", "content")
+      .coalesce(1).write.mode("append").parquet(input)
+    val q2 = StreamingDedup.start(spark, input, work, cfg, maintainEvery = Some(1))
+    q2.awaitTermination()
+    val labels2 = spark.read.parquet(s"$work/clusters")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels2 == Map(0L -> 0L, 1L -> 0L, 10L -> 0L), labels2.toString)
+  }
+
   test("updateClusters parity under randomized batch sequences (seeded)") {
     val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
     val rnd = new scala.util.Random(7) // deterministic
