@@ -17,6 +17,18 @@ import org.apache.spark.sql.functions._
   *     [--clean true [--max-line-df 1000] [--min-tokens 5] [--tokens-per-shard N]
   *       [--gopher true] [--splits train:0.98,val:0.01,test:0.01] [--split-seed 13]
   *       [--embeddings <parquet> [--embedding-id-col vec_id] [--embedding-col embedding]]]
+  *   graft.Main --stream <parquetDir> --output <workDir>
+  *     [--maintain-every N] [--star-cap N] [minhash config flags as above]
+  *
+  * `--stream <dir>` runs the STREAMING engine instead (incremental dedup
+  * over micro-batches of (doc_id, content) parquet files landing in
+  * `<dir>`; streaming.StreamingDedup): tables + stream checkpoint live
+  * under `--output`, each invocation drains what is currently in the dir
+  * (AvailableNow) and exits — re-run as files land, the checkpoint resumes
+  * batch ids. `--maintain-every N` self-runs incremental cluster
+  * maintenance + compaction every N batches; a final maintenance pass
+  * always runs before the report, which prints
+  * `{"docs":...,"pairs":...,"clusters":...,...}`.
   *
   * `--clean true` runs the composed C4-style cleaning recipe
   * (operators.CleanPipeline: boilerplate lines -> quality -> PII ->
@@ -60,7 +72,10 @@ import org.apache.spark.sql.functions._
 object Main {
   def main(args: Array[String]): Unit = {
     val opts = parse(args.toList, Map.empty)
-    val input = opts.getOrElse("input", sys.error("--input required"))
+    val inputOpt = opts.get("input")
+    def input = inputOpt.getOrElse(sys.error("--input required"))
+    if (inputOpt.isEmpty && !opts.contains("stream"))
+      sys.error("--input required (or --stream <dir>)")
     val output = opts.getOrElse("output", sys.error("--output required"))
     val cfg = MinHashConfig(
       shingleSize = opts.getOrElse("shingle", "3").toInt,
@@ -118,6 +133,22 @@ object Main {
               f"$sec%6.1fs  ${si.name.takeWhile(_ != '\n').take(80)}")
         }
       })
+    }
+
+    // --stream <parquetDir>: the STREAMING engine on the CLI — incremental
+    // dedup over micro-batches of (doc_id, content) parquet files landing
+    // in <dir>, tables + stream checkpoint under --output. AvailableNow
+    // trigger: each invocation drains everything currently in the dir and
+    // exits (re-run as new files land — the checkpoint resumes ids);
+    // --maintain-every N self-runs updateClusters+compact every N batches,
+    // and a final maintenance pass always runs so the reported labels
+    // cover the tail batches.
+    opts.get("stream").foreach { streamDir =>
+      println(runStream(spark, streamDir, output, cfg,
+        maintainEvery = opts.get("maintain-every").map(_.toInt),
+        starCap = starCap))
+      spark.stop()
+      return
     }
 
     val docs = readDocs(spark, input,
@@ -205,6 +236,32 @@ object Main {
         s""""sec":$sec,"files_per_sec":${nDocs / sec},"stages":"$log"}"""
     )
     spark.stop()
+  }
+
+  /** The --stream CLI path, factored for tests: drain the input dir with
+    * the streaming engine, run one final maintenance pass (labels for the
+    * tail batches + compaction), and return the report JSON line.
+    */
+  private[graft] def runStream(spark: SparkSession, streamDir: String,
+                               workDir: String, cfg: MinHashConfig,
+                               maintainEvery: Option[Int],
+                               starCap: Option[Int]): String = {
+    import graft.streaming.StreamingDedup
+    val t0 = System.nanoTime()
+    val q = StreamingDedup.start(spark, streamDir, workDir, cfg,
+      maintainEvery = maintainEvery,
+      starCapBucketSize = starCap.orElse(Some(StreamingDedup.DefaultStreamStarCap)))
+    q.awaitTermination()
+    val labels = StreamingDedup.updateClusters(spark, workDir)
+    StreamingDedup.compact(spark, workDir)
+    val nDocs = spark.read.parquet(s"$workDir/signatures")
+      .select("doc_id").dropDuplicates("doc_id").count()
+    val nPairs = spark.read.parquet(s"$workDir/pairs")
+      .dropDuplicates("doc1", "doc2").count()
+    val nClusters = labels.select("cluster_id").distinct().count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    s"""{"docs":$nDocs,"pairs":$nPairs,"clusters":$nClusters,""" +
+      s""""sec":$sec,"files_per_sec":${nDocs / sec}}"""
   }
 
   /** Input resolution: synth:<n> (generated), textdir:<dir> (the

@@ -93,6 +93,14 @@ object StreamingDedup {
     */
   val MaxBroadcastCandIds = 5000000L
 
+  /** Default intra-batch LSH bucket star cap (skew guard): a boilerplate
+    * band hash inside one micro-batch caps its pair listing at a hub star
+    * instead of a full clique — clusters/recall unchanged (the star spans
+    * the same component). Threaded through [[start]]/[[processBatch]] so a
+    * caller needing exact-clique batch parity can pass None.
+    */
+  val DefaultStreamStarCap = 1024
+
   /** Maintenance fence (see [[compact]]): compact holds this lock for its
     * whole run; processBatch fails fast while it exists instead of hitting
     * FileNotFoundException when the merged source dirs vanish mid-scan.
@@ -316,7 +324,8 @@ object StreamingDedup {
     * replays directly. Idempotent in `batchId`.
     */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-                   workDir: String, cfg: MinHashConfig): Unit = {
+                   workDir: String, cfg: MinHashConfig,
+                   starCapBucketSize: Option[Int] = Some(DefaultStreamStarCap)): Unit = {
     val sigPath = s"$workDir/signatures"
     val bandsPath = s"$workDir/bands"
     val pairsPath = s"$workDir/pairs"
@@ -347,22 +356,58 @@ object StreamingDedup {
     // no-op claim: every doc id in the batch must already be consolidated.
     // One anti-join per vetoed replay — rare (post-crash restarts only).
     if (batchId <= readMaxFolded(fsw, workDir)) {
-      val missing =
-        try batch.select(col("doc_id")).distinct()
+      try {
+        val missing = batch.select(col("doc_id")).distinct()
           .join(spark.read.parquet(sigPath).select("doc_id"), Seq("doc_id"), "left_anti")
           .limit(1).count()
-        finally fsw.delete(ingestLockPath(workDir), false)
-      if (missing > 0)
-        throw new IllegalStateException(
-          s"processBatch($batchId): batch id is <= the compaction manifest's max " +
-            s"folded batch, but the batch contains doc_ids absent from the " +
-            s"consolidated signatures — this is NOT a replay of the folded batch. " +
-            s"A fresh/reset stream checkpoint is reusing this workDir with " +
-            s"restarted batch ids; workDir and its _stream_checkpoint must live " +
-            s"and die together. Use a fresh workDir (or restore the checkpoint).")
+        if (missing > 0)
+          throw new IllegalStateException(
+            s"processBatch($batchId): batch id is <= the compaction manifest's max " +
+              s"folded batch, but the batch contains doc_ids absent from the " +
+              s"consolidated signatures — this is NOT a replay of the folded batch. " +
+              s"A fresh/reset stream checkpoint is reusing this workDir with " +
+              s"restarted batch ids; workDir and its _stream_checkpoint must live " +
+              s"and die together. Use a fresh workDir (or restore the checkpoint).")
+        // CONTENT probe: doc_id containment alone cannot see a reset
+        // checkpoint reusing this workDir over a NEW corpus that happens to
+        // re-assign previously-seen doc_ids (both id sequences restart at
+        // 0) — silently skipping such a "replay" would never sign the new
+        // content, losing recall without the loud failure this veto exists
+        // to give. Recompute a small deterministic sample's signatures
+        // driver-side and require them byte-equal to the stored rows before
+        // declaring the replay a no-op. Two bounded collects (<= 4 docs),
+        // replay-only path.
+        val probe = batch
+          .select(col("doc_id").cast("long"), col("content").cast("string"))
+          .orderBy("doc_id").limit(4).collect()
+          .map(r => r.getLong(0) ->
+            graft.core.SignatureKernel.compute(
+              Option(r.getString(1)).getOrElse(""), cfg)._1)
+        if (probe.nonEmpty) {
+          val ids = probe.map(_._1)
+          val stored = spark.read.parquet(sigPath)
+            .filter(col("doc_id").isin(ids: _*))
+            .select(col("doc_id"), col("signature"))
+            .collect()
+            .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray)
+            .toMap
+          probe.foreach { case (id, want) =>
+            val ok = stored.get(id).exists(_.sameElements(want))
+            if (!ok)
+              throw new IllegalStateException(
+                s"processBatch($batchId): batch id is <= the compaction manifest's " +
+                  s"max folded batch and doc_id $id exists in the consolidated " +
+                  s"signatures, but its CONTENT signature differs — a reset stream " +
+                  s"checkpoint is reusing this workDir with re-assigned doc_ids " +
+                  s"over different content. Use a fresh workDir (or restore the " +
+                  s"checkpoint).")
+          }
+        }
+      } finally fsw.delete(ingestLockPath(workDir), false)
       System.err.println(
         s"[graft] processBatch($batchId): already folded into a consolidated " +
-          "generation by compact; replay is a no-op (containment verified)")
+          "generation by compact; replay is a no-op (containment + content-probe " +
+          "verified)")
       return
     }
     // scoped conf override: the history reads below want a >NumBandPrefixes
@@ -393,7 +438,7 @@ object StreamingDedup {
       try {
         // intra-batch pairs (full pipeline on the micro-batch)
         val intraPairs = MinHashPipeline.pairs(
-          MinHashPipeline.candidates(sigs, starCapBucketSize = Some(1024)), sigs, cfg)
+          MinHashPipeline.candidates(sigs, starCapBucketSize = starCapBucketSize), sigs, cfg)
 
         // cross-history pairs: prune the bands table to the batch's prefix
         // partitions, equi-join against the broadcast batch bands
@@ -603,6 +648,15 @@ object StreamingDedup {
             "updateClusters/clusterSnapshot to (re)write the watermark")
       val gated =
         if (haveClusters) allComplete.filter(_ <= incorporated) else allComplete
+      // A VALID but STALE watermark is the same silent-regrowth failure the
+      // missing-watermark warning above exists for (user compacts but never
+      // re-runs cluster maintenance): every newer sink-complete batch is
+      // excluded from folding with no signal. Count and say so.
+      if (haveClusters && incorporated != Long.MinValue && gated.size < allComplete.size)
+        System.err.println(
+          s"[graft] compact: ${allComplete.size - gated.size} sink-complete " +
+            s"batch(es) not folded — newer than the clusters watermark " +
+            s"($incorporated); run updateClusters/clusterSnapshot to advance it")
       // leftover fold intent (a previous compact crashed between per-table
       // folds): those ids were sink-complete then; re-admit them so their
       // surviving dirs fold instead of stranding (see [[foldIntentPath]])
@@ -724,19 +778,181 @@ object StreamingDedup {
         if (sigPaths.isEmpty) emptyPairs(spark).select(col("doc1").as("doc_id"))
         else spark.read.parquet(sigPaths: _*).select("doc_id").dropDuplicates("doc_id")
       val clusters = graft.operators.ConnectedComponents.cluster(pairs, docs)
-      val target = new org.apache.hadoop.fs.Path(s"$workDir/clusters")
-      val staging = new org.apache.hadoop.fs.Path(s"$workDir/_clusters_staging")
-      fs.delete(staging, true)
-      clusters.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-      fs.delete(target, true)
-      require(fs.rename(staging, target),
-        s"clusterSnapshot: rename $staging -> $target failed")
+      writeClustersStaged(fs, workDir, clusters)
+      // a full rebuild supersedes any crashed incremental apply
+      fs.delete(applyMarkerPath(workDir), false)
       // meta LAST (see [[clustersMetaPath]]): everything read above —
       // complete positives and previously-folded batches — is incorporated
       val watermark = (complete + readMaxFolded(fs, workDir)).max
       if (watermark > Long.MinValue) writeIncorporated(fs, workDir, watermark)
     } finally fs.delete(compactLockPath(workDir), false)
-    spark.read.parquet(s"$workDir/clusters")
+    readClusters(spark, workDir)
+  }
+
+  /** Domain of the `cp` PARTITION column on the clusters table: a label row
+    * lives in dir `cp = pmod(cluster_id, NumClusterPrefixes)`. CLUSTER-id
+    * prefix, not doc-id prefix, on purpose: the rows an incremental update
+    * changes are the docs of MERGED components, which share few cluster ids
+    * but have uniformly-spread doc ids — doc-prefix partitioning would make
+    * even one 64-doc merge touch every dir, while cluster-prefix bounds the
+    * rewritten dirs by the number of merged components. Small enough that
+    * each dir holds large multi-row-group files (tiny-dir listing overhead
+    * is the trap — see the compaction class doc).
+    */
+  val NumClusterPrefixes = 16
+
+  private def clusterPrefix(c: org.apache.spark.sql.Column) =
+    pmod(c, lit(NumClusterPrefixes.toLong)).cast("int")
+
+  /** Raw labels read — drops the cp partition column so callers (and the
+    * pre-partitioned-layout migration path) always see (doc_id, cluster_id).
+    */
+  private def rawClusters(spark: SparkSession, clustersPath: String): DataFrame =
+    spark.read.parquet(clustersPath).select("doc_id", "cluster_id")
+
+  /** The committed cluster labels. If a crashed [[updateClusters]] apply
+    * left the table mid-remap (marker present), transient states are
+    * resolved per doc by MIN label — exact, because a remap's new root is
+    * its merged component's minimum (CC roots are minima), so
+    * min(old_root, new_root) == new_root always.
+    */
+  def readClusters(spark: SparkSession, workDir: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(workDir), spark.sparkContext.hadoopConfiguration)
+    val raw = rawClusters(spark, s"$workDir/clusters")
+    if (fs.exists(applyMarkerPath(workDir)))
+      raw.groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+    else raw
+  }
+
+  /** Whole-table staged replace in the cp-partitioned layout, preserving
+    * the `_incorporated` watermark across the dir swap (it lives INSIDE the
+    * table dir; the delete below would otherwise drop it).
+    */
+  private def writeClustersStaged(fs: org.apache.hadoop.fs.FileSystem,
+                                  workDir: String, labels: DataFrame): Unit = {
+    val target = new org.apache.hadoop.fs.Path(s"$workDir/clusters")
+    val staging = new org.apache.hadoop.fs.Path(s"$workDir/_clusters_staging")
+    fs.delete(staging, true)
+    labels.select(col("doc_id"), col("cluster_id"),
+        clusterPrefix(col("cluster_id")).as("cp"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cp").parquet(staging.toString)
+    val wm = readIncorporated(fs, workDir)
+    fs.delete(target, true)
+    require(fs.rename(staging, target),
+      s"writeClustersStaged: rename $staging -> $target failed")
+    if (wm != Long.MinValue) writeIncorporated(fs, workDir, wm)
+  }
+
+  /** Marker for an in-flight (or crashed) incremental remap apply. While it
+    * exists, the table may hold transient dual/partial rows; [[readClusters]]
+    * resolves them by min and [[healPendingApply]] converges the files.
+    * Lives inside the clusters dir (underscore => invisible to reads).
+    */
+  private def applyMarkerPath(workDir: String) =
+    new org.apache.hadoop.fs.Path(s"$workDir/clusters/_apply_in_progress")
+
+  private def removalStagePath(workDir: String) =
+    new org.apache.hadoop.fs.Path(s"$workDir/_labels_removal_stage")
+
+  private def appendStagePath(workDir: String) =
+    new org.apache.hadoop.fs.Path(s"$workDir/_labels_append_stage")
+
+  /** Append label rows into their cp dirs WITHOUT touching existing files:
+    * stage a partitioned write, then move the part files in. Crash-safe
+    * with no journal of its own: callers advance the watermark only after
+    * the move, and recomputation anti-joins against the (partially
+    * appended) labels, so a replay adds exactly the missing rows.
+    */
+  private def appendLabels(fs: org.apache.hadoop.fs.FileSystem,
+                           workDir: String, rows: DataFrame): Unit = {
+    val stage = appendStagePath(workDir)
+    fs.delete(stage, true)
+    rows.select(col("doc_id"), col("cluster_id"),
+        clusterPrefix(col("cluster_id")).as("cp"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cp").parquet(stage.toString)
+    val table = new org.apache.hadoop.fs.Path(s"$workDir/clusters")
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$stage/cp=*")))
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .foreach { d =>
+        val dest = new org.apache.hadoop.fs.Path(table, d.getPath.getName)
+        fs.mkdirs(dest)
+        fs.listStatus(d.getPath).foreach { f =>
+          val n = f.getPath.getName
+          // part-file names carry a per-job UUID — no collision with the
+          // dest dir's existing files
+          if (!n.startsWith("_") && !n.startsWith("."))
+            require(fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dest, n)),
+              s"appendLabels: move ${f.getPath} -> $dest failed")
+        }
+      }
+    fs.delete(stage, true)
+  }
+
+  /** Converge a crashed incremental apply (marker present) before touching
+    * the table again. Two steps, both idempotent:
+    *
+    *   1. salvage a COMPLETE removal stage (root _SUCCESS): a crash between
+    *      per-dir swaps can leave a dir's only copy of its keep-rows in the
+    *      stage — finish those swaps (the stage copy, built after the
+    *      append phase, is authoritative for its dir either way). A stage
+    *      without _SUCCESS never swapped anything and is discarded.
+    *   2. full min-resolve rewrite: per doc the MIN label wins (exact — new
+    *      roots are component minima, see [[readClusters]]), restoring the
+    *      one-row-per-doc + layout invariants in one staged pass.
+    *
+    * The watermark is NOT advanced here: the interrupted tick's batches
+    * re-incorporate on the caller's recompute, which is correct from any
+    * min-resolved intermediate state — every merge-causing pair is still
+    * unfolded (compact gates folding on the watermark), and incremental CC
+    * is correct from any valid coarser partition of the final components.
+    * Rare path (post-crash only); the full pass is the price of the heal,
+    * not of the steady state.
+    */
+  private def healPendingApply(spark: SparkSession,
+                               fs: org.apache.hadoop.fs.FileSystem,
+                               workDir: String): Unit = {
+    val marker = applyMarkerPath(workDir)
+    if (!fs.exists(marker)) return
+    System.err.println(
+      s"[graft] updateClusters: healing a crashed remap apply in $workDir/clusters")
+    val clustersPath = s"$workDir/clusters"
+    val stage = removalStagePath(workDir)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$stage/_SUCCESS"))) {
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$stage/cp=*")))
+        .map(_.toSeq).getOrElse(Seq.empty)
+        .foreach { d =>
+          val dst = new org.apache.hadoop.fs.Path(s"$clustersPath/${d.getPath.getName}")
+          fs.delete(dst, true)
+          require(fs.rename(d.getPath, dst),
+            s"healPendingApply: rename ${d.getPath} -> $dst failed")
+        }
+    }
+    fs.delete(stage, true)
+    fs.delete(appendStagePath(workDir), true)
+    val resolved = rawClusters(spark, clustersPath)
+      .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+    writeClustersStaged(fs, workDir, resolved)
+    fs.delete(marker, false)
+  }
+
+  /** One-time upgrade of a pre-partitioned-layout (flat-file) clusters
+    * table into the cp-partitioned layout. No-op once cp dirs exist.
+    */
+  private def migrateLayoutIfFlat(spark: SparkSession,
+                                  fs: org.apache.hadoop.fs.FileSystem,
+                                  workDir: String): Unit = {
+    val clustersPath = s"$workDir/clusters"
+    val hasDirs = Option(
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$clustersPath/cp=*")))
+      .exists(_.nonEmpty)
+    val hasFlatFiles = Option(
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$clustersPath/part-*")))
+      .exists(_.nonEmpty)
+    if (hasDirs || !hasFlatFiles) return
+    System.err.println(
+      s"[graft] updateClusters: migrating $clustersPath to the cp-partitioned layout")
+    writeClustersStaged(fs, workDir, rawClusters(spark, clustersPath))
   }
 
   /** High-water mark of pairs batch ids already incorporated into the
@@ -808,18 +1024,26 @@ object StreamingDedup {
     *   4. remap old roots that merged (tiny broadcast join against the
     *      labels table) and append labels for the new batches' docs
     *
-    * Per-update cost: O(new pairs) CC + one pass over the labels table
-    * (read + staged rewrite) — at 10^9 docs that is a ~16 GB/doc-id-pair
-    * table pass vs CC over 10^10+ accumulated pairs for the full rebuild.
-    * The labels WRITE is the remaining term. The affected-dir rewrite that
-    * would cut it must partition labels by CLUSTER-id prefix, not doc-id
-    * prefix: changed rows are the docs of merged components, which share
-    * few cluster ids but have uniformly-spread doc ids — doc-prefix
-    * partitioning makes even one 64-doc merge touch every dir, while
-    * cluster-prefix bounds affected dirs by the number of merged
-    * components. Needs a journaled per-dir replace protocol (remap +
-    * new-label journal, idempotent re-apply) — documented trade, not yet
-    * needed at maintenance cadence.
+    * Per-update cost: O(new pairs) CC + a labels WRITE bounded by the
+    * changed rows, not the table:
+    *
+    *   - no merges (the common trickle tick): remap is empty — the table
+    *     is untouched and only the new docs' labels are APPENDED
+    *     ([[appendLabels]]): O(new docs) bytes written.
+    *   - merges: labels are cp-partitioned by CLUSTER-id prefix
+    *     ([[NumClusterPrefixes]]), so the changed rows (docs of merged
+    *     components) concentrate in the dirs of the merged OLD roots.
+    *     Apply = marker, then APPEND the remapped rows + new labels into
+    *     their new clusters' dirs, then per-dir staged REPLACE of only the
+    *     affected old-root dirs: bytes written = O(affected dirs), not
+    *     O(table). A crash mid-apply leaves transient dual rows that
+    *     resolve exactly by min label ([[readClusters]]) and are converged
+    *     by [[healPendingApply]] on the next tick.
+    *
+    * At 10^9 docs the full-rewrite alternative is a ~16 GB table pass +
+    * write per tick — this bounds it to the merged components' dirs. The
+    * labels READ side (contraction joins + the new-doc anti-join) still
+    * scans the table; that is a columnar read, not a rewrite.
     *
     * First call (no clusters table) delegates to [[clusterSnapshot]].
     * Idempotent: re-incorporating an already-merged batch produces only
@@ -838,6 +1062,8 @@ object StreamingDedup {
       if (fs.exists(ingestLockPath(workDir)))
         throw new IllegalStateException(
           s"updateClusters: ingest in progress (${ingestLockPath(workDir)})")
+      healPendingApply(spark, fs, workDir)
+      migrateLayoutIfFlat(spark, fs, workDir)
       val incorporated = readIncorporated(fs, workDir)
       // only SINK-COMPLETE new batches (same eligibility as compact): the
       // complete-in-all-tables rule guarantees both the pairs AND the
@@ -845,8 +1071,8 @@ object StreamingDedup {
       // ids cannot appear here: with a clusters table present, compact
       // folds only ids <= the watermark.)
       val newIds = sinkCompleteIds(fs, workDir).filter(_ > incorporated).toSeq.sorted
-      if (newIds.isEmpty) return spark.read.parquet(clustersPath)
-      val labels = spark.read.parquet(clustersPath)
+      if (newIds.isEmpty) return rawClusters(spark, clustersPath)
+      val labels = rawClusters(spark, clustersPath)
       // read the dirs DIRECTLY — sinkCompleteIds just verified _SUCCESS in
       // each, under the maintenance lock. A dir vanishing here is external
       // interference and must fail LOUDLY: silently skipping it while
@@ -889,12 +1115,9 @@ object StreamingDedup {
         .select(col("doc_id").as("old_root"), col("cluster_id").as("new_root"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       remapHandle = Some(remap)
+      val remapCount = remap.count()
       val remapSide =
-        if (remap.count() <= MaxBroadcastCandIds) broadcast(remap) else remap
-      val remapped = labels.alias("l")
-        .join(remapSide, col("l.cluster_id") === col("old_root"), "left")
-        .select(col("l.doc_id").as("doc_id"),
-          coalesce(col("new_root"), col("l.cluster_id")).as("cluster_id"))
+        if (remapCount <= MaxBroadcastCandIds) broadcast(remap) else remap
       // 4b: labels for the new batches' docs (signature dirs carry exactly
       // the docs signed in those batches): component root if the doc hit
       // the contracted graph, else itself (singleton) — minus docs already
@@ -907,14 +1130,64 @@ object StreamingDedup {
         .join(merged.alias("m"), col("d.doc_id") === col("m.doc_id"), "left")
         .select(col("d.doc_id").as("doc_id"),
           coalesce(col("m.cluster_id"), col("d.doc_id")).as("cluster_id"))
-      val updated = remapped.union(newLabels)
-      val staging = new org.apache.hadoop.fs.Path(s"$workDir/_clusters_staging")
-      fs.delete(staging, true)
-      updated.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-      val target = new org.apache.hadoop.fs.Path(clustersPath)
-      fs.delete(target, true)
-      require(fs.rename(staging, target),
-        s"updateClusters: rename $staging -> $target failed")
+      if (remapCount == 0L) {
+        // APPEND-ONLY tick (nothing merged — the common trickle case): the
+        // table is untouched; only the new docs' labels are appended.
+        // O(new docs) bytes written, never a table rewrite.
+        appendLabels(fs, workDir, newLabels)
+      } else {
+        // affected dirs = cluster prefixes of the merged OLD roots —
+        // bounded collect (<= NumClusterPrefixes ints)
+        val affected = remap
+          .select(clusterPrefix(col("old_root")).as("cp")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        // marker FIRST: every state below is convergent — transient dual
+        // rows resolve by min label (readClusters) and healPendingApply
+        // re-converges the files after a crash
+        writeStateFile(fs, applyMarkerPath(workDir), affected.mkString(","))
+        val affectedPaths = affected.map(k => s"$clustersPath/cp=$k")
+          .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+        // phase 1 — APPEND: rows leaving the affected dirs (cluster_id
+        // remapped to the merged root) land in their new cluster's dir,
+        // together with the new batches' labels. Appends run BEFORE any
+        // removal so no row is ever without a durable copy.
+        val moved =
+          if (affectedPaths.isEmpty) newLabels.limit(0)
+          else spark.read.parquet(affectedPaths: _*)
+            .join(remapSide, col("cluster_id") === col("old_root"))
+            .select(col("doc_id"), col("new_root").as("cluster_id"))
+        appendLabels(fs, workDir, moved.union(newLabels))
+        // the phase-2 re-read below must see the files just moved in —
+        // drop any cached listing for the table path
+        spark.catalog.refreshByPath(clustersPath)
+        // phase 2 — REMOVE: staged rewrite of ONLY the affected dirs
+        // without the moved rows (keep-rows stay in their dir: their
+        // cluster ids are unchanged, so their prefix is unchanged), then
+        // per-dir swap. The stage root's _SUCCESS is durable before any
+        // source dir is touched — healPendingApply's salvage relies on it.
+        val stage = removalStagePath(workDir)
+        fs.delete(stage, true)
+        if (affectedPaths.nonEmpty) {
+          val keep = spark.read.parquet(affectedPaths: _*)
+            .join(remapSide, col("cluster_id") === col("old_root"), "left_anti")
+          keep.select(col("doc_id"), col("cluster_id"),
+              clusterPrefix(col("cluster_id")).as("cp"))
+            .write.mode(SaveMode.Overwrite).partitionBy("cp").parquet(stage.toString)
+          affected.foreach { k =>
+            val src = new org.apache.hadoop.fs.Path(s"$stage/cp=$k")
+            val dst = new org.apache.hadoop.fs.Path(s"$clustersPath/cp=$k")
+            fs.delete(dst, true)
+            // a missing stage subdir = every row of the dir moved out; the
+            // delete IS the replace
+            if (fs.exists(src))
+              require(fs.rename(src, dst),
+                s"updateClusters: rename $src -> $dst failed")
+          }
+        }
+        fs.delete(stage, true)
+        fs.delete(applyMarkerPath(workDir), false)
+        spark.catalog.refreshByPath(clustersPath)
+      }
       writeIncorporated(fs, workDir, newIds.max)
       ()
       } finally {
@@ -922,7 +1195,7 @@ object StreamingDedup {
         contracted.unpersist()
       }
     } finally fs.delete(compactLockPath(workDir), false)
-    spark.read.parquet(clustersPath)
+    readClusters(spark, workDir)
   }
 
   /** Start the streaming dedup job. Tables live under `workDir`:
@@ -930,38 +1203,63 @@ object StreamingDedup {
     * partition dirs. Returns the query; callers drive it with
     * processAllAvailable() (tests) or awaitTermination.
     */
+  /** Ceiling on CONSECUTIVE self-maintenance failures before the stream is
+    * killed instead of deferring again. One failure is deferrable (lock
+    * contention with an external maintenance run, transient IO) and must
+    * not take the ingest down; a PERSISTENT failure — a ConnectedComponents
+    * non-convergence throw out of updateClusters, a wedged lock — would
+    * otherwise leave cluster labels stale and gate compaction forever
+    * (watermark never advances, file counts regrow O(batches)) while the
+    * stream reports healthy. Three strikes, then the correctness-first
+    * invariant wins: throw.
+    */
+  val MaxConsecutiveMaintenanceFailures = 3
+
   /** @param maintainEvery when set, the stream is SELF-MAINTAINING: after
     *   every N-th committed batch the foreachBatch callback (batches are
     *   sequential, so this point is quiesced by construction — both locks
     *   are free) runs [[updateClusters]] (incremental labels, which also
     *   advances the fold watermark) followed by [[compact]]. A maintenance
-    *   failure is logged, not rethrown: the ingest must not die for a
-    *   deferrable compaction — the next cadence point retries.
+    *   failure is logged and deferred to the next cadence point — but only
+    *   [[MaxConsecutiveMaintenanceFailures]] times in a row: a persistent
+    *   failure rethrows and kills the stream (see the constant's doc).
+    * @param starCapBucketSize intra-batch LSH bucket star cap, threaded to
+    *   [[processBatch]] — None = exact full-clique parity mode.
     */
   def start(spark: SparkSession, inputDir: String, workDir: String,
             cfg: MinHashConfig,
-            maintainEvery: Option[Int] = None): StreamingQuery = {
+            maintainEvery: Option[Int] = None,
+            starCapBucketSize: Option[Int] = Some(DefaultStreamStarCap)): StreamingQuery = {
     maintainEvery.foreach(n => require(n > 0, s"maintainEvery must be positive: $n"))
     val stream = spark.readStream
       .schema(inputSchema)
       .option("maxFilesPerTrigger", "16")
       .parquet(inputDir)
 
+    val consecutiveFailures = new java.util.concurrent.atomic.AtomicInteger(0)
     stream.writeStream
       .option("checkpointLocation", s"$workDir/_stream_checkpoint")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(spark, batch, batchId, workDir, cfg)
+        processBatch(spark, batch, batchId, workDir, cfg, starCapBucketSize)
         maintainEvery.foreach { n =>
           if ((batchId + 1) % n == 0)
             try {
               updateClusters(spark, workDir)
               compact(spark, workDir)
+              consecutiveFailures.set(0)
             } catch {
               case e: Exception =>
+                val strikes = consecutiveFailures.incrementAndGet()
+                if (strikes >= MaxConsecutiveMaintenanceFailures)
+                  throw new IllegalStateException(
+                    s"maintenance failed $strikes consecutive times — not " +
+                      "deferrable (stale labels would gate compaction forever); " +
+                      s"last failure after batch $batchId", e)
                 System.err.println(
-                  s"[graft] maintenance after batch $batchId failed (will retry " +
-                    s"at the next cadence point): $e")
+                  s"[graft] maintenance after batch $batchId failed " +
+                    s"($strikes/$MaxConsecutiveMaintenanceFailures consecutive; " +
+                    s"will retry at the next cadence point): $e")
             }
         }
       }

@@ -131,11 +131,32 @@ object StreamProbe {
       .coalesce(1).write.mode("append").parquet(input)
     val q2 = graft.streaming.StreamingDedup.start(spark, input, work, cfg)
     q2.awaitTermination()
+    val wallInc0 = System.currentTimeMillis()
     val tInc0 = System.nanoTime()
     graft.streaming.StreamingDedup.updateClusters(spark, work)
     val incSec = (System.nanoTime() - tInc0) / 1e9
     println(f"clusters: full_snapshot=$snapSec%.1fs incremental_update=$incSec%.1fs " +
       f"speedup=${snapSec / math.max(0.001, incSec)}%.1fx")
+
+    // bounded-write evidence: the extra batch is all-unique docs, so the
+    // incremental tick merges nothing — it must APPEND O(new docs) label
+    // bytes, not rewrite the table (files touched during the update vs the
+    // whole cp-partitioned table)
+    def labelFiles(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$work/clusters"))
+        .filter(f => f.getName.endsWith(".parquet"))
+    }
+    val all = labelFiles()
+    val tableBytes = all.map(_.length).sum
+    val writtenBytes = all.filter(_.lastModified() >= wallInc0).map(_.length).sum
+    println(f"labels_write: table_bytes=$tableBytes%d written_bytes=$writtenBytes%d " +
+      f"fraction=${if (tableBytes == 0) 0.0 else writtenBytes.toDouble / tableBytes}%.4f")
+    assert(tableBytes == 0 || writtenBytes <= tableBytes / 2,
+      s"no-merge maintenance tick rewrote the labels table: $writtenBytes of $tableBytes bytes")
     spark.stop()
   }
 }

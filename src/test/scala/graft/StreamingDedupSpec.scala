@@ -622,6 +622,112 @@ class StreamingDedupSpec extends SparkSpec {
     assert(pairSet.contains((1L, 10L)), pairSet.toString)
   }
 
+  test("updateClusters append-only tick: existing label files are untouched (O(new docs) write)") {
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
+    val work = java.nio.file.Files.createTempDirectory("stream_append_only").toString
+    val mk = (id: Long, salt: Int) =>
+      (id, s"append only tick probe text $salt with plenty of words to shingle " * 3)
+    StreamingDedup.processBatch(spark,
+      Seq(mk(10L, 1), mk(11L, 1), mk(12L, 2)).toDF("doc_id", "content"), 0L, work, cfg)
+    StreamingDedup.updateClusters(spark, work)
+    def labelFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$work/clusters"))
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    }
+    val before = labelFiles()
+    assert(before.nonEmpty)
+    // batch of UNIQUE docs: no pairs, no merges -> remap is empty, the tick
+    // must APPEND new labels without rewriting (or even touching) any
+    // existing file — the bounded-write contract for the trickle case
+    StreamingDedup.processBatch(spark,
+      Seq(mk(20L, 3), mk(21L, 4)).toDF("doc_id", "content"), 1L, work, cfg)
+    val labels = StreamingDedup.updateClusters(spark, work)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(10L -> 10L, 11L -> 10L, 12L -> 12L, 20L -> 20L, 21L -> 21L),
+      labels.toString)
+    val after = labelFiles()
+    before.foreach { case (path, mtime) =>
+      assert(after.get(path).contains(mtime), s"pre-existing label file rewritten: $path")
+    }
+    assert(after.size > before.size, "no new label files appended")
+  }
+
+  test("updateClusters heals a crashed remap apply (marker + dual rows) exactly") {
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
+    val work = java.nio.file.Files.createTempDirectory("stream_crash_apply").toString
+    val mk = (id: Long, salt: Int) =>
+      (id, s"crashed apply probe text $salt with plenty of words to shingle " * 3)
+    StreamingDedup.processBatch(spark,
+      Seq(mk(10L, 1), mk(11L, 1), mk(12L, 2)).toDF("doc_id", "content"), 0L, work, cfg)
+    StreamingDedup.updateClusters(spark, work) // labels: {10,11}->10, 12->12
+    // batch 1: doc 5 dups salt 1 — a real update would remap {10,11} -> 5
+    StreamingDedup.processBatch(spark,
+      Seq(mk(5L, 1)).toDF("doc_id", "content"), 1L, work, cfg)
+    // SIMULATED crash mid-apply, after the append phase: marker present,
+    // the new cluster's dir holds the appended rows, the old dir still
+    // holds the stale ones (dual rows for 10 and 11), watermark NOT
+    // advanced. This is exactly the state phase 1 leaves behind.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(work), spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$work/clusters/_apply_in_progress")
+    val o = fs.create(marker, false); o.write("10".getBytes("UTF-8")); o.close()
+    val tmp = s"$work/_test_append"
+    Seq((10L, 5L), (11L, 5L), (5L, 5L)).toDF("doc_id", "cluster_id")
+      .coalesce(1).write.parquet(tmp)
+    val destDir = new org.apache.hadoop.fs.Path(s"$work/clusters/cp=5")
+    fs.mkdirs(destDir)
+    fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*")).foreach { f =>
+      require(fs.rename(f.getPath, new org.apache.hadoop.fs.Path(destDir, f.getPath.getName)))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    spark.catalog.refreshByPath(s"$work/clusters")
+    // readClusters under the marker resolves dual rows by MIN (the new root)
+    val viewed = StreamingDedup.readClusters(spark, work)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viewed == Map(10L -> 5L, 11L -> 5L, 12L -> 12L, 5L -> 5L), viewed.toString)
+    // the next maintenance tick heals the files, re-incorporates batch 1,
+    // and lands on exactly the full-CC labels; the marker is gone
+    val healed = StreamingDedup.updateClusters(spark, work)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = graft.operators.ConnectedComponents.cluster(
+        spark.read.parquet(s"$work/pairs").select("doc1", "doc2"),
+        spark.read.parquet(s"$work/signatures").select("doc_id").dropDuplicates("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(healed == full, s"$healed vs $full")
+    assert(healed == Map(10L -> 5L, 11L -> 5L, 12L -> 12L, 5L -> 5L), healed.toString)
+    assert(!fs.exists(marker))
+    // one row per doc again (duals converged)
+    val dupRows = spark.read.parquet(s"$work/clusters")
+      .groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(dupRows == 0L)
+  }
+
+  test("CLI --stream path (Main.runStream): ingests, maintains, reports counts") {
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
+    val input = java.nio.file.Files.createTempDirectory("stream_cli_in").toString
+    val work = java.nio.file.Files.createTempDirectory("stream_cli_work").toString
+    val textA = "the quick brown fox jumps over the lazy dog while rain falls on the hills"
+    val textB = "completely different content about spark structured streaming micro batches and state"
+    Seq((0L, textA), (1L, textA), (2L, textB)).toDF("doc_id", "content")
+      .coalesce(1).write.mode("append").parquet(input)
+    val json = Main.runStream(spark, input, work, cfg,
+      maintainEvery = Some(1), starCap = None)
+    assert(json.contains("\"docs\":3") && json.contains("\"clusters\":2"), json)
+    // second drop through the same CLI path: checkpoint resumes, the
+    // cross-history dup lands in the existing cluster
+    Seq((10L, textA)).toDF("doc_id", "content")
+      .coalesce(1).write.mode("append").parquet(input)
+    val json2 = Main.runStream(spark, input, work, cfg,
+      maintainEvery = None, starCap = Some(64))
+    assert(json2.contains("\"docs\":4") && json2.contains("\"clusters\":2"), json2)
+    val labels = StreamingDedup.readClusters(spark, work)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 10L -> 0L), labels.toString)
+  }
+
   test("pre-upgrade signature batches (no did_prefix column) still join cross-history") {
     // MIGRATION: a workDir whose signature dirs were written before the
     // did_prefix prune column existed must not silently lose those docs
