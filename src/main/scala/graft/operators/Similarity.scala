@@ -439,13 +439,14 @@ object Similarity {
         "cosine",
         dot(col("q_vec"), col("nbr_vec")) / (norm(col("q_vec")) * norm(col("nbr_vec")))
       )
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("nbr_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "nbr_id", "cosine")
+    // Rerank through TopKAgg (map-side partial top-k), not a Window: IVF at
+    // production scale probes nProbe lists × corpus fraction — the same
+    // candidate-volume regime where lshTopK replaced row_number().over(...)
+    // because the window shuffles AND SORTS every scored row per query
+    // partition. Identical output contract (cosine desc, nbr_id asc
+    // tie-break); the agg's dedup guard is a no-op here since each nbr
+    // lives in exactly one centroid list.
+    topKPerQuery(scored, k)
   }
 
   /** Driver-side exact cosine-threshold pairs over a small collected vector
