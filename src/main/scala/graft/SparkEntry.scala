@@ -214,6 +214,25 @@ object SparkEntry {
           .select(col("vec_id").as("doc_id"), col("embedding"))))
       out.select("doc_id", "split", "shard_id").orderBy("doc_id")
     }),
+    "q_clean_tail" -> ((s, dir) => {
+      // SQL-replayable TAIL of the cleaning recipe: the survivor SET is
+      // murmur-bound (cluster representatives), but split membership and
+      // token-shard packing applied to the SPARK-PRODUCED survivors are
+      // exact integer + prefix-sum arithmetic — the oracle re-derives both
+      // in DuckDB from THIS query's own output columns (doc_id, n_tokens),
+      // hash-matching the recipe's tail end-to-end on the real survivor set
+      // (q_corpus_split/q_token_shards pin the same math on the full
+      // documents table; this pins it composed after dedup).
+      val (out, _) = CleanPipeline.run(
+        documents(s, dir).select(col("doc_id"), col("text")),
+        CleanPipeline.Config(maxLineDocFreq = 20L, tokensPerShard = 50000L),
+        embeddings = Some(embeddings(s, dir)
+          .select(col("vec_id").as("doc_id"), col("embedding"))))
+      out.select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"),
+          col("split"), col("shard_id"))
+        .orderBy("doc_id")
+    }),
     "q_line_dedup" -> ((s, dir) => {
       // C4-style boilerplate-line removal. The synth corpus has no shared
       // lines, so half the docs get a common injected header (df 250 >>
@@ -514,14 +533,18 @@ object SparkEntry {
       // matches before a trailing \r, RE2's does not); explicit ASCII
       // classes; word split keeps both engines' arrays equal after the
       // length>0 filter (Java split drops only TRAILING empties, DuckDB
-      // keeps all — the filter erases the difference)
+      // keeps all — the filter erases the difference). coalesce(text, '')
+      // mirrors the Spark operator's null handling: the operator emits a
+      // zero-word one-line row for a NULL text, while a bare
+      // string_split(NULL) would unnest to zero rows and the doc would
+      // vanish from the oracle only.
       """WITH s AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 6 = 0 THEN
         |      '- bullet item' || chr(10) || '* another bullet' || chr(10) ||
         |      'plain line' || chr(10) || 'trailing dots...' || chr(10) ||
-        |      text || ' sym#bol ### trailing...'
-        |    ELSE text END AS text
+        |      coalesce(text, '') || ' sym#bol ### trailing...'
+        |    ELSE coalesce(text, '') END AS text
         |  FROM documents),
         |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM s),
         |la AS (SELECT doc_id, count(*) AS n_lines,
@@ -623,6 +646,32 @@ object SparkEntry {
         |  WHERE NOT (length(trim(line)) >= 10 AND line IN (SELECT line FROM b)))
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_clean_tail" ->
+      // replays split membership (modular mix, seed 13, default
+      // 0.98/0.01/0.01 cuts) + token-shard packing (exclusive prefix sum /
+      // 50000) over the SPARK-PRODUCED survivor set — read back from this
+      // query's own committed output (doc_id, n_tokens are inputs to the
+      // tail; split, shard_id are the verified recomputation). @GRAFT_OUT@
+      // is spliced to the absolute output dir by Verify at dump time.
+      """WITH t AS (
+        |  SELECT doc_id, n_tokens
+        |  FROM read_parquet('@GRAFT_OUT@/q_clean_tail/*.parquet')),
+        |b AS (
+        |  SELECT doc_id, n_tokens,
+        |    ((doc_id % 1000000007 + 13) * 654435747) % 1000000007 % 10000 AS bucket
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, n_tokens, bucket,
+        |    CAST(COALESCE(SUM(n_tokens) OVER
+        |      (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum0
+        |  FROM b)
+        |SELECT doc_id, n_tokens,
+        |  CASE WHEN bucket < 9800 THEN 'train'
+        |       WHEN bucket < 9900 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CAST(cum0 // 50000 AS BIGINT) AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_corpus_split" ->
       // mirrors Corpus.splitBucket (modular Knuth mix, 2654435761 %
       // 1000000007 = 654435747; all operands nonnegative so % == pmod) and

@@ -38,8 +38,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // @GRAFT_OUT@ lets an oracle read a query's OWN committed output (the
+    // q_clean_tail pattern: recompute the SQL-expressible tail over the
+    // Spark-produced survivor set) — spliced here because only Verify
+    // knows the driver's output dir
+    val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("@GRAFT_OUT@", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
