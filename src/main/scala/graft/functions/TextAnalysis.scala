@@ -262,14 +262,77 @@ object TextAnalysis {
     val topNs = Seq(2, 3, 4)
     val dupNs = Seq(5, 6, 7, 8, 9, 10)
     val ns = topNs ++ dupNs
-    val grams = allPositionGramRows(docs, ns, idCol, textCol, "ngramRepetitionFractions")
-    val covered = grams.groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
+    // HASHED exchange for the dup family (n=5..10): those rows dominate the
+    // kernel's output bytes by construction (~6 of 9 n values, the longest
+    // grams), and the dup-mass arithmetic — sum over cnt>=2 of cnt × len —
+    // needs only gram EQUALITY and LENGTH, so the exchange carries a 64-bit
+    // gram hash + the exact length instead of the gram string (and the
+    // kernel never builds those strings at all — string building was the
+    // measured hot spot, BENCHMARKS.md). Same accepted 64-bit collision
+    // trade as substring-dup; the string-keyed [[dupNgramCharFractions]]
+    // stays the oracle surface, and the one-pass == separate-operators
+    // property test pins the equality. The TOP family (n=2..4) keeps gram
+    // strings: its pinned tie-break is "lexicographically smallest gram",
+    // which no hash can reproduce — and its 2-4-token grams are the short
+    // ones anyway.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(
+      safeLongId(idCol, "ngramRepetitionFractions").as("doc_id"),
+      col(textCol).cast("string").as("t"))
+    val grams = graft.operators.Spread(base)
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = wsClassTrim(if (text == null) "" else text)
+        if (t.isEmpty) Iterator.empty
+        else {
+          val toks = graft.operators.Dedup.WsPattern.split(t)
+          val tokHash = new Array[Long](toks.length)
+          var k = 0
+          while (k < toks.length) {
+            // two independent murmur2 passes -> one 64-bit token hash
+            tokHash(k) = (graft.core.Murmur2.hashString(toks(k), 0x9747b28c).toLong << 32) |
+              (graft.core.Murmur2.hashString(toks(k), 0x5bd1e995).toLong & 0xffffffffL)
+            k += 1
+          }
+          val topRows = topNs.iterator.filter(toks.length >= _).flatMap { n =>
+            (0 to toks.length - n).iterator.map { i =>
+              val sb = new java.lang.StringBuilder
+              var j = 0
+              while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+              val g = sb.toString
+              (id, n, g, 0L, g.length)
+            }
+          }
+          val dupRows = dupNs.iterator.filter(toks.length >= _).flatMap { n =>
+            (0 to toks.length - n).iterator.map { i =>
+              // FNV-1a-style combine of the 64-bit token hashes: equal
+              // token sequences hash equal; joined-gram length is exact
+              // (token lengths + n-1 separator spaces)
+              var h = 0xcbf29ce484222325L
+              var len = n - 1
+              var j = 0
+              while (j < n) {
+                h = (h ^ tokHash(i + j)) * 0x100000001b3L
+                len += toks(i + j).length
+                j += 1
+              }
+              (id, n, "", h, len)
+            }
+          }
+          topRows ++ dupRows
+        }
+      }
+      .toDF("doc_id", "n", "gram", "gram_hash", "gram_len")
+    val covered = grams.groupBy("doc_id", "n", "gram", "gram_hash")
+      .agg(count(lit(1)).as("cnt"), max("gram_len").as("gram_len"))
       .groupBy("doc_id", "n")
       .agg(
-        min(struct((-col("cnt")).as("neg_cnt"), col("gram").as("gram"))).as("top"),
-        sum(when(col("cnt") >= 2, col("cnt") * length(col("gram"))).otherwise(0L)).as("dupcov"))
+        min(struct((-col("cnt")).as("neg_cnt"), col("gram").as("gram"),
+          col("gram_len").as("gram_len"))).as("top"),
+        sum(when(col("cnt") >= 2, col("cnt") * col("gram_len")).otherwise(0L)).as("dupcov"))
       .select(col("doc_id"), col("n"),
-        when(col("n") <= 4, (-col("top.neg_cnt")) * length(col("top.gram")))
+        when(col("n") <= 4, (-col("top.neg_cnt")) * col("top.gram_len"))
           .otherwise(col("dupcov")).as("covered"))
     pivotCharFractions(docs, covered, ns,
       n => if (n <= 4) s"top_${n}gram_char_frac" else s"dup_${n}gram_char_frac",
