@@ -392,7 +392,11 @@ object CleanPipeline {
     }
     shardsHandle.foreach(_.unpersist())
 
-    val counts = StageCounts(docs.count(), lineClean.count(), quality.count(),
+    // input is the one frame with no committed table behind it — its count
+    // is cached in the _metrics lineage keyed by the fingerprint, so a
+    // fully-resumed run never re-executes the input subtree for a number
+    val inputCount = store.cachedInputCount("input", fp, cLine)(docs.count())
+    val counts = StageCounts(inputCount, lineClean.count(), quality.count(),
       exact.count(), out.count())
     (out, counts, log)
   }

@@ -94,6 +94,34 @@ class StageStore(spark: SparkSession, workDir: String) {
 
   def metrics: DataFrame = spark.read.parquet(metricsPath)
 
+  /** A scalar input-row count cached in the `_metrics` lineage, keyed by
+    * the input fingerprint (stage = `name`, partition_id = -1). The input
+    * frame is the one frame with no committed stage table behind it — on a
+    * fully-resumed run, re-counting it would re-execute the whole input
+    * subtree (a synth-corpus or projection pass) just for a metadata
+    * number. Compute once per fingerprint, read back ever after. The count
+    * is a function of the input identity alone, so the lookup ignores
+    * `config` (recorded for lineage only).
+    */
+  def cachedInputCount(name: String, fp: String, config: String)
+                      (compute: => Long): Long = {
+    val existing =
+      try spark.read.parquet(metricsPath)
+        .filter(col("stage") === name && col("input_fingerprint") === fp)
+        .orderBy(col("ts_ns").desc)
+        .select("rows").head(1).headOption.map(_.getLong(0))
+      catch { case _: org.apache.spark.sql.AnalysisException => None } // no metrics yet
+    existing.getOrElse {
+      val n = compute
+      val ts = System.nanoTime()
+      import spark.implicits._
+      Seq((name, -1, n, fp, config, ts))
+        .toDF("stage", "partition_id", "rows", "input_fingerprint", "config", "ts_ns")
+        .write.mode(SaveMode.Append).parquet(metricsPath)
+      n
+    }
+  }
+
   /** Drop a scratch directory under the workDir (per-iteration label tables
     * etc. whose durable copy lives in a committed stage).
     */

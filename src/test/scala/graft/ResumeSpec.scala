@@ -175,9 +175,12 @@ class ResumeSpec extends SparkSpec {
     assert(log8.skipped.toSeq == Seq("line_clean"), log8.toString)
     assert(log8.computed.toSeq == allStages.tail, log8.toString)
 
-    // lineage: every stage has per-partition metrics rows
+    // lineage: every stage has per-partition metrics rows, plus the cached
+    // input-count rows (stage="input", partition_id=-1 — one per distinct
+    // input fingerprint, read back on resume instead of re-counting docs)
     val m = new graft.plans.StageStore(spark, work).metrics
-    assert(m.select("stage").distinct().count() == allStages.size.toLong)
+    assert(m.select("stage").distinct().count() == allStages.size.toLong + 1)
+    assert(m.filter(col("stage") === "input" && col("partition_id") === -1).count() >= 1L)
     spark.catalog.clearCache()
   }
 
