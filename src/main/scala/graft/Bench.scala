@@ -28,7 +28,9 @@ import org.apache.spark.sql.SparkSession
   *     synthetic source-code corpus at local[N] and local[4N] (default
   *     2 vs 8 — see BENCHMARKS.md for why); reports files/sec at both and
   *     efficiency = throughput_hi / (4 × throughput_lo). Measured runs are
-  *     min-of-3 at BOTH levels (symmetric JIT/noise treatment).
+  *     min-of-5 at BOTH graded levels (symmetric JIT/noise treatment;
+  *     median reported alongside min — 5 samples resist the single
+  *     loaded-box outlier the honest band otherwise keys on).
   */
 object Bench {
 
@@ -121,13 +123,45 @@ object Bench {
       }
     }
     spark32.catalog.clearCache()
+    // Per-query plan/stage summary so environment-vs-plan attribution of a
+    // round-over-round drift stops needing a manual listener probe: a
+    // UNIFORM time drift with UNCHANGED shuffle/stage counts is box noise;
+    // a changed count names the query to audit. Stage counts come from the
+    // status tracker via a per-query job group; shuffle/broadcast counts
+    // from the executed (post-AQE) plan string.
+    def countOf(s: String, sub: String): Int = {
+      var i = 0; var c = 0
+      while ({ i = s.indexOf(sub, i); i >= 0 }) { c += 1; i += sub.length }
+      c
+    }
+    val planInfo = scala.collection.mutable.Map[String, (Int, Int, Int)]()
     // Lane 1 (legacy, r1-r3 comparable): ONE timed pass — includes
     // first-run-at-this-SF codegen/AQE compile, ±20-40% noisy (BENCHMARKS.md).
     def timedPass(): Seq[(String, (Double, Long))] = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
+        spark32.sparkContext.setJobGroup(name, name, interruptOnCancel = false)
+        val st = spark32.sparkContext.statusTracker
+        // delta vs prior passes: the group id is reused, so its job list
+        // accumulates across the three lanes
+        val jobsBefore = st.getJobIdsForGroup(name).toSet
         val t0 = System.nanoTime()
-        val n = try fn(spark32, sfDir).count()
+        val n = try {
+          val df = fn(spark32, sfDir)
+          val n0 = df.count()
+          val plan = df.queryExecution.executedPlan.toString
+          val shuffles = math.max(countOf(plan, "ShuffleQueryStage"),
+            countOf(plan, "Exchange hashpartitioning") +
+              countOf(plan, "Exchange rangepartitioning") +
+              countOf(plan, "Exchange SinglePartition"))
+          val bcasts = math.max(countOf(plan, "BroadcastQueryStage"),
+            countOf(plan, "BroadcastExchange"))
+          val stages = st.getJobIdsForGroup(name).filterNot(jobsBefore)
+            .flatMap(id => st.getJobInfo(id).map(_.stageIds().length)).sum
+          planInfo(name) = (shuffles, bcasts, stages)
+          n0
+        }
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+        finally spark32.sparkContext.clearJobGroup()
         name -> ((System.nanoTime() - t0) / 1e9, n)
       }
     }
@@ -176,21 +210,30 @@ object Bench {
     spark32.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    def measureAll(cores: Int): Seq[Double] = {
+    def measureAll(cores: Int, reps: Int = 3): Seq[Double] = {
       val sp = session(cores)
       dedupJob(sp, warmPath)
-      val ts = Seq(dedupJob(sp, corpusPath), dedupJob(sp, corpusPath),
-        dedupJob(sp, corpusPath))
+      val ts = Seq.fill(reps)(dedupJob(sp, corpusPath))
       sp.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
       ts
     }
     def measure(cores: Int): Double = measureAll(cores).min
-    val runsLo = measureAll(coresLo)
-    val runsHi = measureAll(coresHi)
+    // min-of-5 + median on the two graded scaling legs (the sweep keeps
+    // min-of-3): 5 samples resist the single loaded-box outlier that
+    // bottomed r4's honest band at 0.766 — the corpus is already built, so
+    // two extra runs per leg are cheap relative to the round.
+    val runsLo = measureAll(coresLo, reps = 5)
+    val runsHi = measureAll(coresHi, reps = 5)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val tLo = runsLo.min
     val tHi = runsHi.min
+    val tLoMed = median(runsLo)
+    val tHiMed = median(runsHi)
 
     // Optional 1..P sweep (the reference's report harness shape,
     // /root/reference/makefile:113-142): SPARK_GRAFT_SCALE_SWEEP="1,2,4,8,16"
@@ -225,6 +268,7 @@ object Bench {
     // hi-leg, band_hi the reverse.
     val effRaw = tLo / (ratio * tHi)
     val eff = math.min(1.0, effRaw)
+    val effMed = math.min(1.0, tLoMed / (ratio * tHiMed))
     val effBandLo = math.min(1.0, runsLo.min / (ratio * runsHi.max))
     val effBandHi = math.min(1.0, runsLo.max / (ratio * runsHi.min))
     val qs = results
@@ -241,14 +285,21 @@ object Bench {
       rows.map { case (c, t) => f""""$c":$t%.2f""" }.mkString(""","sweep":{""", ",", "}")
     }.getOrElse("")
     val totalMin3 = min3.map(_._2).sum
+    val plans = headline.flatMap(n => planInfo.get(n).map(n -> _))
+      .map { case (k, (sh, bc, stg)) =>
+        "\"" + k + s"""":{"shuffles":$sh,"broadcasts":$bc,"stages":$stg}"""
+      }
+      .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         f""""total_min3":$totalMin3%.3f,"queries_min3":$qsMin3,"sf":"$sfDir",""" +
-        s""""configs":$cfgs,""" +
+        s""""plans":$plans,"configs":$cfgs,""" +
         s""""scaling":{"files":$scaleFiles,"cores_lo":$coresLo,"cores_hi":$coresHi,""" +
         f""""sec_lo":$tLo%.2f,"sec_hi":$tHi%.2f,""" +
+        f""""sec_lo_med":$tLoMed%.2f,"sec_hi_med":$tHiMed%.2f,""" +
         f""""files_per_sec_lo":$thrLo%.1f,"files_per_sec_hi":$thrHi%.1f,""" +
         f""""scaling_efficiency":$eff%.3f,"efficiency_raw":$effRaw%.3f,""" +
+        f""""efficiency_med":$effMed%.3f,""" +
         f""""band_lo":$effBandLo%.3f,"band_hi":$effBandHi%.3f}$sweepJson}"""
     // File copy for the judge + humans; stdout line for the driver's parser.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
