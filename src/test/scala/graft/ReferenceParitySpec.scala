@@ -185,6 +185,67 @@ class ReferenceParitySpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("randomized differential fuzz: 3 random configs × random corpora, byte-identical") {
+    assume(ensureBinary(), "reference binary unavailable")
+    // The pinned-config tests freeze known divergence classes; every round's
+    // diff review has found a NEW edge (trim classes, `$` anchors, escape
+    // processing) — seeded random (config, corpus) draws hunt the next one
+    // before a user does. Deterministic seed => reproducible failures.
+    val rnd = new java.util.Random(20260817L)
+    import spark.implicits._
+    (1 to 3).foreach { trial =>
+      val shingle = 1 + rnd.nextInt(5) // 1..5
+      val bandRows = 1 + rnd.nextInt(5) // 1..5
+      val nBands = 4 + rnd.nextInt(60) // signature = rows*bands, 4..320
+      val signature = bandRows * nBands
+      val seed = 1 + rnd.nextInt(10000)
+      val threshold = math.rint((0.1 + rnd.nextDouble() * 0.8) * 100) / 100
+      val cfg = MinHashConfig(shingle, signature, bandRows, seed, threshold)
+
+      // random corpus: base docs from the synthetic source generator plus
+      // hostile mutations — exact dups, whitespace/case variants, tiny docs
+      // below the shingle floor (the Q3 all-MAX class), empty docs
+      val n = 120 + rnd.nextInt(80)
+      val base = CorpusGen.sourceFilesWithIds(spark, n)
+        .select("doc_id", "content").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val texts = base.map { case (id, t) =>
+        rnd.nextInt(10) match {
+          case 0 => (id, base(rnd.nextInt(base.length))._2) // exact dup
+          case 1 => (id, t.toUpperCase.replace(" ", "\t")) // normalization variant
+          case 2 => (id, t.take(rnd.nextInt(12))) // tiny/short doc
+          case 3 => (id, "") // empty doc
+          case _ => (id, t)
+        }
+      }
+      val docs = texts.toSeq.toDF("doc_id", "content").cache()
+      val dir = java.nio.file.Files.createTempDirectory(s"reffuzz$trial")
+      texts.foreach { case (id, t) =>
+        java.nio.file.Files.write(dir.resolve(s"$id.txt"), t.getBytes("US-ASCII"))
+      }
+      assert(CorpusGen.ingestShaMismatches(docs, dir.toString) == 0)
+      val work = java.nio.file.Files.createTempDirectory(s"reffuzzrun$trial").toFile
+      val rc = Process(
+        Seq(bin, "-n", "1", "--docs", texts.length.toString, "--offset", "0",
+          "--shingle", shingle.toString, "--signature", signature.toString,
+          "--bandrows", bandRows.toString, "--seed", seed.toString,
+          "--threshold", threshold.toString, dir.toString + "/"), work).!
+      assert(rc == 0, s"trial $trial: reference binary exited $rc (cfg=$cfg)")
+      val refLines = scala.io.Source.fromFile(new java.io.File(work, "results.csv"))
+        .getLines().drop(1).toVector.sorted
+      val ourLines = MinHashPipeline.goldenLines(MinHashPipeline.run(docs, cfg), cfg)
+        .toVector.sorted
+      assert(ourLines == refLines,
+        s"trial $trial DIVERGED cfg=$cfg n=${texts.length}: ref=${refLines.size} " +
+          s"ours=${ourLines.size} " +
+          s"diff=${(refLines.toSet -- ourLines.toSet).take(3)} | " +
+          s"${(ourLines.toSet -- refLines.toSet).take(3)}")
+      info(s"trial $trial: cfg=($shingle,$signature,$bandRows,$seed,$threshold) " +
+        s"n=${texts.length} pairs=${refLines.size} identical")
+      docs.unpersist()
+    }
+  }
+
   test("cluster assignments match union-find over reference pairs (recall >= 0.99 rule)") {
     assume(ensureBinary(), "reference binary unavailable")
     val n = 400
