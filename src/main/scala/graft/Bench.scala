@@ -300,7 +300,9 @@ object Bench {
         f""""files_per_sec_lo":$thrLo%.1f,"files_per_sec_hi":$thrHi%.1f,""" +
         f""""scaling_efficiency":$eff%.3f,"efficiency_raw":$effRaw%.3f,""" +
         f""""efficiency_med":$effMed%.3f,""" +
-        f""""band_lo":$effBandLo%.3f,"band_hi":$effBandHi%.3f}$sweepJson}"""
+        f""""band_lo":$effBandLo%.3f,"band_hi":$effBandHi%.3f,""" +
+        s""""runs_lo":${runsLo.map(t => f"$t%.2f").mkString("[", ",", "]")},""" +
+        s""""runs_hi":${runsHi.map(t => f"$t%.2f").mkString("[", ",", "]")}}$sweepJson}"""
     // File copy for the judge + humans; stdout line for the driver's parser.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (json + "\n").getBytes("UTF-8"))

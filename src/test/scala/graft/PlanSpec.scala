@@ -138,6 +138,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ANN rerank plans carry no Window sort (TopKAgg partial-agg shape)") {
+    // a row_number().over(Window) rerank shuffles AND SORTS every scored
+    // candidate row per query partition — both ANN variants must rerank
+    // through the map-side TopKAgg instead (lshTopK since r3, ivfTopK r5)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    Seq(
+      "ivf" -> graft.operators.Similarity.ivfTopK(emb, k = 5, nCentroids = 8, nProbe = 4),
+      "lsh" -> graft.operators.Similarity.lshTopK(emb, k = 5, dim = 64)
+    ).foreach { case (name, q) =>
+      val planStr = q.queryExecution.optimizedPlan.toString
+      assert(!planStr.contains("Window"), s"$name rerank fell back to a Window: $planStr")
+      assert(planStr.contains("TopKAgg"), s"$name: expected the TopKAgg rerank: $planStr")
+    }
+    spark.catalog.clearCache() // sketch/base persists from plan construction
+  }
+
   test("self-joined kernel subtrees are cached: kernel appears once") {
     import org.apache.spark.sql.catalyst.plans.logical.SerializeFromObject
     import org.apache.spark.sql.execution.columnar.InMemoryRelation

@@ -705,6 +705,36 @@ class StreamingDedupSpec extends SparkSpec {
     assert(dupRows == 0L)
   }
 
+  test("updateClusters migrates a pre-partitioned-layout (flat) clusters table") {
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
+    val work = java.nio.file.Files.createTempDirectory("stream_flat_migrate").toString
+    val mk = (id: Long, salt: Int) =>
+      (id, s"flat layout probe text $salt with plenty of words to shingle " * 3)
+    StreamingDedup.processBatch(spark,
+      Seq(mk(10L, 1), mk(11L, 1), mk(12L, 2)).toDF("doc_id", "content"), 0L, work, cfg)
+    // simulate a PRE-v2 workDir: labels as flat parquet files (no cp dirs)
+    // with the watermark file, exactly what an old clusterSnapshot wrote
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(work), spark.sparkContext.hadoopConfiguration)
+    Seq((10L, 10L), (11L, 10L), (12L, 12L)).toDF("doc_id", "cluster_id")
+      .coalesce(1).write.parquet(s"$work/clusters")
+    val meta = new org.apache.hadoop.fs.Path(s"$work/clusters/_incorporated")
+    val o = fs.create(meta, true); o.write("0".getBytes("UTF-8")); o.close()
+    assert(new java.io.File(s"$work/clusters").listFiles()
+      .exists(f => f.getName.startsWith("part-")))
+    // new batch merges {10,11} with smaller id 5 — exercises the remap
+    // apply right after the migration rewrite
+    StreamingDedup.processBatch(spark,
+      Seq(mk(5L, 1)).toDF("doc_id", "content"), 1L, work, cfg)
+    val labels = StreamingDedup.updateClusters(spark, work)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(10L -> 5L, 11L -> 5L, 12L -> 12L, 5L -> 5L), labels.toString)
+    // layout upgraded: cp dirs present, no flat part files at the root
+    val rootFiles = new java.io.File(s"$work/clusters").listFiles()
+    assert(rootFiles.exists(f => f.isDirectory && f.getName.startsWith("cp=")))
+    assert(!rootFiles.exists(f => f.isFile && f.getName.startsWith("part-")))
+  }
+
   test("CLI --stream path (Main.runStream): ingests, maintains, reports counts") {
     val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
     val input = java.nio.file.Files.createTempDirectory("stream_cli_in").toString
