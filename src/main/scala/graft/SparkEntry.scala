@@ -250,6 +250,28 @@ object SparkEntry {
           maxLineDocFreq = 20L)
         .orderBy("doc_id")
     }),
+    "q_exact_spans" -> ((s, dir) => {
+      // EXACT (suffix-array-substring-style) duplicate-span removal, keep
+      // the first occurrence: a 12-token phrase appended to every 7th doc
+      // and PREPENDED to doc_id%11==3 docs (position independence), plus a
+      // 10-token phrase repeated twice WITHIN doc_id%13==1 docs (intra-doc
+      // self-dedup). Oracle replays the whole operator — windows, exact
+      // classes, keep-first by (doc_id, start), overlap-merged excision,
+      // single-space reassembly — in DuckDB; the hash match covers the
+      // exactness contract end-to-end.
+      val p1 = lit("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")
+      val p2 = lit("one two three four five six seven eight nine ten")
+      val injected =
+        when(pmod(col("doc_id"), lit(7L)) === 0, concat(col("text"), lit(" "), p1))
+          .when(pmod(col("doc_id"), lit(11L)) === 3, concat(p1, lit(" "), col("text")))
+          .when(pmod(col("doc_id"), lit(13L)) === 1,
+            concat(col("text"), lit(" "), p2, lit(" "), p2))
+          .otherwise(col("text"))
+      Dedup.removeExactDuplicateSpans(
+          documents(s, dir).select(col("doc_id"), injected.as("text")),
+          windowTokens = 8)
+        .orderBy("doc_id")
+    }),
     "q_corpus_split" -> ((s, dir) =>
       // deterministic train/val/test membership: pure modular arithmetic
       // on the id (no rand(), whose per-partition seeding would change
@@ -672,6 +694,66 @@ object SparkEntry {
         |       ELSE 'test' END AS split,
         |  CAST(cum0 // 50000 AS BIGINT) AS shard_id
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_exact_spans" ->
+      // full replay of removeExactDuplicateSpans (windowTokens=8): same
+      // injection, class-trim + explicit-class split tokenization (PLAIN
+      // triple quotes — the \x0b class must not meet the s-interpolator),
+      // 1-based window slices, exact window-string classes, keep-first by
+      // (doc_id, start) via a rank window, overlap-merged marked indices,
+      // single-space reassembly. The Spark side never ships window strings
+      // for non-candidates (hash-prefilter + exact verify); the oracle
+      // proves that implementation detail invisible.
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' ||
+        |           'alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu'
+        |         WHEN doc_id % 11 = 3 THEN
+        |           'alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu'
+        |           || ' ' || text
+        |         WHEN doc_id % 13 = 1 THEN text
+        |           || ' one two three four five six seven eight nine ten'
+        |           || ' one two three four five six seven eight nine ten'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text, concat(' ', chr(9), chr(10), chr(11), chr(12), chr(13)))) = 0
+        |         THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(
+        |           trim(text, concat(' ', chr(9), chr(10), chr(11), chr(12), chr(13))),
+        |           '[ \t\n\x0b\f\r]+') END AS toks
+        |  FROM s),
+        |wn AS (
+        |  SELECT doc_id, u.i AS start, array_to_string(toks[u.i:u.i+7], ' ') AS win
+        |  FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |r AS (
+        |  SELECT doc_id, start,
+        |    row_number() OVER (PARTITION BY win ORDER BY doc_id, start) AS rn,
+        |    count(*) OVER (PARTITION BY win) AS c
+        |  FROM wn),
+        |marked AS (
+        |  SELECT DISTINCT r.doc_id, r.start + o.off AS idx
+        |  FROM r, unnest(generate_series(0, 7)) AS o(off)
+        |  WHERE r.c >= 2 AND r.rn > 1),
+        |tr AS (
+        |  SELECT t.doc_id, u.i AS idx, toks[u.i] AS tok
+        |  FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+        |kept AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text
+        |  FROM (SELECT tr.doc_id, tr.idx, tr.tok
+        |        FROM tr LEFT JOIN marked m ON tr.doc_id = m.doc_id AND tr.idx = m.idx
+        |        WHERE m.doc_id IS NULL)
+        |  GROUP BY doc_id),
+        |rem AS (SELECT doc_id, count(*) AS n_removed FROM marked GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(k.clean_text, '') AS clean_text,
+        |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(rem.n_removed, 0) AS BIGINT) AS n_tokens_removed
+        |FROM t
+        |LEFT JOIN kept k ON t.doc_id = k.doc_id
+        |LEFT JOIN rem ON t.doc_id = rem.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "q_corpus_split" ->
       // mirrors Corpus.splitBucket (modular Knuth mix, 2654435761 %
       // 1000000007 = 654435747; all operands nonnegative so % == pmod) and

@@ -101,7 +101,7 @@ object TextAnalysis {
     * SQL) and NOT DuckDB's bare trim() (spaces only). The oracle mirrors
     * this with DuckDB's two-arg trim(text, <same 6 chars>).
     */
-  private def wsClassTrim(s: String): String = {
+  private[graft] def wsClassTrim(s: String): String = {
     def isWs(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\u000b' ||
       c == '\f' || c == '\r'
     var a = 0

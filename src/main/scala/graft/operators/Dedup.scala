@@ -445,6 +445,149 @@ object Dedup {
     } finally { base.unpersist(); () }
   }
 
+  /** EXACT corpus-wide duplicate-span removal — the suffix-array-substring
+    * dedup of the north rule (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"), re-derived for Spark's execution
+    * model: every token window of exactly `windowTokens` that occurs MORE
+    * THAN ONCE anywhere in the corpus is excised from every occurrence
+    * EXCEPT the first (global (doc_id, start) order), by EXACT string
+    * equality — no hash-collision false positives, unlike
+    * [[removeDuplicateSpans]]'s doc-frequency/rolling-hash contract (which
+    * stays the cheap boilerplate path; this is the exactness path).
+    *
+    * Algorithm — hash-group THEN verify, not prefix-doubling: a suffix
+    * array via prefix doubling costs O(log windowTokens) GLOBAL sort/rank
+    * rounds over every token position (the classic shared-memory
+    * formulation); in Spark that is ~4·log L exchanges of (doc, pos, rank)
+    * rows. Instead:
+    *
+    *   1. one narrow kernel emits the 64-bit Rabin–Karp window hash per
+    *      position (shared [[rollingWindowHashes]] recurrence) — the ONLY
+    *      full-corpus exchange carries 8-byte keys, never window text
+    *   2. hash classes with >= 2 members are CANDIDATES (map-side
+    *      combinable count); candidate positions join back to their docs
+    *      and re-extract the actual window strings — string bytes are paid
+    *      only for repeated-or-colliding windows, a vanishing corpus
+    *      fraction
+    *   3. exact classes = group by (hash, window string); the class
+    *      minimum (doc_id, start) is the kept occurrence, every other
+    *      member marks its tokens for excision
+    *   4. marked positions merge per doc (overlaps coalesce) and a typed
+    *      kernel reassembles the surviving tokens
+    *
+    * This is exact end-to-end: a 64-bit collision only costs a few extra
+    * verified strings in step 2, never a wrong excision. Tokenization is
+    * the ORACLE-REPLAYABLE convention (explicit 6-char class trim + split,
+    * the TextAnalysis/wsClassTrim contract) — q_exact_spans hash-matches
+    * the whole operator against DuckDB, including the keep-first choice.
+    * Docs with < windowTokens tokens pass through untouched; a fully-
+    * duplicated doc can come back with empty clean_text (rewrite, not a
+    * filter — the [[removeDuplicateSpans]] convention).
+    *
+    * @return (idCol, clean_text, n_tokens, n_tokens_removed)
+    */
+  def removeExactDuplicateSpans(docs: DataFrame, windowTokens: Int,
+                                idCol: String = "doc_id",
+                                textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(windowTokens >= 2, s"windowTokens must be >= 2: $windowTokens")
+    val L = windowTokens
+    val base = Spread(docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
+      .as[(Long, String)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // 1: (doc, start, h) — the 8-byte-key exchange
+      val windows = base
+        .flatMap { case (id, text) =>
+          val hs = rollingWindowHashes(exactSpanToks(text), L)
+          Iterator.range(0, hs.length).map(s => (id, s, hs(s)))
+        }
+        .toDF("doc_id", "start", "h")
+        .repartition(col("h")) // one shuffle serves the count AND the semi-join
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // 2: candidate classes (>= 2 members) -> re-extract REAL strings
+        val hot = windows.groupBy("h").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2).select("h")
+        val candStarts = windows.join(hot, "h")
+          .groupBy("doc_id").agg(sort_array(collect_list(struct(col("start"), col("h")))).as("cands"))
+        val verified = base.toDF("doc_id", "text")
+          .join(candStarts, "doc_id") // inner: docs without candidates drop here
+          .as[(Long, String, Seq[(Int, Long)])]
+          .flatMap { case (id, text, cands) =>
+            val ts = exactSpanToks(text)
+            cands.iterator.map { case (s, h) =>
+              val sb = new java.lang.StringBuilder
+              var j = s
+              while (j < s + L) { if (j > s) sb.append(' '); sb.append(ts(j)); j += 1 }
+              (h, sb.toString, id, s)
+            }
+          }
+          .toDF("h", "w", "doc_id", "start")
+        // 3: exact classes; keeper = min (doc_id, start); the rest excise.
+        // NO collect_list of occurrences: a boilerplate window repeated 10^6
+        // times corpus-wide would build its whole occurrence list on one
+        // key — aggregate the class (count + min, both map-side-combinable)
+        // and JOIN members back instead, which distributes the hot class.
+        val classes = verified
+          .groupBy("h", "w")
+          .agg(count(lit(1)).as("cnt"),
+            min(struct(col("doc_id"), col("start"))).as("keep"))
+          .filter(col("cnt") >= 2) // hash collisions can leave singleton exact classes
+          .select("h", "w", "keep")
+        val removable = verified.join(classes, Seq("h", "w"))
+          .filter(struct(col("doc_id"), col("start")) =!= col("keep"))
+          .select("doc_id", "start")
+        // 4: marked token indices per doc (distinct merges overlaps), then
+        // typed reassembly. The per-doc list is bounded by the doc's own
+        // token count — per-doc state, never corpus-wide.
+        val marked = removable
+          .select(col("doc_id"), explode(sequence(col("start"), col("start") + lit(L - 1))).as("i"))
+          .distinct()
+          .groupBy("doc_id").agg(sort_array(collect_list(col("i"))).as("cut"))
+        val out = base.toDF("doc_id", "text")
+          .join(marked, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("text"), coalesce(col("cut"), array()).as("cut"))
+          .as[(Long, String, Seq[Int])]
+          .mapPartitions(_.map { case (id, text, cut) =>
+            val ts = exactSpanToks(text)
+            val cutSet = cut.toSet
+            val kept = new StringBuilder
+            var removed = 0
+            var i = 0
+            while (i < ts.length) {
+              if (cutSet.contains(i)) removed += 1
+              else {
+                if (kept.nonEmpty) kept.append(' ')
+                kept.append(ts(i))
+              }
+              i += 1
+            }
+            (id, kept.toString, ts.length.toLong, removed.toLong)
+          })
+          .toDF("doc_id", "clean_text", "n_tokens", "n_tokens_removed")
+          .select(col("doc_id").as(idCol), col("clean_text"),
+            col("n_tokens"), col("n_tokens_removed"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count() // materialize before releasing the internal caches
+        out
+      } finally { windows.unpersist(); () }
+    } finally { base.unpersist(); () }
+  }
+
+  /** ORACLE-REPLAYABLE token split for [[removeExactDuplicateSpans]]:
+    * explicit 6-char class trim (TextAnalysis.wsClassTrim <-> DuckDB
+    * two-arg trim) + the `\s+` split — NOT [[splitWs]], whose Java trim
+    * strips all chars <= 0x20 and cannot be replayed in DuckDB. Object-
+    * level (not a local def) so executor closures reference the module
+    * statically instead of capturing it (Dedup is not Serializable).
+    */
+  private def exactSpanToks(text: String): Array[String] = {
+    val t = graft.functions.TextAnalysis.wsClassTrim(if (text == null) "" else text)
+    if (t.isEmpty) Array.empty[String] else WsPattern.split(t)
+  }
+
   /** Raw whitespace token split, Java-trim + `\s+` (case/punct preserved —
     * reassembly tokens, unlike the normalizing [[graft.core.Tokenizer]]).
     * NOT byte-identical to TextAnalysis.tokenCountWs on exotic leading

@@ -581,6 +581,25 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("removeExactDuplicateSpans: keep-first across docs, intra-doc repeats, exactness") {
+    val docs = Seq(
+      (0L, "p q r s t u"), // unique — untouched
+      (1L, "x1 x2 a b c d x3"), // first occurrence of the shared span
+      (2L, "y1 a b c d y2 y3"), // later doc — span excised, rest kept
+      (3L, "m n o m n o") // intra-doc repeat: second occurrence excised
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeExactDuplicateSpans(docs, windowTokens = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == (("p q r s t u", 6L, 0L)), got(0L).toString)
+    // keeper = min (doc_id, start): doc 1 keeps "a b c"/"b c d" windows
+    assert(got(1L) == (("x1 x2 a b c d x3", 7L, 0L)), got(1L).toString)
+    // doc 2 loses tokens 1..4 (two overlapping removable windows merge)
+    assert(got(2L) == (("y1 y2 y3", 7L, 4L)), got(2L).toString)
+    // doc 3: class "m n o" occurs at starts 0 and 3; keeper 0, excise 3..5
+    assert(got(3L) == (("m n o", 6L, 3L)), got(3L).toString)
+    spark.catalog.clearCache()
+  }
+
   test("removeDuplicateSpans: shared windows excised, unique text kept, overlaps merge") {
     val span = "one two three four five six seven eight" // 8 shared tokens
     val rows = Seq(
