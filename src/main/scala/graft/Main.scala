@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   *     [--candidate-partitions N] [--verbose true] [--dedup-corpus true]
   *     [--content-fingerprint true] [--pairs-csv true]
   *     [--clean true [--max-line-df 1000] [--min-tokens 5] [--tokens-per-shard N]
-  *       [--gopher true] [--splits train:0.98,val:0.01,test:0.01] [--split-seed 13]
+  *       [--gopher true] [--exact-spans N]
+  *       [--splits train:0.98,val:0.01,test:0.01] [--split-seed 13]
   *       [--embeddings <parquet> [--embedding-id-col vec_id] [--embedding-col embedding]]]
   *   graft.Main --stream <parquetDir> --output <workDir>
   *     [--maintain-every N] [--star-cap N] [minhash config flags as above]
@@ -199,6 +200,10 @@ object Main {
           // rule set at the paper's published thresholds
           gopher = if (opts.get("gopher").exists(_.toBoolean))
             Some(graft.operators.CleanPipeline.GopherGates()) else None,
+          // --exact-spans N: excise every N-token window occurring more
+          // than once corpus-wide from all but its first occurrence
+          // (exact suffix-array-substring dedup; rewrite, not a filter)
+          exactSpanTokens = opts.get("exact-spans").map(_.toInt),
           minhash = cleanCfg,
           starCapBucketSize = starCap.orElse(Some(256)),
           candidatePartitions = candParts,

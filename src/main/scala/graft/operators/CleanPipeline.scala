@@ -73,6 +73,12 @@ object CleanPipeline {
       // semantic merging below ~0.95 cosine deletes paraphrases, which is
       // a curation policy, not dedup
       embeddingMinCosine: Double = 0.95,
+      // optional EXACT duplicate-span excision (suffix-array-substring arm,
+      // Dedup.removeExactDuplicateSpans) between exact dedup and near-dup:
+      // every window of this many tokens occurring >1x corpus-wide is cut
+      // from all but its first occurrence. Rewrite, not a filter — doc
+      // counts are unchanged. None = off.
+      exactSpanTokens: Option[Int] = None,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
       splitSeed: Long = 13L,
@@ -156,25 +162,40 @@ object CleanPipeline {
     val nExact = exact.count()
     redacted.unpersist()
 
+    // 4b (optional): EXACT duplicate-span excision on the survivors —
+    // rewrites text (no doc is dropped, counts unchanged); near-dup then
+    // clusters the excised text, so a boilerplate span shared by unrelated
+    // docs no longer glues them into one cluster
+    val corpus = cfg.exactSpanTokens match {
+      case Some(l) =>
+        val spans = Dedup.removeExactDuplicateSpans(exact, l, idCol, textCol)
+        val rw = spans.select(col(idCol), col("clean_text").as(textCol))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rw.count()
+        spans.unpersist()
+        rw
+      case None => exact
+    }
+
     // 5: near-dup clusters -> one representative per cluster. Composes
     // candidates+pairs directly (NOT MinHashPipeline.run, whose trailing
     // reference-CSV orderBy would pay a full sort that clustering
     // discards) and owns the signature cache so it can be released as
     // soon as the labels are materialized (cluster() checkpoints them).
     val sigs = MinHashPipeline.signatures(
-      exact.select(col(idCol).as("doc_id"), col(textCol).as("content")),
+      corpus.select(col(idCol).as("doc_id"), col(textCol).as("content")),
       cfg.minhash).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lexPairs = MinHashPipeline.pairs(
       MinHashPipeline.candidates(sigs, cfg.starCapBucketSize,
         candidatePartitions = cfg.candidatePartitions), sigs, cfg.minhash)
       .select("doc1", "doc2")
-    val (allPairs, sketchHandle) = withSemanticPairs(exact, lexPairs, embeddings, cfg, idCol)
+    val (allPairs, sketchHandle) = withSemanticPairs(corpus, lexPairs, embeddings, cfg, idCol)
     val clusters = ConnectedComponents.cluster(
-      allPairs, exact.select(col(idCol).as("doc_id")))
+      allPairs, corpus.select(col(idCol).as("doc_id")))
     sigs.unpersist()
     sketchHandle.foreach(_.unpersist())
-    val deduped = Dedup.keepRepresentatives(exact, clusters, idCol)
+    val deduped = Dedup.keepRepresentatives(corpus, clusters, idCol)
 
     // 6: deterministic membership + token-budget shards
     val withSplit = Corpus.split(deduped, cfg.splits, cfg.splitSeed, idCol)
@@ -188,6 +209,7 @@ object CleanPipeline {
     val nOut = out.count()
     shards.unpersist()
     exact.unpersist()
+    if (corpus ne exact) { corpus.unpersist(); () }
     (out, StageCounts(nInput, nLineClean, nQuality, nExact, nOut))
   }
 
@@ -305,7 +327,8 @@ object CleanPipeline {
     val cQual = s"$cLine;mintok=${cfg.minTokens};maxpunct=${cfg.maxPunctRatio};" +
       cfg.gopher.map(_.tag).getOrElse("gopher=off")
     val mh = cfg.minhash
-    val cNear = s"$cQual;sh=${mh.shingleSize};sig=${mh.signatureSize};r=${mh.nBandRows};" +
+    val cSpan = s"$cQual;spans=${cfg.exactSpanTokens.getOrElse(-1)}"
+    val cNear = s"$cSpan;sh=${mh.shingleSize};sig=${mh.signatureSize};r=${mh.nBandRows};" +
       s"seed=${mh.seed};thr=${mh.threshold};cap=${cfg.starCapBucketSize.getOrElse(-1)};" +
       s"cp=${cfg.candidatePartitions.getOrElse(-1)};cos=${cfg.embeddingMinCosine};emb=$embFp"
     val cOut = s"$cNear;splits=${cfg.splits.map { case (n, w) => s"$n:$w" }.mkString(",")};" +
@@ -354,26 +377,43 @@ object CleanPipeline {
         Seq(idCol), "left_semi")
     }
 
+    // 4b (optional): exact duplicate-span excision — its own committed
+    // stage table so the expensive window pass resumes; enabling/disabling
+    // or changing the window length invalidates neardup and downstream
+    // through the chained tag (cSpan is a prefix of cNear)
+    var spanHandle: Option[DataFrame] = None
+    val corpus = cfg.exactSpanTokens match {
+      case Some(l) =>
+        val st = store.stage("exact_spans", fp, cSpan, log) {
+          val s = Dedup.removeExactDuplicateSpans(exact, l, idCol, textCol)
+          spanHandle = Some(s)
+          s.select(col(idCol), col("clean_text").as(textCol))
+        }
+        spanHandle.foreach(_.unpersist())
+        st
+      case None => exact
+    }
+
     // 5: near-dup (lexical + optional semantic) -> representatives
     var sigsHandle: Option[DataFrame] = None
     var sketchHandle: Option[DataFrame] = None
     val deduped = store.stage("neardup", fp, cNear, log) {
       val sigs = MinHashPipeline.signatures(
-        exact.select(col(idCol).as("doc_id"), col(textCol).as("content")), mh).toDF()
+        corpus.select(col(idCol).as("doc_id"), col(textCol).as("content")), mh).toDF()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sigsHandle = Some(sigs)
       val lexPairs = MinHashPipeline.pairs(
         MinHashPipeline.candidates(sigs, cfg.starCapBucketSize,
           candidatePartitions = cfg.candidatePartitions), sigs, mh)
         .select("doc1", "doc2")
-      val (allPairs, sketch) = withSemanticPairs(exact, lexPairs, embeddings, cfg, idCol)
+      val (allPairs, sketch) = withSemanticPairs(corpus, lexPairs, embeddings, cfg, idCol)
       sketchHandle = sketch
       // durable per-iteration labels (a lost executor re-reads parquet);
       // scratch dropped below once the stage table is the durable copy
       val clusters = ConnectedComponents.cluster(
-        allPairs, exact.select(col(idCol).as("doc_id")),
+        allPairs, corpus.select(col(idCol).as("doc_id")),
         reliableCheckpointDir = Some(s"$workDir/_cc_scratch"))
-      Dedup.keepRepresentatives(exact, clusters, idCol)
+      Dedup.keepRepresentatives(corpus, clusters, idCol)
     }
     sigsHandle.foreach(_.unpersist())
     sketchHandle.foreach(_.unpersist())

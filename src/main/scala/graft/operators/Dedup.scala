@@ -493,12 +493,29 @@ object Dedup {
     import spark.implicits._
     require(windowTokens >= 2, s"windowTokens must be >= 2: $windowTokens")
     val L = windowTokens
-    val base = Spread(docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
+    val basePersisted = Spread(
+        docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
       .as[(Long, String)]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // PLAN-SIZE HYGIENE: the stages below reference the input from several
+    // places (window kernel, candidate re-extraction, reassembly) whose
+    // frames then join each other — each reference re-embeds the input's
+    // ANALYZED plan in every downstream explain string, multiplicatively.
+    // A caller-supplied input that itself carries a big self-joined plan
+    // (the cleaning recipe's gopher-gated survivors) blew a 2 GB plan
+    // string OOM inside AQE's plan-change logging. Cut the lineage at the
+    // materialized cache: .rdd reads THROUGH the cache (safe here — the
+    // count below has already materialized any upstream exchange), and
+    // downstream plans see a compact scan instead of the whole recipe.
+    basePersisted.count()
+    val base = spark.createDataFrame(
+      basePersisted.toDF("doc_id", "text").rdd,
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string"))
     try {
       // 1: (doc, start, h) — the 8-byte-key exchange
       val windows = base
+        .as[(Long, String)]
         .flatMap { case (id, text) =>
           val hs = rollingWindowHashes(exactSpanToks(text), L)
           Iterator.range(0, hs.length).map(s => (id, s, hs(s)))
@@ -573,7 +590,7 @@ object Dedup {
         out.count() // materialize before releasing the internal caches
         out
       } finally { windows.unpersist(); () }
-    } finally { base.unpersist(); () }
+    } finally { basePersisted.unpersist(); () }
   }
 
   /** ORACLE-REPLAYABLE token split for [[removeExactDuplicateSpans]]:

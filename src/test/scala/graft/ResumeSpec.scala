@@ -175,11 +175,36 @@ class ResumeSpec extends SparkSpec {
     assert(log8.skipped.toSeq == Seq("line_clean"), log8.toString)
     assert(log8.computed.toSeq == allStages.tail, log8.toString)
 
+    // enabling exact-span excision: the optional stage computes, the
+    // upstream text gates resume, neardup+downstream invalidate (cSpan is
+    // a prefix of the neardup tag) — and the checkpointed path matches the
+    // cache-based run() with the same config exactly
+    // keep gopher identical to the last committed state (log8) so ONLY the
+    // spans flag moves the tags
+    val spanCfg = cfg.copy(minTokens = 6L, gopher = Some(passThrough),
+      exactSpanTokens = Some(4))
+    val (refSpanOut, refSpanCounts) = CleanPipeline.run(rows, spanCfg)
+    val refSpan = refSpanOut.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    refSpanOut.unpersist()
+    spark.catalog.clearCache()
+    val (o9, n9, log9) = CleanPipeline.runCheckpointed(spark, shifted, work, spanCfg)
+    assert(log9.skipped.toSeq == Seq("line_clean", "quality", "redact", "exact"), log9.toString)
+    assert(log9.computed.toSeq == Seq("exact_spans", "neardup", "clean_corpus"), log9.toString)
+    val (o9b, n9b, log9b) = CleanPipeline.runCheckpointed(spark, shifted, work, spanCfg)
+    assert(log9b.computed.isEmpty, log9b.toString)
+    assert(n9b == n9 && snap(o9b) == snap(o9))
+    // run() parity needs UN-shifted ids — recompute on `rows` in a fresh dir
+    val workS = java.nio.file.Files.createTempDirectory("graft_clean_resume_span").toString
+    val (o10, n10, _) = CleanPipeline.runCheckpointed(spark, rows, workS, spanCfg)
+    assert(n10 == refSpanCounts && snap(o10) == refSpan)
+
     // lineage: every stage has per-partition metrics rows, plus the cached
     // input-count rows (stage="input", partition_id=-1 — one per distinct
     // input fingerprint, read back on resume instead of re-counting docs)
+    // and the optional exact_spans stage enabled above
     val m = new graft.plans.StageStore(spark, work).metrics
-    assert(m.select("stage").distinct().count() == allStages.size.toLong + 1)
+    assert(m.select("stage").distinct().count() == allStages.size.toLong + 2)
     assert(m.filter(col("stage") === "input" && col("partition_id") === -1).count() >= 1L)
     spark.catalog.clearCache()
   }
