@@ -257,12 +257,18 @@ object Main {
       maintainEvery = maintainEvery,
       starCapBucketSize = starCap.orElse(Some(StreamingDedup.DefaultStreamStarCap)))
     q.awaitTermination()
+    // an empty drop dir produces zero batches and no tables: report zeros
+    // instead of a PATH_NOT_FOUND stack trace
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(workDir), spark.sparkContext.hadoopConfiguration)
+    def countIn(table: String,
+                dedupe: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Long =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$workDir/$table"))) 0L
+      else dedupe(spark.read.parquet(s"$workDir/$table")).count()
     val labels = StreamingDedup.updateClusters(spark, workDir)
     StreamingDedup.compact(spark, workDir)
-    val nDocs = spark.read.parquet(s"$workDir/signatures")
-      .select("doc_id").dropDuplicates("doc_id").count()
-    val nPairs = spark.read.parquet(s"$workDir/pairs")
-      .dropDuplicates("doc1", "doc2").count()
+    val nDocs = countIn("signatures", _.select("doc_id").dropDuplicates("doc_id"))
+    val nPairs = countIn("pairs", _.dropDuplicates("doc1", "doc2"))
     val nClusters = labels.select("cluster_id").distinct().count()
     val sec = (System.nanoTime() - t0) / 1e9
     s"""{"docs":$nDocs,"pairs":$nPairs,"clusters":$nClusters,""" +

@@ -181,11 +181,15 @@ object SparkEntry {
     "q_gopher_quality" -> ((s, dir) => {
       // Gopher document-shape filters (bullet/ellipsis lines, symbol-to-
       // word, alpha-word fraction); every 6th doc gets injected bullets,
-      // an ellipsis line and '#'/'...' symbols (mirrored in the oracle)
+      // an ellipsis line and '#'/'...' symbols (mirrored in the oracle).
+      // coalesce BEFORE the injection, matching the oracle's s CTE: a bare
+      // concat null-propagates, so a NULL text in the injected arm would
+      // collapse the whole injection to NULL on the Spark side while the
+      // oracle still builds the bullet lines.
       val injected = when(pmod(col("doc_id"), lit(6L)) === 0,
         concat(lit("- bullet item\n* another bullet\nplain line\ntrailing dots...\n"),
-          col("text"), lit(" sym#bol ### trailing...")))
-        .otherwise(col("text"))
+          coalesce(col("text"), lit("")), lit(" sym#bol ### trailing...")))
+        .otherwise(coalesce(col("text"), lit("")))
       TextAnalysis.gopherQualitySignals(
           documents(s, dir).select(col("doc_id"), injected.as("text")))
         .orderBy("doc_id")
@@ -261,12 +265,16 @@ object SparkEntry {
       // exactness contract end-to-end.
       val p1 = lit("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")
       val p2 = lit("one two three four five six seven eight nine ten")
+      // coalesce BEFORE injection on BOTH engines (oracle s CTE mirrors):
+      // concat null-propagates, and DuckDB's trim/split of a NULL would
+      // yield n_tokens NULL where the operator emits 0
+      val t0 = coalesce(col("text"), lit(""))
       val injected =
-        when(pmod(col("doc_id"), lit(7L)) === 0, concat(col("text"), lit(" "), p1))
-          .when(pmod(col("doc_id"), lit(11L)) === 3, concat(p1, lit(" "), col("text")))
+        when(pmod(col("doc_id"), lit(7L)) === 0, concat(t0, lit(" "), p1))
+          .when(pmod(col("doc_id"), lit(11L)) === 3, concat(p1, lit(" "), t0))
           .when(pmod(col("doc_id"), lit(13L)) === 1,
-            concat(col("text"), lit(" "), p2, lit(" "), p2))
-          .otherwise(col("text"))
+            concat(t0, lit(" "), p2, lit(" "), p2))
+          .otherwise(t0)
       Dedup.removeExactDuplicateSpans(
           documents(s, dir).select(col("doc_id"), injected.as("text")),
           windowTokens = 8)
@@ -705,15 +713,15 @@ object SparkEntry {
       // proves that implementation detail invisible.
       """WITH s AS (
         |  SELECT doc_id,
-        |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' ||
+        |    CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '') || ' ' ||
         |           'alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu'
         |         WHEN doc_id % 11 = 3 THEN
         |           'alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu'
-        |           || ' ' || text
-        |         WHEN doc_id % 13 = 1 THEN text
+        |           || ' ' || coalesce(text, '')
+        |         WHEN doc_id % 13 = 1 THEN coalesce(text, '')
         |           || ' one two three four five six seven eight nine ten'
         |           || ' one two three four five six seven eight nine ten'
-        |         ELSE text END AS text
+        |         ELSE coalesce(text, '') END AS text
         |  FROM documents),
         |t AS (
         |  SELECT doc_id,

@@ -288,33 +288,42 @@ object TextAnalysis {
         else {
           val toks = graft.operators.Dedup.WsPattern.split(t)
           val tokHash = new Array[Long](toks.length)
+          val tokLen = new Array[Int](toks.length)
           var k = 0
           while (k < toks.length) {
             // two independent murmur2 passes -> one 64-bit token hash
             tokHash(k) = (graft.core.Murmur2.hashString(toks(k), 0x9747b28c).toLong << 32) |
               (graft.core.Murmur2.hashString(toks(k), 0x5bd1e995).toLong & 0xffffffffL)
+            // CODEPOINT count, not String.length: the pinned operators and
+            // their oracles measure gram length with Catalyst length()
+            // (code points) — Java's UTF-16 units would diverge on
+            // astral chars (surrogate pairs count 2)
+            tokLen(k) = toks(k).codePointCount(0, toks(k).length)
             k += 1
           }
           val topRows = topNs.iterator.filter(toks.length >= _).flatMap { n =>
             (0 to toks.length - n).iterator.map { i =>
               val sb = new java.lang.StringBuilder
               var j = 0
-              while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
-              val g = sb.toString
-              (id, n, g, 0L, g.length)
+              var len = n - 1
+              while (j < n) {
+                if (j > 0) sb.append(' ')
+                sb.append(toks(i + j)); len += tokLen(i + j); j += 1
+              }
+              (id, n, sb.toString, 0L, len)
             }
           }
           val dupRows = dupNs.iterator.filter(toks.length >= _).flatMap { n =>
             (0 to toks.length - n).iterator.map { i =>
               // FNV-1a-style combine of the 64-bit token hashes: equal
               // token sequences hash equal; joined-gram length is exact
-              // (token lengths + n-1 separator spaces)
+              // (codepoint token lengths + n-1 separator spaces)
               var h = 0xcbf29ce484222325L
               var len = n - 1
               var j = 0
               while (j < n) {
                 h = (h ^ tokHash(i + j)) * 0x100000001b3L
-                len += toks(i + j).length
+                len += tokLen(i + j)
                 j += 1
               }
               (id, n, "", h, len)

@@ -166,14 +166,16 @@ object CleanPipeline {
     // rewrites text (no doc is dropped, counts unchanged); near-dup then
     // clusters the excised text, so a boilerplate span shared by unrelated
     // docs no longer glues them into one cluster
+    // the operator returns its output persisted + materialized — consume
+    // the rename-projection straight off that cache (re-persisting the
+    // same text would transiently double-cache the corpus); the handle is
+    // released with the other caches at the end
+    var spanHandle: Option[DataFrame] = None
     val corpus = cfg.exactSpanTokens match {
       case Some(l) =>
         val spans = Dedup.removeExactDuplicateSpans(exact, l, idCol, textCol)
-        val rw = spans.select(col(idCol), col("clean_text").as(textCol))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        rw.count()
-        spans.unpersist()
-        rw
+        spanHandle = Some(spans)
+        spans.select(col(idCol), col("clean_text").as(textCol))
       case None => exact
     }
 
@@ -209,7 +211,7 @@ object CleanPipeline {
     val nOut = out.count()
     shards.unpersist()
     exact.unpersist()
-    if (corpus ne exact) { corpus.unpersist(); () }
+    spanHandle.foreach(_.unpersist())
     (out, StageCounts(nInput, nLineClean, nQuality, nExact, nOut))
   }
 
@@ -327,7 +329,11 @@ object CleanPipeline {
     val cQual = s"$cLine;mintok=${cfg.minTokens};maxpunct=${cfg.maxPunctRatio};" +
       cfg.gopher.map(_.tag).getOrElse("gopher=off")
     val mh = cfg.minhash
-    val cSpan = s"$cQual;spans=${cfg.exactSpanTokens.getOrElse(-1)}"
+    // spans component only when ENABLED: unconditionally embedding
+    // "spans=-1" would change every pre-existing workDir's neardup tag and
+    // force the expensive clustering stages to recompute on upgrade with
+    // byte-identical semantics
+    val cSpan = cfg.exactSpanTokens.map(l => s"$cQual;spans=$l").getOrElse(cQual)
     val cNear = s"$cSpan;sh=${mh.shingleSize};sig=${mh.signatureSize};r=${mh.nBandRows};" +
       s"seed=${mh.seed};thr=${mh.threshold};cap=${cfg.starCapBucketSize.getOrElse(-1)};" +
       s"cp=${cfg.candidatePartitions.getOrElse(-1)};cos=${cfg.embeddingMinCosine};emb=$embFp"

@@ -385,14 +385,19 @@ object StreamingDedup {
               Option(r.getString(1)).getOrElse(""), cfg)._1)
         if (probe.nonEmpty) {
           val ids = probe.map(_._1)
+          // ALL stored rows per id, not .toMap's arbitrary survivor: the
+          // documented transient post-crash duplicate signature rows are
+          // content-identical, but keeping "whichever file order yields
+          // last" would make the veto nondeterministic if a duplicate ever
+          // weren't — accept when ANY stored copy matches.
           val stored = spark.read.parquet(sigPath)
             .filter(col("doc_id").isin(ids: _*))
             .select(col("doc_id"), col("signature"))
             .collect()
-            .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray)
-            .toMap
+            .groupBy(_.getLong(0))
+            .map { case (id, rows) => id -> rows.map(_.getSeq[Int](1).toArray) }
           probe.foreach { case (id, want) =>
-            val ok = stored.get(id).exists(_.sameElements(want))
+            val ok = stored.get(id).exists(_.exists(_.sameElements(want)))
             if (!ok)
               throw new IllegalStateException(
                 s"processBatch($batchId): batch id is <= the compaction manifest's " +
@@ -806,9 +811,23 @@ object StreamingDedup {
 
   /** Raw labels read — drops the cp partition column so callers (and the
     * pre-partitioned-layout migration path) always see (doc_id, cluster_id).
+    * An EMPTY table (a dynamic-partition write of zero labels emits only
+    * _SUCCESS, no data files — unreadable by schema inference) comes back
+    * as an empty typed frame instead of an AnalysisException.
     */
-  private def rawClusters(spark: SparkSession, clustersPath: String): DataFrame =
-    spark.read.parquet(clustersPath).select("doc_id", "cluster_id")
+  private def rawClusters(spark: SparkSession, clustersPath: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(clustersPath), spark.sparkContext.hadoopConfiguration)
+    val hasData = Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$clustersPath/*")))
+      .exists(_.exists { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+    if (!hasData) {
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    } else spark.read.parquet(clustersPath).select("doc_id", "cluster_id")
+  }
 
   /** The committed cluster labels. If a crashed [[updateClusters]] apply
     * left the table mid-remap (marker present), transient states are
@@ -834,14 +853,44 @@ object StreamingDedup {
     val target = new org.apache.hadoop.fs.Path(s"$workDir/clusters")
     val staging = new org.apache.hadoop.fs.Path(s"$workDir/_clusters_staging")
     fs.delete(staging, true)
+    // range-repartition on (cp, doc_id) before the dynamic-partition write:
+    // without it every task writes into every cp dir (tasks x 16 tiny
+    // files); with it each shuffle partition covers a contiguous (cp, doc)
+    // range, so the file count stays ~shuffle-width regardless of cp fanout
     labels.select(col("doc_id"), col("cluster_id"),
         clusterPrefix(col("cluster_id")).as("cp"))
+      .repartitionByRange(col("cp"), col("doc_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("cp").parquet(staging.toString)
     val wm = readIncorporated(fs, workDir)
     fs.delete(target, true)
     require(fs.rename(staging, target),
       s"writeClustersStaged: rename $staging -> $target failed")
     if (wm != Long.MinValue) writeIncorporated(fs, workDir, wm)
+  }
+
+  /** Ceiling on parquet files under the clusters table before
+    * [[updateClusters]] folds it into one fresh generation. Append-only
+    * ticks add ~1 file per touched cp dir per tick and nothing else ever
+    * consolidates labels (compact() folds only the three ingest tables) —
+    * unbounded, a long trickle stream would recreate the tiny-file
+    * pathology the ingest compaction exists to prevent. The fold is a
+    * full staged rewrite, amortized O(1/MaxClusterLabelFiles) per tick.
+    */
+  val MaxClusterLabelFiles = 256
+
+  private def maybeCompactClusterFiles(spark: SparkSession,
+                                       fs: org.apache.hadoop.fs.FileSystem,
+                                       workDir: String): Unit = {
+    val clustersPath = s"$workDir/clusters"
+    val dirs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$clustersPath/cp=*")))
+      .map(_.toSeq).getOrElse(Seq.empty)
+    val nFiles = dirs.map(d =>
+      fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet"))).sum
+    if (nFiles <= MaxClusterLabelFiles) return
+    System.err.println(
+      s"[graft] updateClusters: folding $nFiles label files into one generation")
+    writeClustersStaged(fs, workDir, rawClusters(spark, clustersPath))
+    spark.catalog.refreshByPath(clustersPath)
   }
 
   /** Marker for an in-flight (or crashed) incremental remap apply. While it
@@ -868,8 +917,12 @@ object StreamingDedup {
                            workDir: String, rows: DataFrame): Unit = {
     val stage = appendStagePath(workDir)
     fs.delete(stage, true)
+    // repartition by cp: ONE file per destination dir per tick, not
+    // tasks x 16 — the trickle path appends every maintenance tick, so
+    // per-tick file creation must be O(touched dirs)
     rows.select(col("doc_id"), col("cluster_id"),
         clusterPrefix(col("cluster_id")).as("cp"))
+      .repartition(col("cp"))
       .write.mode(SaveMode.Overwrite).partitionBy("cp").parquet(stage.toString)
     val table = new org.apache.hadoop.fs.Path(s"$workDir/clusters")
     Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$stage/cp=*")))
@@ -1172,6 +1225,7 @@ object StreamingDedup {
             .join(remapSide, col("cluster_id") === col("old_root"), "left_anti")
           keep.select(col("doc_id"), col("cluster_id"),
               clusterPrefix(col("cluster_id")).as("cp"))
+            .repartition(col("cp")) // one file per rewritten dir
             .write.mode(SaveMode.Overwrite).partitionBy("cp").parquet(stage.toString)
           affected.foreach { k =>
             val src = new org.apache.hadoop.fs.Path(s"$stage/cp=$k")
@@ -1189,6 +1243,9 @@ object StreamingDedup {
         spark.catalog.refreshByPath(clustersPath)
       }
       writeIncorporated(fs, workDir, newIds.max)
+      // label-file hygiene (still under the maintenance lock): fold the
+      // table once the accumulated append files cross the ceiling
+      maybeCompactClusterFiles(spark, fs, workDir)
       ()
       } finally {
         remapHandle.foreach(_.unpersist())
