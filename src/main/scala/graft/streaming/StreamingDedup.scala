@@ -878,15 +878,15 @@ object StreamingDedup {
     */
   val MaxClusterLabelFiles = 256
 
-  private def maybeCompactClusterFiles(spark: SparkSession,
-                                       fs: org.apache.hadoop.fs.FileSystem,
-                                       workDir: String): Unit = {
+  private[graft] def maybeCompactClusterFiles(
+      spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      workDir: String, ceiling: Int = MaxClusterLabelFiles): Unit = {
     val clustersPath = s"$workDir/clusters"
     val dirs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$clustersPath/cp=*")))
       .map(_.toSeq).getOrElse(Seq.empty)
     val nFiles = dirs.map(d =>
       fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet"))).sum
-    if (nFiles <= MaxClusterLabelFiles) return
+    if (nFiles <= ceiling) return
     System.err.println(
       s"[graft] updateClusters: folding $nFiles label files into one generation")
     writeClustersStaged(fs, workDir, rawClusters(spark, clustersPath))

@@ -735,6 +735,52 @@ class StreamingDedupSpec extends SparkSpec {
     assert(!rootFiles.exists(f => f.isFile && f.getName.startsWith("part-")))
   }
 
+  test("labels-table fold: one generation, labels and watermark preserved") {
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
+    val work = java.nio.file.Files.createTempDirectory("stream_labels_fold").toString
+    val mk = (id: Long, salt: Int) =>
+      (id, s"labels fold probe text $salt with plenty of words to shingle " * 3)
+    // three append-only ticks accumulate one file per touched cp dir each
+    (0 until 3).foreach { b =>
+      StreamingDedup.processBatch(spark,
+        Seq(mk(10L * b + 1, b), mk(10L * b + 2, 100 + b)).toDF("doc_id", "content"),
+        b.toLong, work, cfg)
+      StreamingDedup.updateClusters(spark, work)
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(work), spark.sparkContext.hadoopConfiguration)
+    def labelFiles(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$work/clusters")).filter(_.getName.endsWith(".parquet"))
+    }
+    val before = StreamingDedup.readClusters(spark, work)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wmBefore = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$work/clusters/_incorporated")), "UTF-8").trim
+    assert(labelFiles().size >= 3)
+    // ceiling 0 forces the fold regardless of count
+    StreamingDedup.maybeCompactClusterFiles(spark, fs, work, ceiling = 0)
+    spark.catalog.refreshByPath(s"$work/clusters")
+    val after = StreamingDedup.readClusters(spark, work)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wmAfter = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$work/clusters/_incorporated")), "UTF-8").trim
+    assert(after == before, s"$after vs $before")
+    assert(wmAfter == wmBefore, s"watermark changed: $wmBefore -> $wmAfter")
+    // folded: at most one file per cp dir (the fold range-partitions)
+    val perDir = labelFiles().groupBy(_.getParentFile.getName)
+    assert(perDir.values.forall(_.size <= 2), perDir.view.mapValues(_.size).toMap.toString)
+    // next maintenance tick still works on the folded table
+    StreamingDedup.processBatch(spark,
+      Seq(mk(91L, 0)).toDF("doc_id", "content"), 3L, work, cfg) // dups batch 0's salt
+    val labels = StreamingDedup.updateClusters(spark, work)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(91L) == labels(1L), labels.toString)
+  }
+
   test("CLI --stream path (Main.runStream): ingests, maintains, reports counts") {
     val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
     val input = java.nio.file.Files.createTempDirectory("stream_cli_in").toString
