@@ -600,6 +600,49 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("removeExactDuplicateSpans == brute force on randomized small corpora (seeded)") {
+    // the DuckDB oracle pins injected shapes at sf0.01; this hunts the
+    // edge cases random structure finds — dense repeats, ties, window
+    // overlaps at doc edges, sub-window docs, empty docs
+    val rnd = new scala.util.Random(424242)
+    def brute(docs: Seq[(Long, String)], L: Int): Map[Long, (String, Long, Long)] = {
+      val toks = docs.map { case (id, t) =>
+        val tt = graft.functions.TextAnalysis.wsClassTrim(t)
+        id -> (if (tt.isEmpty) Array.empty[String] else Dedup.WsPattern.split(tt))
+      }
+      val occ = scala.collection.mutable.Map[Seq[String], List[(Long, Int)]]()
+        .withDefaultValue(Nil)
+      for ((id, ts) <- toks; s <- 0 to ts.length - L if ts.length >= L)
+        occ(ts.slice(s, s + L).toSeq) = (id, s) :: occ(ts.slice(s, s + L).toSeq)
+      val removable = occ.values.filter(_.size >= 2)
+        .flatMap(_.sorted.drop(1)) // keeper = min (doc_id, start)
+        .toSeq
+      val markedByDoc = removable.groupBy(_._1).map { case (id, rs) =>
+        id -> rs.flatMap { case (_, s) => s until (s + L) }.toSet
+      }
+      toks.map { case (id, ts) =>
+        val cut = markedByDoc.getOrElse(id, Set.empty)
+        val kept = ts.indices.filterNot(cut).map(ts)
+        id -> ((kept.mkString(" "), ts.length.toLong, cut.size.toLong))
+      }.toMap
+    }
+    (1 to 4).foreach { trial =>
+      val l = 2 + rnd.nextInt(2) // 2..3
+      val vocab = Array("aa", "bb", "cc", "dd", "ee")
+      val docs = (0 until 25).map { i =>
+        val n = rnd.nextInt(12)
+        (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val want = brute(docs, l)
+      val got = Dedup.removeExactDuplicateSpans(docs.toDF("doc_id", "text"), l)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == want, s"trial $trial (L=$l): " +
+        (got.keySet ++ want.keySet).filter(k => got.get(k) != want.get(k))
+          .map(k => s"doc $k: got=${got.get(k)} want=${want.get(k)}").mkString("; "))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("removeDuplicateSpans: shared windows excised, unique text kept, overlaps merge") {
     val span = "one two three four five six seven eight" // 8 shared tokens
     val rows = Seq(
