@@ -818,11 +818,22 @@ object StreamingDedup {
   private def rawClusters(spark: SparkSession, clustersPath: String): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(clustersPath), spark.sparkContext.hadoopConfiguration)
-    val hasData = Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$clustersPath/*")))
-      .exists(_.exists { s =>
-        val n = s.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      })
+    // LOUD for a missing table dir: either a fold's delete->rename swap is
+    // mid-flight (retry) or the caller's workDir is wrong — silently
+    // returning zero labels would mask both as "no duplicates"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(clustersPath)))
+      throw new IllegalStateException(
+        s"clusters table not found at $clustersPath — a maintenance swap may be " +
+          "mid-rename (retry), or the workDir is wrong")
+    // emptiness = no DATA FILES (flat or cp-partitioned): a zero-label
+    // dynamic write emits only _SUCCESS, and an appendLabels crash between
+    // mkdirs and the first file move can leave a file-less cp= dir — both
+    // are legitimately empty tables, not readable parquet
+    val hasData =
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$clustersPath/*.parquet")))
+        .exists(_.nonEmpty) ||
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$clustersPath/cp=*/*.parquet")))
+          .exists(_.nonEmpty)
     if (!hasData) {
       import spark.implicits._
       Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
@@ -868,25 +879,32 @@ object StreamingDedup {
     if (wm != Long.MinValue) writeIncorporated(fs, workDir, wm)
   }
 
-  /** Ceiling on parquet files under the clusters table before
-    * [[updateClusters]] folds it into one fresh generation. Append-only
-    * ticks add ~1 file per touched cp dir per tick and nothing else ever
-    * consolidates labels (compact() folds only the three ingest tables) —
-    * unbounded, a long trickle stream would recreate the tiny-file
-    * pathology the ingest compaction exists to prevent. The fold is a
-    * full staged rewrite, amortized O(1/MaxClusterLabelFiles) per tick.
+  /** FLOOR on the label-file count before [[updateClusters]] folds the
+    * clusters table into one fresh generation. Append-only ticks add ~1
+    * file per touched cp dir per tick and nothing else ever consolidates
+    * labels (compact() folds only the three ingest tables) — unbounded, a
+    * long trickle stream would recreate the tiny-file pathology the ingest
+    * compaction exists to prevent. The EFFECTIVE ceiling is
+    * max(this, 4 x session shuffle width): the fold's own staged write
+    * lands at ~shuffle-width files, so a fixed ceiling below what a fold
+    * can achieve would re-trigger a full table rewrite on EVERY tick on a
+    * wide session — the opposite of the amortized-O(1) intent.
     */
   val MaxClusterLabelFiles = 256
 
   private[graft] def maybeCompactClusterFiles(
       spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
-      workDir: String, ceiling: Int = MaxClusterLabelFiles): Unit = {
+      workDir: String, ceiling: Int = -1): Unit = {
     val clustersPath = s"$workDir/clusters"
+    val width =
+      try spark.conf.get("spark.sql.shuffle.partitions").toInt catch { case _: Exception => 200 }
+    val effCeiling =
+      if (ceiling >= 0) ceiling else math.max(MaxClusterLabelFiles, 4 * width)
     val dirs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$clustersPath/cp=*")))
       .map(_.toSeq).getOrElse(Seq.empty)
     val nFiles = dirs.map(d =>
       fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet"))).sum
-    if (nFiles <= ceiling) return
+    if (nFiles <= effCeiling) return
     System.err.println(
       s"[graft] updateClusters: folding $nFiles label files into one generation")
     writeClustersStaged(fs, workDir, rawClusters(spark, clustersPath))
