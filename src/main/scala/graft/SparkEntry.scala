@@ -49,9 +49,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- flagship MinHash/LSH dedup pipeline (reference parity ops) ----
     "q_minhash_signatures" -> ((s, dir) =>
+      // commits the FULL signature + band arrays: the committed arrays are
+      // the replay substrate for the whole flagship-path oracle chain
+      // (bands recomputed from signatures here; candidates/pairs/clusters/
+      // survivors re-derived from them downstream via @GRAFT_OUT@)
       MinHashPipeline.signatures(docsAsCorpus(s, dir), docCfg)
-        .toDF().select(col("doc_id"), size(col("signature")).as("sig_len"),
-          size(col("bands")).as("n_bands")).orderBy("doc_id")),
+        .toDF().select(col("doc_id"), col("signature"), col("bands"))
+        .orderBy("doc_id")),
     "q_lsh_candidates" -> ((s, dir) =>
       MinHashPipeline.candidates(
         MinHashPipeline.signatures(docsAsCorpus(s, dir), docCfg).toDF())
@@ -84,6 +88,11 @@ object SparkEntry {
       Dedup.exactDedup(documents(s, dir)).orderBy("doc_id")),
     "q_exact_dup_groups" -> ((s, dir) =>
       Dedup.exactDupGroups(documents(s, dir)).orderBy("content_sha")),
+    "q_simhash_fp" -> ((s, dir) =>
+      // committed 64-bit SimHash per doc: the replay substrate for
+      // q_simhash_pairs' oracle (its own oracle is completeness + echo —
+      // the VALUES are murmur-bound, pinned by KernelSpec golden vectors)
+      Dedup.simHashes(documents(s, dir)).orderBy("doc_id")),
     "q_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashPairs(documents(s, dir), maxHamming = 3).orderBy("doc1", "doc2")),
     "q_substring_dup" -> ((s, dir) =>
@@ -815,11 +824,236 @@ object SparkEntry {
         |  CASE WHEN n_tokens = 0 THEN 0.0
         |       ELSE CAST(sum_tok_len AS DOUBLE) / n_tokens END AS mean_token_len
         |FROM q ORDER BY doc_id""".stripMargin,
+    // ---- the flagship LSH replay chain (round 6): signature GENERATION is
+    // murmur-bound (ref-binary parity pins it), but everything downstream of
+    // the committed arrays is pure relational/bitwise arithmetic — so each
+    // stage's oracle re-derives it in DuckDB from the PREVIOUS stage's
+    // committed output via @GRAFT_OUT@ (the q_clean_tail layered pattern):
+    // signatures -> XOR band fold -> ∃-band candidates -> positional
+    // agreement + threshold -> recursive-CTE min-label CC -> survivor set.
     "q_minhash_signatures" ->
-      // sig_len / n_bands are config constants (docCfg: signatureSize=128,
-      // nBandRows=4 -> 32 bands) for EVERY doc incl. the Q3 short-doc case
-      """SELECT doc_id, 128 AS sig_len, 32 AS n_bands
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      // signature column is an echo (values parity-pinned elsewhere); the
+      // TEETH: bands recomputed from the committed signature via the Q4
+      // XOR fold (docCfg: 128 rows, r=4 -> 32 bands), element-exact
+      """WITH t AS (
+        |  SELECT doc_id, signature
+        |  FROM read_parquet('@GRAFT_OUT@/q_minhash_signatures/*.parquet'))
+        |SELECT doc_id, signature,
+        |  list_transform(generate_series(0, 31), b ->
+        |    CAST(xor(xor(signature[b*4+1], signature[b*4+2]),
+        |             xor(signature[b*4+3], signature[b*4+4])) AS INTEGER)) AS bands
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_lsh_candidates" ->
+      // ∃-band gate replay: unnest committed bands positionally, equi-join
+      // on (band_idx, band_hash), distinct doc1<doc2 — the exact candidate
+      // relation of the reference's is_candidate_pair
+      """WITH t AS (
+        |  SELECT doc_id, bands
+        |  FROM read_parquet('@GRAFT_OUT@/q_minhash_signatures/*.parquet')),
+        |x AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(bands, 1) AS band_idx,
+        |    unnest(bands) AS band_hash
+        |  FROM t)
+        |SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        |FROM x a JOIN x b
+        |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        | AND a.doc_id < b.doc_id
+        |ORDER BY doc1, doc2""".stripMargin,
+    "q_minhash_pairs" ->
+      // candidates (as above) -> positional signature agreement / 128 ->
+      // `>=` threshold 0.3; agreement counts are integer, /128.0 is an
+      // exact power-of-two division — bit-identical IEEE on both engines
+      """WITH t AS (
+        |  SELECT doc_id, signature, bands
+        |  FROM read_parquet('@GRAFT_OUT@/q_minhash_signatures/*.parquet')),
+        |x AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(bands, 1) AS band_idx,
+        |    unnest(bands) AS band_hash
+        |  FROM t),
+        |c AS (
+        |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        |  FROM x a JOIN x b
+        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        |   AND a.doc_id < b.doc_id),
+        |p AS (
+        |  SELECT c.doc1, c.doc2,
+        |    CAST(len(list_filter(generate_series(1, 128),
+        |      i -> s1.signature[i] = s2.signature[i])) AS DOUBLE) / 128.0 AS similarity
+        |  FROM c JOIN t s1 ON c.doc1 = s1.doc_id JOIN t s2 ON c.doc2 = s2.doc_id)
+        |SELECT doc1, doc2, similarity FROM p
+        |WHERE similarity >= 0.3 ORDER BY doc1, doc2""".stripMargin,
+    "q_minhash_clusters" ->
+      // min-label connected components replayed as a recursive-CTE
+      // transitive closure over the committed (verified) pair table;
+      // cluster_id = min doc_id reachable (singletons keep their own id)
+      """WITH RECURSIVE p AS (
+        |  SELECT doc1, doc2 FROM read_parquet('@GRAFT_OUT@/q_minhash_pairs/*.parquet')),
+        |e AS (SELECT doc1 AS a, doc2 AS b FROM p UNION SELECT doc2, doc1 FROM p),
+        |r AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+        |m AS (SELECT a AS doc_id, min(b) AS mn FROM r GROUP BY a)
+        |SELECT d.doc_id, CAST(least(d.doc_id, coalesce(m.mn, d.doc_id)) AS BIGINT) AS cluster_id
+        |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_corpus" ->
+      // survivor set = cluster representatives (doc_id == component min),
+      // re-derived INDEPENDENTLY from the committed pairs (not from the
+      // clusters output) so this oracle doesn't inherit a clusters bug
+      """WITH RECURSIVE p AS (
+        |  SELECT doc1, doc2 FROM read_parquet('@GRAFT_OUT@/q_minhash_pairs/*.parquet')),
+        |e AS (SELECT doc1 AS a, doc2 AS b FROM p UNION SELECT doc2, doc1 FROM p),
+        |r AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+        |m AS (SELECT a AS doc_id, min(b) AS mn FROM r GROUP BY a)
+        |SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS n_chars
+        |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+        |WHERE least(d.doc_id, coalesce(m.mn, d.doc_id)) = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_streaming_dedup" ->
+      // stream == batch: the incremental pipeline's final pair table must
+      // equal the (oracle-verified) batch pair table on the same corpus —
+      // values AND similarity doubles byte-identical
+      """SELECT doc1, doc2, similarity
+        |FROM read_parquet('@GRAFT_OUT@/q_minhash_pairs/*.parquet')
+        |ORDER BY doc1, doc2""".stripMargin,
+    "q_exact_jaccard_verify" ->
+      // exact Jaccard replay over the committed candidate pairs: distinct
+      // 3-shingles of Tokenizer-normalized tokens (the q_fingerprint
+      // normalization replay; string sets == 32-bit hash sets absent
+      // collisions — ~1e-4 at this scale); both-empty pairs (Q3 short-doc
+      // mutual dups) are 1.0 by definition
+      """WITH c AS (
+        |  SELECT doc1, doc2 FROM read_parquet('@GRAFT_OUT@/q_lsh_candidates/*.parquet')),
+        |tok AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(
+        |      regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+        |      x -> regexp_replace(lower(x), '[^a-z0-9]', '', 'g')), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+        |  FROM tok WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |i AS (
+        |  SELECT g1.doc_id AS doc1, g2.doc_id AS doc2, count(*) AS ni
+        |  FROM c JOIN g g1 ON g1.doc_id = c.doc1
+        |         JOIN g g2 ON g2.doc_id = c.doc2 AND g2.gram = g1.gram
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT c.doc1, c.doc2,
+        |    coalesce(sa.n, 0) AS na, coalesce(sb.n, 0) AS nb, coalesce(i.ni, 0) AS ni
+        |  FROM c
+        |  LEFT JOIN sz sa ON sa.doc_id = c.doc1
+        |  LEFT JOIN sz sb ON sb.doc_id = c.doc2
+        |  LEFT JOIN i ON i.doc1 = c.doc1 AND i.doc2 = c.doc2),
+        |f AS (
+        |  SELECT doc1, doc2,
+        |    CASE WHEN na + nb = 0 THEN CAST(1.0 AS DOUBLE)
+        |         ELSE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) END AS jaccard
+        |  FROM j)
+        |SELECT doc1, doc2, jaccard FROM f WHERE jaccard >= 0.3
+        |ORDER BY doc1, doc2""".stripMargin,
+    "q_simhash_fp" ->
+      // completeness + echo: exactly one fingerprint per document (the
+      // VALUES are murmur-bound — KernelSpec pins them; this oracle pins
+      // the row set so q_simhash_pairs' replay below stands on a verified
+      // substrate)
+      """SELECT d.doc_id, f.simhash
+        |FROM documents d
+        |JOIN read_parquet('@GRAFT_OUT@/q_simhash_fp/*.parquet') f ON d.doc_id = f.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_simhash_pairs" ->
+      // the 4-block pigeonhole guarantees every pair at Hamming <= 3 shares
+      // a block, so the operator's block-join output must equal the plain
+      // all-pairs Hamming filter over the committed fingerprints — replayed
+      // exhaustively here (O(n²) is fine at oracle scale)
+      """WITH f AS (
+        |  SELECT doc_id, simhash FROM read_parquet('@GRAFT_OUT@/q_simhash_fp/*.parquet'))
+        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc1, doc2""".stripMargin,
+    "q_substring_dup" ->
+      // full replay by exact window STRING (12 consecutive
+      // Tokenizer-normalized tokens; string classes == 64-bit rolling-hash
+      // classes absent collisions): per-doc DISTINCT windows, doc-freq cap
+      // <= 100, equi-join, distinct doc1<doc2
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(
+        |      regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+        |      x -> regexp_replace(lower(x), '[^a-z0-9]', '', 'g')), x -> x <> '') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(generate_series(1, len(toks) - 11),
+        |      i -> array_to_string(toks[i:i+11], ' ')))) AS win
+        |  FROM tok WHERE len(toks) >= 12),
+        |ok AS (SELECT win FROM w GROUP BY win HAVING count(*) <= 100),
+        |wf AS (SELECT w.doc_id, w.win FROM w JOIN ok ON w.win = ok.win)
+        |SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        |FROM wf a JOIN wf b ON a.win = b.win AND a.doc_id < b.doc_id
+        |ORDER BY doc1, doc2""".stripMargin,
+    "q_span_dedup" ->
+      // full replay of removeDuplicateSpans (minTokens=8, docFreq cut 20)
+      // by exact window string (the q_exact_spans conventions: class-trim +
+      // explicit-class split, 1-based inclusive slices, single-space
+      // reassembly) — but flag = doc-freq > 20 and excision hits EVERY
+      // occurrence (no keep-first). The Spark side's concat null-propagates
+      // for doc_id%3=0 NULL-text docs, and the operator maps NULL -> "";
+      // coalesce AFTER the injection mirrors that exactly.
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN 'shared leading span alpha beta gamma delta epsilon zeta eta ' || text
+        |         ELSE text END AS text
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(coalesce(text, ''), concat(' ', chr(9), chr(10), chr(11), chr(12), chr(13)))) = 0
+        |         THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(
+        |           trim(coalesce(text, ''), concat(' ', chr(9), chr(10), chr(11), chr(12), chr(13))),
+        |           '[ \t\n\x0b\f\r]+') END AS toks
+        |  FROM s),
+        |wn AS (
+        |  SELECT doc_id, u.i AS start, array_to_string(toks[u.i:u.i+7], ' ') AS win
+        |  FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |fl AS (
+        |  SELECT win FROM (SELECT win, count(DISTINCT doc_id) AS wdf FROM wn GROUP BY win)
+        |  WHERE wdf > 20),
+        |marked AS (
+        |  SELECT DISTINCT wn.doc_id, wn.start + o.off AS idx
+        |  FROM wn, unnest(generate_series(0, 7)) AS o(off)
+        |  WHERE wn.win IN (SELECT win FROM fl)),
+        |tr AS (
+        |  SELECT t.doc_id, u.i AS idx, toks[u.i] AS tok
+        |  FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+        |kept AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text
+        |  FROM (SELECT tr.doc_id, tr.idx, tr.tok
+        |        FROM tr LEFT JOIN marked m ON tr.doc_id = m.doc_id AND tr.idx = m.idx
+        |        WHERE m.doc_id IS NULL)
+        |  GROUP BY doc_id),
+        |rem AS (SELECT doc_id, count(*) AS n_removed FROM marked GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(k.clean_text, '') AS clean_text,
+        |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(rem.n_removed, 0) AS BIGINT) AS n_tokens_removed
+        |FROM t
+        |LEFT JOIN kept k ON t.doc_id = k.doc_id
+        |LEFT JOIN rem ON t.doc_id = rem.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "q_mm_frames" ->
       // mirrors Multimodal.synthesizeAssets (modality = video iff doc_id%3=2,
       // duration_ms = 1000 + (doc_id%60)*500) + sampleFramePlan (1 frame per

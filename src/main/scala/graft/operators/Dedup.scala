@@ -364,7 +364,12 @@ object Dedup {
     *
     * Text is whitespace-normalized on reassembly (tokens re-joined with
     * single spaces) — the standard C4 behavior; tokens keep their case
-    * and punctuation (raw `\s+` split, not the normalizing Tokenizer).
+    * and punctuation (the oracle-replayable class-trim + `\s+` split
+    * shared with [[removeExactDuplicateSpans]], not the normalizing
+    * Tokenizer) — so the q_span_dedup oracle can replay windows, the
+    * doc-frequency cut and reassembly by exact window STRING in DuckDB
+    * (string classes == 64-bit rolling-hash classes absent collisions,
+    * the operator's own stated false-positive budget).
     *
     * Scale shape: narrow window kernel (Spread), one (hash) groupBy for
     * document frequency, one equi-join of windows against the (tiny —
@@ -391,7 +396,7 @@ object Dedup {
       // notion of "duplicate span" must never drift apart
       val windows = base
         .flatMap { case (id, text) =>
-          val hashes = rollingWindowHashes(splitWs(text), minTokens)
+          val hashes = rollingWindowHashes(exactSpanToks(text), minTokens)
           Iterator.range(0, hashes.length).map(s => (id, s, hashes(s)))
         }
         .toDF("doc_id", "start", "window_hash")
@@ -415,7 +420,7 @@ object Dedup {
           .select(col("doc_id"), col("text"), coalesce(col("starts"), array()).as("starts"))
           .as[(Long, String, Seq[Int])]
           .mapPartitions(_.map { case (id, text, starts) =>
-            val toks = splitWs(text)
+            val toks = exactSpanToks(text)
             val keep = new Array[Boolean](toks.length)
             java.util.Arrays.fill(keep, true)
             starts.foreach { s =>
@@ -593,27 +598,16 @@ object Dedup {
     } finally { basePersisted.unpersist(); () }
   }
 
-  /** ORACLE-REPLAYABLE token split for [[removeExactDuplicateSpans]]:
-    * explicit 6-char class trim (TextAnalysis.wsClassTrim <-> DuckDB
-    * two-arg trim) + the `\s+` split — NOT [[splitWs]], whose Java trim
-    * strips all chars <= 0x20 and cannot be replayed in DuckDB. Object-
-    * level (not a local def) so executor closures reference the module
-    * statically instead of capturing it (Dedup is not Serializable).
+  /** ORACLE-REPLAYABLE token split shared by BOTH span operators
+    * ([[removeExactDuplicateSpans]] and [[removeDuplicateSpans]] — round 6
+    * aligned the latter off Java `String.trim`, whose <=0x20 stripping
+    * cannot be replayed in DuckDB): explicit 6-char class trim
+    * (TextAnalysis.wsClassTrim <-> DuckDB two-arg trim) + the `\s+` split.
+    * Object-level (not a local def) so executor closures reference the
+    * module statically instead of capturing it (Dedup is not Serializable).
     */
   private def exactSpanToks(text: String): Array[String] = {
     val t = graft.functions.TextAnalysis.wsClassTrim(if (text == null) "" else text)
-    if (t.isEmpty) Array.empty[String] else WsPattern.split(t)
-  }
-
-  /** Raw whitespace token split, Java-trim + `\s+` (case/punct preserved —
-    * reassembly tokens, unlike the normalizing [[graft.core.Tokenizer]]).
-    * NOT byte-identical to TextAnalysis.tokenCountWs on exotic leading
-    * whitespace: Java trim strips all chars <= 0x20 while Spark's trim
-    * strips only spaces, so counts can differ on e.g. tab-led text — do
-    * not build an oracle equating the two.
-    */
-  private def splitWs(text: String): Array[String] = {
-    val t = (if (text == null) "" else text).trim
     if (t.isEmpty) Array.empty[String] else WsPattern.split(t)
   }
 

@@ -128,26 +128,23 @@ object Similarity {
     *
     * Scale shape: the query batch is broadcast (small by definition); the
     * corpus side streams through a broadcast nested-loop scan — no shuffle
-    * of the corpus; one window per query partition for top-k. For
-    * corpus×corpus all-pairs use the LSH variant instead.
+    * of the corpus; top-k via the map-side-combining [[TopKAgg]] (same
+    * cosine-desc, nbr_id-asc tie-break the r4 Window formulation had —
+    * swapped in r6 so ALL THREE ANN variants share the one top-k path and
+    * PlanSpec's no-Window assertion covers them uniformly; the Window's
+    * all-rows sort per query partition was the last ANN sort at scale).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("nbr_id"), asDouble(col(vecCol)).as("nbr_vec"))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+    val c = corpus.select(col(idCol).cast("long").as("nbr_id"), asDouble(col(vecCol)).as("nbr_vec"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"), asDouble(col(vecCol)).as("q_vec"))
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("nbr_id"))
       .withColumn(
         "cosine",
         dot(col("q_vec"), col("nbr_vec")) / (norm(col("q_vec")) * norm(col("nbr_vec")))
       )
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("nbr_id").asc) // deterministic tie-break
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "nbr_id", "cosine")
+    topKPerQuery(scored, k)
   }
 
   /** PERSISTED (vid, vec, buckets) sketch table: the kernel output feeds the

@@ -140,12 +140,15 @@ class PlanSpec extends SparkSpec {
 
   test("ANN rerank plans carry no Window sort (TopKAgg partial-agg shape)") {
     // a row_number().over(Window) rerank shuffles AND SORTS every scored
-    // candidate row per query partition — both ANN variants must rerank
-    // through the map-side TopKAgg instead (lshTopK since r3, ivfTopK r5)
+    // candidate row per query partition — all three ANN variants must
+    // rerank through the map-side TopKAgg instead (lshTopK since r3,
+    // ivfTopK r5, bruteForceTopK r6)
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     Seq(
       "ivf" -> graft.operators.Similarity.ivfTopK(emb, k = 5, nCentroids = 8, nProbe = 4),
-      "lsh" -> graft.operators.Similarity.lshTopK(emb, k = 5, dim = 64)
+      "lsh" -> graft.operators.Similarity.lshTopK(emb, k = 5, dim = 64),
+      "brute" -> graft.operators.Similarity.bruteForceTopK(
+        emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 4), k = 5)
     ).foreach { case (name, q) =>
       val planStr = q.queryExecution.optimizedPlan.toString
       assert(!planStr.contains("Window"), s"$name rerank fell back to a Window: $planStr")
