@@ -845,14 +845,30 @@ object StreamingDedup {
     * resolved per doc by MIN label — exact, because a remap's new root is
     * its merged component's minimum (CC roots are minima), so
     * min(old_root, new_root) == new_root always.
+    *
+    * Completeness under the marker needs one more source (ADVICE r5): a
+    * crash between a removal-phase dir DELETE and its stage rename leaves
+    * that dir's keep-rows ONLY in the removal stage — min-resolving the
+    * table alone would silently drop those docs until the next heal. A
+    * COMPLETE stage (root _SUCCESS — the same gate [[healPendingApply]]
+    * salvages by) is therefore unioned into the resolve: stage rows are the
+    * post-removal content of their dirs, so for every crash state
+    * raw ∪ stage covers every doc and min() picks its final label (dual
+    * rows carry old-vs-new roots; new roots are minima). A stage without
+    * _SUCCESS never swapped anything — the table alone is complete.
     */
   def readClusters(spark: SparkSession, workDir: String): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(workDir), spark.sparkContext.hadoopConfiguration)
     val raw = rawClusters(spark, s"$workDir/clusters")
-    if (fs.exists(applyMarkerPath(workDir)))
-      raw.groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-    else raw
+    if (fs.exists(applyMarkerPath(workDir))) {
+      val stage = removalStagePath(workDir)
+      val withStage =
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$stage/_SUCCESS")))
+          raw.union(rawClusters(spark, stage.toString))
+        else raw
+      withStage.groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+    } else raw
   }
 
   /** Whole-table staged replace in the cp-partitioned layout, preserving
@@ -1301,6 +1317,89 @@ object StreamingDedup {
     * @param starCapBucketSize intra-batch LSH bucket star cap, threaded to
     *   [[processBatch]] — None = exact full-clique parity mode.
     */
+  /** Seed a streaming workDir from a completed BATCH dedup run, so a
+    * finished corpus-wide batch job (e.g. a 100 TB CheckpointedPipeline
+    * run) can continue INCREMENTALLY instead of re-signing its whole
+    * history through the stream: subsequent [[processBatch]] calls dedup
+    * new docs against the seeded signatures/bands exactly as they would
+    * against stream-ingested history.
+    *
+    * The batch tables are written as ONE consolidated generation
+    * (`batch_id=-1` in all three tables — the layout [[compact]] itself
+    * produces), with the per-table sort/prune columns recomputed here
+    * (bh_prefix on bands, did_prefix on signatures) so the history-scan
+    * row-group skipping works from the first streamed batch:
+    *   - bands are DERIVED from the signatures' band arrays (the caller
+    *     supplies only signatures + pairs)
+    *   - the `_max_folded_batch` manifest is NOT written: stream batch ids
+    *     start at 0 and a seeded manifest would veto them as replays
+    *   - the clusters table is NOT seeded: the first
+    *     [[updateClusters]]/[[clusterSnapshot]] tick does a full build over
+    *     generations + complete batches, which includes the seeded pairs —
+    *     exactly the first-tick path of a from-scratch stream
+    *
+    * Refuses to touch a LIVE streaming workDir (existing checkpoint,
+    * positive batch dirs, or clusters table); over a previous crashed or
+    * re-run bootstrap (only `batch_id=-1` generation dirs) it is
+    * idempotent — the Overwrite re-writes the generation.
+    *
+    * @param signatures (doc_id, signature, bands) — the batch pipeline's
+    *                   signatures table (MinHashPipeline.signatures /
+    *                   CheckpointedPipeline's signatures stage)
+    * @param pairs      (doc1, doc2, similarity) — the batch run's accepted
+    *                   dup pairs at the SAME config the stream will use
+    *                   (a config drift would make seeded and streamed
+    *                   similarities incomparable)
+    */
+  def bootstrap(spark: SparkSession, workDir: String,
+                signatures: DataFrame, pairs: DataFrame): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(workDir), spark.sparkContext.hadoopConfiguration)
+    Seq("doc_id", "signature", "bands").foreach(c => require(
+      signatures.columns.contains(c), s"bootstrap: signatures lacks column $c"))
+    Seq("doc1", "doc2", "similarity").foreach(c => require(
+      pairs.columns.contains(c), s"bootstrap: pairs lacks column $c"))
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$workDir/_stream_checkpoint")))
+      throw new IllegalStateException(
+        s"bootstrap: $workDir already carries a stream checkpoint — seeding " +
+          "under a live stream would fork its history; use a fresh workDir")
+    Seq("bands", "signatures", "pairs").foreach { t =>
+      val pos = positiveBatchIds(fs, s"$workDir/$t")
+      if (pos.nonEmpty)
+        throw new IllegalStateException(
+          s"bootstrap: $workDir/$t already holds streamed batches " +
+            s"(${pos.sorted.mkString(",")}) — bootstrap seeds only fresh workDirs")
+    }
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$workDir/clusters")))
+      throw new IllegalStateException(
+        s"bootstrap: $workDir/clusters exists — a labels table from another " +
+          "run would carry a watermark inconsistent with the seeded generation")
+    val sigs = signatures.select(
+      col("doc_id").cast("long"), col("signature"), col("bands"))
+    // identical shapes to compact()'s generation writes: sorted + pruned
+    // history from the very first streamed batch
+    sigs
+      .dropDuplicates("doc_id")
+      .withColumn("did_prefix",
+        pmod(col("doc_id"), lit(NumDocPrefixes.toLong)).cast("int"))
+      .repartitionByRange(col("did_prefix"))
+      .sortWithinPartitions("did_prefix")
+      .write.mode(SaveMode.Overwrite).parquet(s"$workDir/signatures/batch_id=-1")
+    MinHashPipeline.bandBuckets(sigs)
+      .withColumn("bh_prefix", pmod(col("band_hash"), lit(NumBandPrefixes)))
+      .select("doc_id", "band_idx", "band_hash", "bh_prefix")
+      .dropDuplicates("doc_id", "band_idx")
+      .repartitionByRange(col("bh_prefix"))
+      .sortWithinPartitions("bh_prefix")
+      .write.mode(SaveMode.Overwrite).parquet(s"$workDir/bands/batch_id=-1")
+    pairs.select(col("doc1").cast("long"), col("doc2").cast("long"),
+        col("similarity").cast("double"))
+      .dropDuplicates("doc1", "doc2")
+      .repartitionByRange(col("doc1"), col("doc2"))
+      .sortWithinPartitions("doc1", "doc2")
+      .write.mode(SaveMode.Overwrite).parquet(s"$workDir/pairs/batch_id=-1")
+  }
+
   def start(spark: SparkSession, inputDir: String, workDir: String,
             cfg: MinHashConfig,
             maintainEvery: Option[Int] = None,

@@ -705,6 +705,112 @@ class StreamingDedupSpec extends SparkSpec {
     assert(dupRows == 0L)
   }
 
+  test("bootstrap from a batch run: streamed batches dedup against seeded history; labels parity") {
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
+    val mk = (id: Long, salt: Int) =>
+      (id, s"bootstrap parity probe text $salt with plenty of words to shingle " * 3)
+    val histDocs = Seq(mk(10L, 1), mk(11L, 1), mk(12L, 2), mk(13L, 3))
+    val b1 = Seq(mk(20L, 1))            // dups a seeded cluster
+    val b2 = Seq(mk(21L, 2), mk(22L, 9)) // dups a seeded singleton + a new unique
+    // completed BATCH run over the history corpus
+    val histDF = histDocs.toDF("doc_id", "content")
+    val batchSigs = graft.operators.MinHashPipeline.signatures(histDF, cfg).toDF()
+    val batchPairs = graft.operators.MinHashPipeline.run(histDF, cfg)
+    val work = java.nio.file.Files.createTempDirectory("stream_bootstrap").toString
+    StreamingDedup.bootstrap(spark, work, batchSigs, batchPairs)
+    spark.catalog.clearCache() // run() caches its signatures
+    // seeded generation refuses to be clobbered once streamed batches exist
+    StreamingDedup.processBatch(spark, b1.toDF("doc_id", "content"), 0L, work, cfg)
+    intercept[IllegalStateException] {
+      StreamingDedup.bootstrap(spark, work, batchSigs, batchPairs)
+    }
+    StreamingDedup.processBatch(spark, b2.toDF("doc_id", "content"), 1L, work, cfg)
+    val seededLabels = StreamingDedup.updateClusters(spark, work)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // from-scratch stream over the SAME corpus (history as batch 0)
+    val work2 = java.nio.file.Files.createTempDirectory("stream_scratch").toString
+    StreamingDedup.processBatch(spark, histDF, 0L, work2, cfg)
+    StreamingDedup.processBatch(spark, b1.toDF("doc_id", "content"), 1L, work2, cfg)
+    StreamingDedup.processBatch(spark, b2.toDF("doc_id", "content"), 2L, work2, cfg)
+    val scratchLabels = StreamingDedup.updateClusters(spark, work2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seededLabels == scratchLabels, s"$seededLabels vs $scratchLabels")
+    assert(seededLabels(20L) == seededLabels(10L) && seededLabels(21L) == seededLabels(12L),
+      seededLabels.toString)
+    assert(seededLabels(22L) == 22L, seededLabels.toString)
+    // pair SETS agree too (cross-history pairs found against the seeded bands)
+    def pairSet(w: String) = spark.read.parquet(s"$w/pairs")
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(work) == pairSet(work2), s"${pairSet(work)} vs ${pairSet(work2)}")
+    // maintenance over the seeded layout: compact folds the generation +
+    // batches and a post-compact batch still dedups against history
+    StreamingDedup.compact(spark, work)
+    StreamingDedup.processBatch(spark, Seq(mk(30L, 3)).toDF("doc_id", "content"), 2L, work, cfg)
+    val after = StreamingDedup.updateClusters(spark, work)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after(30L) == after(13L), after.toString)
+  }
+
+  test("readClusters under the marker salvages a complete removal stage (no doc vanishes)") {
+    // The one crash window where the TABLE alone is incomplete (ADVICE r5):
+    // phase-2 deleted an affected old-root dir but crashed before renaming
+    // its stage copy in — the dir's keep-rows exist ONLY in the removal
+    // stage. readClusters must union a _SUCCESS-complete stage into the
+    // min-resolve instead of silently returning labels missing those docs.
+    val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
+    val work = java.nio.file.Files.createTempDirectory("stream_crash_removal").toString
+    val mk = (id: Long, salt: Int) =>
+      (id, s"removal stage probe text $salt with plenty of words to shingle " * 3)
+    // doc 26 shares cp dir 10 (26 % 16) with cluster 10's rows but is NOT
+    // part of the merge — it is the keep-row the crash strands in the stage
+    StreamingDedup.processBatch(spark,
+      Seq(mk(10L, 1), mk(11L, 1), mk(12L, 2), mk(26L, 3)).toDF("doc_id", "content"),
+      0L, work, cfg)
+    StreamingDedup.updateClusters(spark, work) // {10,11}->10, 12->12, 26->26
+    StreamingDedup.processBatch(spark,
+      Seq(mk(5L, 1)).toDF("doc_id", "content"), 1L, work, cfg) // merges {5,10,11}
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(work), spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$work/clusters/_apply_in_progress")
+    val o = fs.create(marker, false); o.write("10".getBytes("UTF-8")); o.close()
+    // append phase done: new-root dir holds the moved+new rows
+    val tmp = s"$work/_test_append"
+    Seq((10L, 5L), (11L, 5L), (5L, 5L)).toDF("doc_id", "cluster_id")
+      .coalesce(1).write.parquet(tmp)
+    val destDir = new org.apache.hadoop.fs.Path(s"$work/clusters/cp=5")
+    fs.mkdirs(destDir)
+    fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*")).foreach { f =>
+      require(fs.rename(f.getPath, new org.apache.hadoop.fs.Path(destDir, f.getPath.getName)))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // removal stage COMPLETE (root _SUCCESS), old dir already deleted:
+    // doc 26's only row now lives in the stage
+    val stage = new org.apache.hadoop.fs.Path(s"$work/_labels_removal_stage")
+    val tmp2 = s"$work/_test_stage"
+    Seq((26L, 26L)).toDF("doc_id", "cluster_id").coalesce(1).write.parquet(tmp2)
+    val stageDir = new org.apache.hadoop.fs.Path(stage, "cp=10")
+    fs.mkdirs(stageDir)
+    fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp2/part-*")).foreach { f =>
+      require(fs.rename(f.getPath, new org.apache.hadoop.fs.Path(stageDir, f.getPath.getName)))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp2), true)
+    fs.create(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"), true).close()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$work/clusters/cp=10"), true)
+    spark.catalog.refreshByPath(s"$work/clusters")
+    // readClusters recovers doc 26 from the stage and min-resolves the rest
+    val viewed = StreamingDedup.readClusters(spark, work)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viewed == Map(5L -> 5L, 10L -> 5L, 11L -> 5L, 12L -> 12L, 26L -> 26L),
+      viewed.toString)
+    // the heal converges the files to exactly the full-CC labels
+    val healed = StreamingDedup.updateClusters(spark, work)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(healed == Map(5L -> 5L, 10L -> 5L, 11L -> 5L, 12L -> 12L, 26L -> 26L),
+      healed.toString)
+    assert(!fs.exists(marker))
+    assert(!fs.exists(stage))
+  }
+
   test("updateClusters migrates a pre-partitioned-layout (flat) clusters table") {
     val cfg = MinHashConfig(shingleSize = 3, signatureSize = 64, nBandRows = 4, seed = 13, threshold = 0.8)
     val work = java.nio.file.Files.createTempDirectory("stream_flat_migrate").toString
