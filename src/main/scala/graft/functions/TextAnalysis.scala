@@ -246,106 +246,54 @@ object TextAnalysis {
     pivotCharFractions(docs, dupCovered, ns, n => s"dup_${n}gram_char_frac", idCol, textCol, "dupNgramCharFractions")
   }
 
-  /** BOTH n-gram repetition families in ONE kernel pass — the top-2/3/4
-    * fractions of [[topNgramCharFractions]] and the dup-5..10 fractions of
-    * [[dupNgramCharFractions]], column-identical to running the two
-    * operators separately (property-tested). One tokenize+gram-explode
-    * over n=2..10 (same total gram rows as the two separate passes, but
-    * ONE input scan), one (doc, n, gram) count exchange instead of two,
-    * one combined per-(doc, n) aggregation computing the argmin AND the
-    * duplicated-mass sum, one pivot. This is what CleanPipeline's Gopher
-    * gates call; the separate operators remain the single-family API (and
-    * the oracle surface).
+  /** BOTH n-gram repetition families in ONE DOC-LOCAL kernel pass — the
+    * top-2/3/4 fractions of [[topNgramCharFractions]] and the dup-5..10
+    * fractions of [[dupNgramCharFractions]], column-identical to running
+    * the two operators separately (property-tested, incl. constructed
+    * max-count-tie docs where only the lexicographic tie-break decides).
+    *
+    * Scale shape: both statistics are DOCUMENT-scoped — no count ever
+    * crosses documents — so the whole computation runs inside the per-doc
+    * map on the token array the tokenizer already holds: a reused
+    * open-addressed 64-bit-gram-hash tally per n, the argmax/tie-break and
+    * duplicated-mass folds, and the final divisions ([[graft.core.GramTally]]).
+    * ZERO exchange — the previous shape shuffled ~9 gram rows per token;
+    * this one moves nothing and needs no pivot or length join. Gram
+    * identity is hashed (same accepted 64-bit collision trade as
+    * substring-dup) with the pinned lexicographically-smallest-gram
+    * tie-break resolved locally in UTF-8 byte order, re-extracting strings
+    * only for tied-at-max classes. Per-task memory stays O(tokens of one
+    * doc) — the tokenizer's own bound. This is what CleanPipeline's Gopher
+    * gates call; the separate operators keep the independent exchange-based
+    * implementation as the API and DuckDB-oracle surface, so the parity
+    * property test compares two genuinely different implementations.
     */
   def ngramRepetitionFractions(docs: DataFrame, idCol: String = "doc_id",
                                textCol: String = "text"): DataFrame = {
-    val topNs = Seq(2, 3, 4)
-    val dupNs = Seq(5, 6, 7, 8, 9, 10)
-    val ns = topNs ++ dupNs
-    // HASHED exchange for the dup family (n=5..10): those rows dominate the
-    // kernel's output bytes by construction (~6 of 9 n values, the longest
-    // grams), and the dup-mass arithmetic — sum over cnt>=2 of cnt × len —
-    // needs only gram EQUALITY and LENGTH, so the exchange carries a 64-bit
-    // gram hash + the exact length instead of the gram string (and the
-    // kernel never builds those strings at all — string building was the
-    // measured hot spot, BENCHMARKS.md). Same accepted 64-bit collision
-    // trade as substring-dup; the string-keyed [[dupNgramCharFractions]]
-    // stays the oracle surface, and the one-pass == separate-operators
-    // property test pins the equality. The TOP family (n=2..4) keeps gram
-    // strings: its pinned tie-break is "lexicographically smallest gram",
-    // which no hash can reproduce — and its 2-4-token grams are the short
-    // ones anyway.
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.select(
       safeLongId(idCol, "ngramRepetitionFractions").as("doc_id"),
       col(textCol).cast("string").as("t"))
-    val grams = graft.operators.Spread(base)
+    graft.operators.Spread(base)
       .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val t = wsClassTrim(if (text == null) "" else text)
-        if (t.isEmpty) Iterator.empty
-        else {
-          val toks = graft.operators.Dedup.WsPattern.split(t)
-          val tokHash = new Array[Long](toks.length)
-          val tokLen = new Array[Int](toks.length)
-          var k = 0
-          while (k < toks.length) {
-            // two independent murmur2 passes -> one 64-bit token hash
-            tokHash(k) = (graft.core.Murmur2.hashString(toks(k), 0x9747b28c).toLong << 32) |
-              (graft.core.Murmur2.hashString(toks(k), 0x5bd1e995).toLong & 0xffffffffL)
-            // CODEPOINT count, not String.length: the pinned operators and
-            // their oracles measure gram length with Catalyst length()
-            // (code points) — Java's UTF-16 units would diverge on
-            // astral chars (surrogate pairs count 2)
-            tokLen(k) = toks(k).codePointCount(0, toks(k).length)
-            k += 1
-          }
-          val topRows = topNs.iterator.filter(toks.length >= _).flatMap { n =>
-            (0 to toks.length - n).iterator.map { i =>
-              val sb = new java.lang.StringBuilder
-              var j = 0
-              var len = n - 1
-              while (j < n) {
-                if (j > 0) sb.append(' ')
-                sb.append(toks(i + j)); len += tokLen(i + j); j += 1
-              }
-              (id, n, sb.toString, 0L, len)
-            }
-          }
-          val dupRows = dupNs.iterator.filter(toks.length >= _).flatMap { n =>
-            (0 to toks.length - n).iterator.map { i =>
-              // FNV-1a-style combine of the 64-bit token hashes: equal
-              // token sequences hash equal; joined-gram length is exact
-              // (codepoint token lengths + n-1 separator spaces)
-              var h = 0xcbf29ce484222325L
-              var len = n - 1
-              var j = 0
-              while (j < n) {
-                h = (h ^ tokHash(i + j)) * 0x100000001b3L
-                len += tokLen(i + j)
-                j += 1
-              }
-              (id, n, "", h, len)
-            }
-          }
-          topRows ++ dupRows
-        }
+      .map { case (id, text) =>
+        val raw = if (text == null) "" else text
+        val t = wsClassTrim(raw)
+        val masses =
+          if (t.isEmpty) new Array[Long](9)
+          else graft.core.GramTally.coveredMasses(graft.operators.Dedup.WsPattern.split(t))
+        // same base as pivotCharFractions: CODEPOINT length of the RAW
+        // (untrimmed) text; gram-less docs (or empty text) score 0.0
+        val totalChars = raw.codePointCount(0, raw.length)
+        def frac(i: Int): Double =
+          if (masses(i) == 0L || totalChars == 0) 0.0
+          else masses(i).toDouble / totalChars.toDouble
+        (id, frac(0), frac(1), frac(2), frac(3), frac(4), frac(5), frac(6), frac(7), frac(8))
       }
-      .toDF("doc_id", "n", "gram", "gram_hash", "gram_len")
-    val covered = grams.groupBy("doc_id", "n", "gram", "gram_hash")
-      .agg(count(lit(1)).as("cnt"), max("gram_len").as("gram_len"))
-      .groupBy("doc_id", "n")
-      .agg(
-        min(struct((-col("cnt")).as("neg_cnt"), col("gram").as("gram"),
-          col("gram_len").as("gram_len"))).as("top"),
-        sum(when(col("cnt") >= 2, col("cnt") * col("gram_len")).otherwise(0L)).as("dupcov"))
-      .select(col("doc_id"), col("n"),
-        when(col("n") <= 4, (-col("top.neg_cnt")) * col("top.gram_len"))
-          .otherwise(col("dupcov")).as("covered"))
-    pivotCharFractions(docs, covered, ns,
-      n => if (n <= 4) s"top_${n}gram_char_frac" else s"dup_${n}gram_char_frac",
-      idCol, textCol, "ngramRepetitionFractions")
+      .toDF(idCol, "top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
+        "dup_5gram_char_frac", "dup_6gram_char_frac", "dup_7gram_char_frac",
+        "dup_8gram_char_frac", "dup_9gram_char_frac", "dup_10gram_char_frac")
   }
 
   /** Gopher's remaining document-shape quality filters (beyond

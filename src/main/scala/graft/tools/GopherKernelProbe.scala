@@ -34,10 +34,35 @@ object GopherKernelProbe {
       val t0 = System.nanoTime(); val rows = f
       require(rows > 0); (System.nanoTime() - t0) / 1e9
     }
-    def onePass(): Double = time(TextAnalysis.ngramRepetitionFractions(docs).count())
+    // force the VALUES, not count(): a count() over the string ops' tail
+    // (left join against a distinct-keyed groupBy + pivot) lets Catalyst
+    // eliminate the entire gram pipeline, timing a no-op
+    def forceAll(df: org.apache.spark.sql.DataFrame): Long = {
+      val vals = df.columns.drop(1).map(c => org.apache.spark.sql.functions.sum(c))
+      df.agg(vals.head, vals.tail: _*).collect()
+      df.count()
+    }
+    def onePass(): Double = time(forceAll(TextAnalysis.ngramRepetitionFractions(docs)))
     def separate(): Double = time(
-      TextAnalysis.topNgramCharFractions(docs).count() +
-        TextAnalysis.dupNgramCharFractions(docs).count())
+      forceAll(TextAnalysis.topNgramCharFractions(docs)) +
+        forceAll(TextAnalysis.dupNgramCharFractions(docs)))
+    if (args.lift(2).contains("micro")) {
+      // single-thread GramTally on the driver: isolates the doc-local
+      // kernel's own cost from Spark plumbing (encoders, scheduling)
+      val texts = docs.limit(5000).collect().map(_.getString(1))
+      val tokss = texts.map(t => graft.operators.Dedup.WsPattern.split(
+        graft.functions.TextAnalysis.wsClassTrim(if (t == null) "" else t)))
+      println(s"micro docs=${tokss.length} avg_toks=${tokss.map(_.length).sum / tokss.length}")
+      println("plan: " + TextAnalysis.ngramRepetitionFractions(docs)
+        .queryExecution.executedPlan.toString.replace("\n", "\nplan: "))
+      (1 to reps + 1).foreach { r =>
+        val t0 = System.nanoTime()
+        var acc = 0L
+        tokss.foreach(ts => if (ts.length >= 2) acc += graft.core.GramTally.coveredMasses(ts)(0))
+        println(f"micro rep=$r sec=${(System.nanoTime() - t0) / 1e9}%.3f acc=$acc")
+      }
+      spark.stop(); return
+    }
     // warm both shapes once (codegen/JIT), then interleave measured reps
     onePass(); separate()
     val pairs = (1 to reps).map(_ => (onePass(), separate()))

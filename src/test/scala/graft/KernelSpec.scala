@@ -171,4 +171,29 @@ class KernelSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](MinHashConfig(signatureSize = 10, nBandRows = 4))
     assert(MinHashConfig(signatureSize = 100, nBandRows = 4).nBands == 25)
   }
+
+  test("GramTally.coveredMasses: hand-computed masses, ties, surrogate order") {
+    def m(s: String) = GramTally.coveredMasses(s.split(" "))
+    // "a b a b": bigrams "a b"x2 "b a"x1 -> top2 = 2*3; trigrams "a b a",
+    // "b a b" tie at 1 with equal len 5 -> 5; one 4-gram -> 7; no dup>=5
+    assert(m("a b a b").toSeq == Seq(6L, 5L, 7L, 0L, 0L, 0L, 0L, 0L, 0L))
+    // length-ambiguous tie at max: "a b"x2 and "longone longtwo"x2 both
+    // win on count; lexicographically smallest ("a b", len 3) decides
+    assert(m("a b a b longone longtwo longone longtwo")(0) == 2L * 3)
+    // dup family: "p q r s t" twice -> 2 * len 9 at n=5
+    assert(m("p q r s t p q r s t")(3) == 2L * 9)
+    // surrogate re-ranking in the tie-break: tokens [😀, a,
+    // bb]; candidates "😀 a" (len 4 CODEPOINTS) vs
+    // "a bb" (len 6). Code-point/UTF-8 order puts U+E000
+    // BELOW the astral 😀 (naive UTF-16 order would not) -> winner len 6
+    assert(m("😀 a bb")(0) == 6L)
+    // token-prefix boundary: candidates "ab abc" / "abc ab" / "ab xyzw"
+    // all tie at 1 with lens {6,6,7}; smallest is "ab abc" (separator
+    // 0x20 sorts below 'c' at the prefix boundary) -> len 6
+    assert(m("ab abc ab xyzw")(0) == 6L)
+    // codepoint lengths: astral chars count 1 ("😀 😀" len 3, counted 1x
+    // -> top2 = 3)
+    assert(m("😀 😁")(0) == 3L)
+    assert(GramTally.coveredMasses(Array("solo")).toSeq == Seq.fill(9)(0L))
+  }
 }

@@ -469,7 +469,26 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("ngramRepetitionFractions (one pass) == the two separate operators, exactly") {
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(150)
+    // parquet corpus + constructed docs that force the hashed top family's
+    // AMBIGUOUS path (a tie at the max count between grams of different
+    // lengths, where only the pinned lexicographic tie-break decides the
+    // covered length): doc 9001 ties "a b" vs "longone longtwo" at cnt=2;
+    // doc 9002 has NO repeated bigram at all (every gram ties at cnt=1,
+    // lengths differ -> the winner is the lexicographically smallest gram)
+    // doc 9003: the tied candidates "😀 a" (emoji first,
+    // len 4) and "a bb" (len 6) order DIFFERENTLY in UTF-16
+    // unit order (surrogate 0xD83D < 0xE000) vs code-point/UTF-8 order
+    // (U+E000 < U+1F600, which Spark's UTF8String and DuckDB both use) —
+    // pins the kernel's surrogate re-ranking. doc 9004 pins the
+    // token-prefix boundary (separator ' ' vs continuing token chars).
+    val ambiguityDocs = Seq(
+      (9001L, "a b a b longone longtwo longone longtwo"),
+      (9002L, "zebra quark be ax nmmm x"),
+      (9003L, "😀 a bb"),
+      (9004L, "ab abc ab xyzw")
+    ).toDF("doc_id", "text")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(150).select("doc_id", "text").union(ambiguityDocs)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getLong(0) -> (1 until r.length).map(r.getDouble)).toMap
     val combined = rows(TextAnalysis.ngramRepetitionFractions(docs))
