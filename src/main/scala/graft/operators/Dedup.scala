@@ -159,31 +159,35 @@ object Dedup {
     * negligible and can be re-verified by the exact-Jaccard stage.
     *
     * Returns the distinct (doc1, doc2) pair set (the DEFAULT,
-    * `existsMode = true`: the production gate needs only pairhood, and the
-    * count aggregation over the joined window rows is the operator's one
-    * quadratic-at-the-cap residual) — or (doc1, doc2, n_shared_windows)
-    * with `existsMode = false`, n_shared_windows counting DISTINCT window
-    * hashes present in both docs, for callers that demand the exact
-    * shared-window relation and accept ~cap²/2 joined rows per hot window.
+    * `existsMode = true`: the production gate needs only pairhood) — or
+    * (doc1, doc2, n_shared_windows) with `existsMode = false`,
+    * n_shared_windows counting DISTINCT window hashes present in both
+    * docs, for callers that demand the exact shared-window relation.
     *
-    * Residual skew note: the doc-freq cap bounds but does not eliminate the
-    * quadratic — a window at the cap still emits ~cap²/2 pairs on one join
-    * key. Because the output contract is the exact per-pair shared-window
-    * relation, a cluster-preserving star rewrite (as in
-    * MinHashPipeline.candidates) would change the semantics, not just the
-    * plan — so the default cap IS the pair budget: cap ~ sqrt(2 × accepted
-    * pairs per hot window); the default 100 bounds any one window's key
-    * group to ~5k joined rows (the previous 1000 allowed ~500k, a
-    * one-task straggler at scale). Raise it only with a measured budget, or
-    * pre-drop boilerplate with exact dedup first; AQE skew-join splitting
-    * handles the join-side imbalance either way.
+    * Skew shape: pair generation reuses the salted-clique machinery of
+    * MinHashPipeline's parity mode (the 64-bit window hash split into the
+    * streaming emitters' two-int key). Window groups up to `saltChunkSize`
+    * stream their exact clique from the sorted pass (memory O(group), no
+    * self-join); larger groups are split into hash-salted chunks whose
+    * chunk-PAIR groups emit across many tasks — a window at a raised cap
+    * no longer lands its whole ~wdf²/2 output on one key's task. Each
+    * shared window still emits every pair exactly once (within-chunk
+    * cliques + cross-chunk products partition the clique), so the count
+    * mode's per-pair relation is exact. The output volume itself remains
+    * quadratic per window by contract — the doc-freq cap IS the pair
+    * budget (default 100 ≈ 5k pairs per hot window); raise it only with a
+    * measured budget, or pre-drop boilerplate with exact dedup first.
     */
   def substringDupPairs(docs: DataFrame, minTokens: Int,
                         idCol: String = "doc_id", textCol: String = "text",
                         maxWindowDocFreq: Int = 100,
-                        existsMode: Boolean = true): DataFrame = {
+                        existsMode: Boolean = true,
+                        saltChunkSize: Int = 2048): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // the window hash is emitted pre-split into two ints: the streaming
+    // emitters key on (Int, Int), and a Column-side long->int cast would
+    // throw under ANSI (CLAUDE.md: hash arithmetic stays in kernels)
     val windows = Spread(docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
@@ -195,27 +199,46 @@ object Dedup {
           // shared window hashes
           val out = new scala.collection.mutable.LinkedHashSet[Long]
           hashes.foreach(out += _)
-          out.iterator.map(wh => (id, wh))
+          out.iterator.map(wh => ((wh >>> 32).toInt, wh.toInt, id))
         }
       }
-      .toDF("doc_id", "window_hash")
-      // pre-partitioned by the join key, then persisted: the doc-freq agg,
-      // the semi-join, and the a/b self-join are all window_hash-keyed —
-      // one shuffle building the cache serves all three (see the gram
-      // kernel's identical note)
-      .repartition(col("window_hash"))
-      // persisted: feeds the doc-freq agg AND both join sides (3 consumers)
+      .toDF("whi", "wlo", "doc_id")
+      // pre-partitioned by the window key, then persisted: the doc-freq
+      // agg and both emitter passes are window-keyed — one shuffle
+      // building the cache serves all consumers
+      .repartition(col("whi"), col("wlo"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // hot-window cap: a window shared by >maxWindowDocFreq docs (boilerplate)
-    // adds candidates quadratically but no discrimination — standard drop
-    val df = windows.groupBy("window_hash").agg(count(lit(1)).as("wdf"))
+    // adds candidates quadratically but no discrimination — standard drop.
+    // groupBy reuses the cache's partitioning (no second exchange).
+    val sizes = windows.groupBy("whi", "wlo").agg(count(lit(1)).as("wdf"))
       .filter(col("wdf") <= maxWindowDocFreq)
-    val filtered = windows.join(df.select("window_hash"), "window_hash")
-    val a = filtered.alias("a")
-    val b = filtered.alias("b")
-    val joined = a.join(b,
-      col("a.window_hash") === col("b.window_hash") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+    val small = windows
+      .join(sizes.filter(col("wdf") <= saltChunkSize), Seq("whi", "wlo"), "left_semi")
+      .select(col("whi"), col("wlo"), col("doc_id"))
+      .repartition(col("whi"), col("wlo"))
+      .sortWithinPartitions("whi", "wlo", "doc_id")
+      .as[(Int, Int, Long)]
+      .mapPartitions(rows => graft.core.BucketPairs.emit(rows, Int.MaxValue))
+      .toDF("doc1", "doc2")
+    val big = windows
+      .join(sizes.filter(col("wdf") > saltChunkSize), Seq("whi", "wlo"))
+      .withColumn("s", ceil(col("wdf").cast("double") / saltChunkSize).cast("int"))
+      .withColumn("chunk", pmod(xxhash64(col("doc_id")), col("s")).cast("int"))
+      .select(col("whi"), col("wlo"), col("doc_id"), col("s"), col("chunk"))
+      .as[(Int, Int, Long, Int, Int)]
+      .flatMap { case (whi, wlo, doc, s, chunk) =>
+        (0 until s).iterator.map { other =>
+          (whi, wlo, math.min(chunk, other), math.max(chunk, other), doc, chunk)
+        }
+      }
+      .toDF("whi", "wlo", "ci", "cj", "doc_id", "chunk")
+      .repartition(col("whi"), col("wlo"), col("ci"), col("cj"))
+      .sortWithinPartitions("whi", "wlo", "ci", "cj", "doc_id")
+      .as[(Int, Int, Int, Int, Long, Int)]
+      .mapPartitions(rows => graft.core.BucketPairs.emitChunkPairs(rows))
+      .toDF("doc1", "doc2")
+    val joined = small.union(big)
     if (existsMode) joined.distinct()
     else joined.groupBy("doc1", "doc2").agg(count(lit(1)).as("n_shared_windows"))
   }

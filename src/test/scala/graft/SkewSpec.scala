@@ -76,4 +76,30 @@ class SkewSpec extends SparkSpec {
     assert(cliquePairs == cliqueN.toLong * (cliqueN - 1) / 2)
     sigs.unpersist()
   }
+
+  test("substringDupPairs: hot window at the cap emits via salted chunks, exact relation") {
+    // 30 docs share ONE 6-token run (every other window is unique per doc):
+    // with saltChunkSize = 4 the shared window's group (wdf = 30 > 4) takes
+    // the chunk-pair path — its ~C(30,2) output is generated across chunk
+    // groups, no single window-key task — and the relation must stay EXACT:
+    // every pair once, n_shared_windows == 1.
+    val shared = "alpha bravo charlie delta echo foxtrot"
+    val d = (0 until 30).map(i => (i.toLong, s"$shared uniq${i}a uniq${i}b uniq${i}c"))
+      .toDF("doc_id", "text")
+    val chunked = graft.operators.Dedup.substringDupPairs(
+      d, minTokens = 6, existsMode = false, saltChunkSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(chunked.size == 30 * 29 / 2, chunked.size.toString)
+    assert(chunked.values.forall(_ == 1L), chunked.filter(_._2 != 1L).toString)
+    // parity vs the small (single-group streaming) path on the same corpus
+    val plain = graft.operators.Dedup.substringDupPairs(
+      d, minTokens = 6, existsMode = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(chunked == plain)
+    // exists mode agrees through the chunked path too
+    val exists = graft.operators.Dedup.substringDupPairs(
+      d, minTokens = 6, saltChunkSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exists == chunked.keySet)
+  }
 }
