@@ -328,6 +328,18 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
         .orderBy("query_id", "rank")
     }),
+    // The ANN replay chain (round 6, the flagship-LSH pattern): hyperplane
+    // bucket GENERATION is gaussian-bound (no DuckDB replay), so the sketch
+    // arrays are committed once (vnorm value-checked against the embeddings
+    // table; buckets/probes echoed) — and everything downstream IS
+    // SQL-replayable: the candidate equi-join from the committed arrays,
+    // then the cosine rerank from the committed candidates. Flips all three
+    // headline ANN queries from rows-only to hash-match.
+    "q_ann_sketch" -> ((s, dir) =>
+      Similarity.lshSketchFrame(embeddings(s, dir), dim = 64).orderBy("vid")),
+    "q_ann_lsh_cands" -> ((s, dir) =>
+      Similarity.lshCandidateIds(embeddings(s, dir), dim = 64)
+        .orderBy("query_id", "nbr_id")),
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(embeddings(s, dir), k = 5, dim = 64)
         .orderBy("query_id", "rank")),
@@ -340,6 +352,21 @@ object SparkEntry {
       // constant fraction.
       Similarity.ivfTopK(embeddings(s, dir), k = 5, nCentroids = 16, nProbe = 12)
         .orderBy("query_id", "rank")),
+    "q_ann_ivf_centroids" -> ((s, dir) =>
+      // lloyd-bound echo (driver-side FP refinement — the ANN analog of the
+      // murmur-bound signature values): committed so q_ann_ivf_cells'
+      // probe-ranking oracle has the centroid values; itself rows-only
+      Similarity.ivfCentroidsFrame(embeddings(s, dir), nCentroids = 16)
+        .orderBy("centroid_id")),
+    "q_ann_ivf_cells" -> ((s, dir) =>
+      Similarity.ivfCellsFrame(embeddings(s, dir), nCentroids = 16, nProbe = 12)
+        .orderBy("vid")),
+    "q_embed_sketch" -> ((s, dir) =>
+      Similarity.lshSketchFrame(embeddings(s, dir), dim = 64, nTables = 12, nProbes = 8)
+        .orderBy("vid")),
+    "q_embed_cands" -> ((s, dir) =>
+      Similarity.embedNearDupCandidateIds(embeddings(s, dir), dim = 64)
+        .orderBy("doc1", "doc2")),
     "q_embed_neardup" -> ((s, dir) =>
       // multiprobe defaults (12 tables, 8 bits): measured pair recall 0.94
       // at cosine>=0.4 vs 0.20 without multiprobe (RecallProbe)
@@ -1173,6 +1200,147 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, nbr_id, cosine FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // ---- the ANN replay chain: sketch arrays committed once (vnorm is the
+    // real value check — same ordered IEEE fold as list_dot_product;
+    // buckets/probes gaussian-bound echoes), then the candidate equi-join
+    // and the cosine rerank are re-derived in DuckDB from the committed
+    // stages, exactly like the flagship minhash chain above.
+    "q_ann_sketch" ->
+      """WITH s AS (
+        |  SELECT vid, buckets, probes
+        |  FROM read_parquet('@GRAFT_OUT@/q_ann_sketch/*.parquet')),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT s.vid, sqrt(list_dot_product(e.v, e.v)) AS vnorm, s.buckets, s.probes
+        |FROM s JOIN e ON e.vec_id = s.vid ORDER BY s.vid""".stripMargin,
+    "q_ann_lsh_cands" ->
+      // candidate replay: probe rows (table-major layout, 1 base + 4 flips
+      // per table -> table_idx = pos/5) equi-join base-bucket rows on
+      // (table_idx, bucket), directed vid != vid, distinct — the exact
+      // candidate relation lshTopK reranks
+      """WITH s AS (
+        |  SELECT vid, buckets, probes
+        |  FROM read_parquet('@GRAFT_OUT@/q_ann_sketch/*.parquet')),
+        |b AS (
+        |  SELECT vid, generate_subscripts(buckets, 1) - 1 AS table_idx,
+        |         unnest(buckets) AS bucket
+        |  FROM s),
+        |p AS (
+        |  SELECT vid, (generate_subscripts(probes, 1) - 1) // 5 AS table_idx,
+        |         unnest(probes) AS bucket
+        |  FROM s)
+        |SELECT DISTINCT p.vid AS query_id, b.vid AS nbr_id
+        |FROM p JOIN b
+        |  ON p.table_idx = b.table_idx AND p.bucket = b.bucket AND p.vid <> b.vid
+        |ORDER BY query_id, nbr_id""".stripMargin,
+    "q_ann_lsh" ->
+      // rerank replay over the committed candidates: cosine recomputed from
+      // the embeddings table (q_ann_topk proves the arithmetic bit-matches),
+      // row_number (cosine desc, nbr_id asc) == TopKAgg's tie-break
+      """WITH c AS (
+        |  SELECT query_id, nbr_id
+        |  FROM read_parquet('@GRAFT_OUT@/q_ann_lsh_cands/*.parquet')),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT c.query_id, c.nbr_id,
+        |    list_dot_product(q.v, n.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v)))
+        |      AS cosine
+        |  FROM c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.nbr_id),
+        |ranked AS (
+        |  SELECT query_id, nbr_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC)
+        |      AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, nbr_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivf_cells" ->
+      // probe-ranking replay: every vector ranks the COMMITTED centroids by
+      // dot/|v| (zero-norm -> 0.0), ties by centroid index; probes = the 12
+      // best, best first — verifying nearestCentroidsOf against DuckDB
+      """WITH cen AS (
+        |  SELECT centroid_id, centroid
+        |  FROM read_parquet('@GRAFT_OUT@/q_ann_ivf_centroids/*.parquet')),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT e.vec_id AS vid, cen.centroid_id,
+        |    CASE WHEN sqrt(list_dot_product(e.v, e.v)) = 0 THEN 0.0
+        |         ELSE list_dot_product(e.v, cen.centroid)
+        |              / sqrt(list_dot_product(e.v, e.v)) END AS s
+        |  FROM e CROSS JOIN cen),
+        |ranked AS (
+        |  SELECT vid, centroid_id,
+        |    row_number() OVER (PARTITION BY vid ORDER BY s DESC, centroid_id ASC) AS rk
+        |  FROM scored)
+        |SELECT vid, list(CAST(centroid_id AS INTEGER) ORDER BY rk) AS probes
+        |FROM ranked WHERE rk <= 12 GROUP BY vid ORDER BY vid""".stripMargin,
+    "q_ann_ivf" ->
+      // candidate + rerank replay from the committed cells: assignment =
+      // probes[1] (the nearest centroid), candidates = query probes x
+      // assigned lists, then the same cosine/row_number rerank as q_ann_lsh
+      """WITH cells AS (
+        |  SELECT vid, probes
+        |  FROM read_parquet('@GRAFT_OUT@/q_ann_ivf_cells/*.parquet')),
+        |a AS (SELECT vid AS nbr_id, probes[1] AS centroid_id FROM cells),
+        |p AS (SELECT vid AS query_id, unnest(probes) AS centroid_id FROM cells),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cand AS (
+        |  SELECT p.query_id, a.nbr_id
+        |  FROM p JOIN a ON p.centroid_id = a.centroid_id
+        |  WHERE a.nbr_id <> p.query_id),
+        |scored AS (
+        |  SELECT cand.query_id, cand.nbr_id,
+        |    list_dot_product(q.v, n.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v)))
+        |      AS cosine
+        |  FROM cand JOIN e q ON q.vec_id = cand.query_id
+        |            JOIN e n ON n.vec_id = cand.nbr_id),
+        |ranked AS (
+        |  SELECT query_id, nbr_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC)
+        |      AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, nbr_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "q_embed_sketch" ->
+      """WITH s AS (
+        |  SELECT vid, buckets, probes
+        |  FROM read_parquet('@GRAFT_OUT@/q_embed_sketch/*.parquet')),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT s.vid, sqrt(list_dot_product(e.v, e.v)) AS vnorm, s.buckets, s.probes
+        |FROM s JOIN e ON e.vec_id = s.vid ORDER BY s.vid""".stripMargin,
+    "q_embed_cands" ->
+      // near-dup candidate replay: 12 tables x (1 base + 8 blind flips) ->
+      // table_idx = pos/9; symmetric doc1 < doc2 form
+      """WITH s AS (
+        |  SELECT vid, buckets, probes
+        |  FROM read_parquet('@GRAFT_OUT@/q_embed_sketch/*.parquet')),
+        |b AS (
+        |  SELECT vid, generate_subscripts(buckets, 1) - 1 AS table_idx,
+        |         unnest(buckets) AS bucket
+        |  FROM s),
+        |p AS (
+        |  SELECT vid, (generate_subscripts(probes, 1) - 1) // 9 AS table_idx,
+        |         unnest(probes) AS bucket
+        |  FROM s)
+        |SELECT DISTINCT p.vid AS doc1, b.vid AS doc2
+        |FROM p JOIN b
+        |  ON p.table_idx = b.table_idx AND p.bucket = b.bucket AND p.vid < b.vid
+        |ORDER BY doc1, doc2""".stripMargin,
+    "q_embed_neardup" ->
+      // threshold replay over the committed candidates: exact cosine from
+      // the embeddings table, >= 0.4 gate — the full near-dup answer
+      """WITH c AS (
+        |  SELECT doc1, doc2
+        |  FROM read_parquet('@GRAFT_OUT@/q_embed_cands/*.parquet')),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT c.doc1, c.doc2,
+        |    list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        |      AS cosine
+        |  FROM c JOIN e a ON a.vec_id = c.doc1 JOIN e b ON b.vec_id = c.doc2)
+        |SELECT doc1, doc2, cosine FROM scored WHERE cosine >= 0.4
+        |ORDER BY doc1, doc2""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |       sum(l_quantity) AS sum_qty, min(l_extendedprice) AS min_price,

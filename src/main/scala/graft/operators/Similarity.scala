@@ -271,6 +271,70 @@ object Similarity {
         col("bucket"))
   }
 
+  /** Candidate-id frame off a sketch: probe side × bucket side equi-join on
+    * (table_idx, bucket), ids only. `lt` selects the symmetric pair form
+    * (vid < vid, near-dup) vs the directed form (vid ≠ vid, top-k). Shared
+    * by lshTopK / embeddingNearDupPairs AND the committed candidate queries
+    * (q_ann_lsh_cands / q_embed_cands) so the DuckDB replay oracle verifies
+    * EXACTLY the candidate relation the rerank consumed. NOT distinct —
+    * top-k dedups inside TopKAgg; callers needing the set add .distinct().
+    */
+  private def candIdsOf(sketch: DataFrame, useProbes: Boolean, nProbes: Int,
+                        lt: Boolean, nameA: String, nameB: String): DataFrame = {
+    val exploded = bucketIds(sketch)
+    val a = (if (useProbes) probeIds(sketch, nProbes) else exploded).alias("a")
+    val b = exploded.alias("b")
+    a.join(
+        b,
+        col("a.table_idx") === col("b.table_idx") &&
+          col("a.bucket") === col("b.bucket") &&
+          (if (lt) col("a.vid") < col("b.vid") else col("a.vid") =!= col("b.vid"))
+      )
+      .select(col("a.vid").as(nameA), col("b.vid").as(nameB))
+  }
+
+  /** The hyperplane sketch as a committable frame (vid, vnorm, buckets,
+    * probes) — the ANN analog of q_minhash_signatures' committed signature
+    * arrays: vnorm is DuckDB-recomputable from the embeddings table (same
+    * ordered IEEE fold as list_dot_product), buckets/probes are
+    * gaussian-bound echoes whose TEETH come from the downstream
+    * candidate-replay oracles. Deterministic in (seed, dim, nTables,
+    * bandBits, nProbes), partition-invariant.
+    */
+  def lshSketchFrame(corpus: DataFrame, dim: Int, nTables: Int = 24, bandBits: Int = 8,
+                     seed: Long = 42L, multiProbe: Boolean = true, nProbes: Int = 4,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probeFan = if (multiProbe && nProbes > 0) nProbes else 0
+    sketchRows(corpus, dim, nTables, bandBits, seed, idCol, vecCol, probeFan)
+      .select("vid", "vnorm", "buckets", "probes")
+  }
+
+  /** The DISTINCT directed candidate set lshTopK reranks, ids only —
+    * committable so the rerank tail is DuckDB-replayable (q_ann_lsh's
+    * oracle recomputes cosine top-k over exactly these pairs).
+    */
+  def lshCandidateIds(corpus: DataFrame, dim: Int, nTables: Int = 24, bandBits: Int = 8,
+                      seed: Long = 42L, multiProbe: Boolean = true, nProbes: Int = 4,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val useProbes = multiProbe && nProbes > 0
+    val probeFan = if (useProbes) nProbes else 0
+    val sketch = sketchRows(corpus, dim, nTables, bandBits, seed, idCol, vecCol, probeFan)
+    candIdsOf(sketch, useProbes, nProbes, lt = false, "query_id", "nbr_id").distinct()
+  }
+
+  /** The DISTINCT symmetric (doc1 < doc2) candidate set
+    * embeddingNearDupPairs thresholds — same commit-for-replay purpose.
+    */
+  def embedNearDupCandidateIds(corpus: DataFrame, dim: Int, nTables: Int = 12,
+                               bandBits: Int = 8, seed: Long = 42L,
+                               multiProbe: Boolean = true, nProbes: Int = 8,
+                               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val useProbes = multiProbe && nProbes > 0
+    val probeFan = if (useProbes) nProbes else 0
+    val sketch = sketchRows(corpus, dim, nTables, bandBits, seed, idCol, vecCol, probeFan)
+    candIdsOf(sketch, useProbes, nProbes, lt = true, "doc1", "doc2").distinct()
+  }
+
   /** LSH-bucketed ANN: candidates = vectors sharing at least one of
     * `nTables` hyperplane-sketch buckets (bandBits bits each), then exact
     * cosine rerank and per-query top-k. Recall tunes with nTables/bandBits;
@@ -295,28 +359,18 @@ object Similarity {
     val useProbes = multiProbe && nProbes > 0
     val probeFan = if (useProbes) nProbes else 0
     val sketch = sketchRows(corpus, dim, nTables, bandBits, seed, idCol, vecCol, probeFan)
-    val exploded = bucketIds(sketch)
-    // candidate pairs carry IDS ONLY through the bucket join + distinct —
+    // candidate pairs carry IDS ONLY through the bucket join —
     // shuffling the vector payloads through dropDuplicates costs ~1000x the
     // bytes (measured 108 s -> ~2 s on 2k vectors / 1M candidate rows).
     // Vectors join back once per side afterwards, off the persisted sketch.
-    val a = (if (useProbes) probeIds(sketch, nProbes) else exploded).alias("a")
-    val b = exploded.alias("b")
-    // NO distinct here: a pair hit through several tables/probes flows
+    // NO distinct: a pair hit through several tables/probes flows
     // through the (broadcast) vector join-backs more than once, and the
     // dedup-aware TopKAgg drops the duplicates inside the map-side partial
     // aggregation — measured cheaper than a dedicated distinct shuffle of
     // the full candidate volume. (At corpus sizes where the vector
     // join-back itself must shuffle, re-introduce an ids-only distinct
     // first — the trade flips when candidate payload bytes dominate.)
-    val candIds = a
-      .join(
-        b,
-        col("a.table_idx") === col("b.table_idx") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.vid") =!= col("b.vid")
-      )
-      .select(col("a.vid").as("query_id"), col("b.vid").as("nbr_id"))
+    val candIds = candIdsOf(sketch, useProbes, nProbes, lt = false, "query_id", "nbr_id")
     val vecs = sketch.select(col("vid"), col("vec"), col("vnorm"))
     val scored = candIds
       .join(vecs.select(col("vid").as("query_id"), col("vec").as("q_vec"),
@@ -356,6 +410,63 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
               lloydIters: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (base, centroids) = ivfIndex(corpus, nCentroids, lloydIters, idCol, vecCol)
+
+    val assigned = base
+      .mapPartitions(_.map { case (vid, v) => (vid, v, nearestCentroidsOf(v, centroids, 1)(0)) })
+      .toDF("nbr_id", "nbr_vec", "centroid_id")
+    val probes = base
+      .mapPartitions(_.flatMap { case (vid, v) =>
+        nearestCentroidsOf(v, centroids, nProbe).iterator.map(c => (vid, v, c))
+      })
+      .toDF("query_id", "q_vec", "centroid_id")
+    val scored = probes
+      .join(assigned, "centroid_id")
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn(
+        "cosine",
+        dot(col("q_vec"), col("nbr_vec")) / (norm(col("q_vec")) * norm(col("nbr_vec")))
+      )
+    // Rerank through TopKAgg (map-side partial top-k), not a Window: IVF at
+    // production scale probes nProbe lists × corpus fraction — the same
+    // candidate-volume regime where lshTopK replaced row_number().over(...)
+    // because the window shuffles AND SORTS every scored row per query
+    // partition. Identical output contract (cosine desc, nbr_id asc
+    // tie-break); the agg's dedup guard is a no-op here since each nbr
+    // lives in exactly one centroid list.
+    topKPerQuery(scored, k)
+  }
+
+  /** Per-vector probe ranking against a centroid array: centroid indices by
+    * (cosine desc, index asc). Static so ivfTopK and the committable
+    * cells/centroids frames share one ranking definition — and so the
+    * DuckDB replay oracle (rank centroids by dot/|v| with row_number) is
+    * verifying THE function the query used. Zero-norm vectors score 0.0
+    * against every centroid (tie-broken by index).
+    */
+  private[operators] def nearestCentroidsOf(v: Array[Double],
+                                            centroids: Array[Array[Double]],
+                                            m: Int): Array[Int] = {
+    val nv = math.sqrt(v.map(x => x * x).sum)
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      while (j < v.length) { d += v(j) * c(j); j += 1 }
+      (if (nv == 0) 0.0 else d / nv, i)
+    }
+    scored.sortBy { case (s, i) => (-s, i) }.take(m).map(_._2)
+  }
+
+  /** Shared IVF index build: the persisted typed base frame plus the
+    * deterministic driver-side centroids (hash-ordered sample collect +
+    * `lloydIters` spherical-Lloyd passes — see [[ivfTopK]]'s scale notes
+    * for why refinement is driver-side). Caller owns the base persist.
+    */
+  private def ivfIndex(corpus: DataFrame, nCentroids: Int, lloydIters: Int,
+                       idCol: String, vecCol: String):
+      (org.apache.spark.sql.Dataset[(Long, Array[Double])], Array[Array[Double]]) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val base = Spread(
@@ -409,41 +520,44 @@ object Similarity {
       }
     }
     val centroids = (0 until math.max(0, lloydIters)).foldLeft(seeds)((cs, _) => refine(cs))
+    (base, centroids)
+  }
 
-    def nearestCentroids(v: Array[Double], m: Int): Array[Int] = {
-      val nv = math.sqrt(v.map(x => x * x).sum)
-      val scored = centroids.zipWithIndex.map { case (c, i) =>
-        var d = 0.0
-        var j = 0
-        while (j < v.length) { d += v(j) * c(j); j += 1 }
-        (if (nv == 0) 0.0 else d / nv, i)
-      }
-      scored.sortBy { case (s, i) => (-s, i) }.take(m).map(_._2)
-    }
+  /** The refined IVF centroids as a committable frame (centroid_id,
+    * centroid) — lloyd-bound (driver-side FP refinement is not
+    * SQL-replayable), committed so q_ann_ivf_cells' probe-ranking oracle
+    * has the centroid VALUES to rank against; the echo itself is
+    * rows-only, exactly like the murmur-bound signature column.
+    */
+  def ivfCentroidsFrame(corpus: DataFrame, nCentroids: Int = 16, lloydIters: Int = 2,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (base, centroids) = ivfIndex(corpus, nCentroids, lloydIters, idCol, vecCol)
+    base.unpersist()
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("centroid_id", "centroid")
+  }
 
-    val assigned = base
-      .mapPartitions(_.map { case (vid, v) => (vid, v, nearestCentroids(v, 1)(0)) })
-      .toDF("nbr_id", "nbr_vec", "centroid_id")
-    val probes = base
-      .mapPartitions(_.flatMap { case (vid, v) =>
-        nearestCentroids(v, nProbe).iterator.map(c => (vid, v, c))
+  /** Per-vector probe ranking as a committable frame (vid, probes):
+    * probes = the vector's nProbe nearest centroid ids, best first;
+    * probes[0] doubles as the vector's LIST ASSIGNMENT (nearest centroid),
+    * so this one table determines the entire IVF candidate relation —
+    * q_ann_ivf's oracle re-derives candidates (probe × assignment join) and
+    * the cosine rerank from it, and this frame's own oracle re-ranks the
+    * committed centroids against the embeddings table in DuckDB.
+    */
+  def ivfCellsFrame(corpus: DataFrame, nCentroids: Int = 16, nProbe: Int = 4,
+                    lloydIters: Int = 2,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (base, centroids) = ivfIndex(corpus, nCentroids, lloydIters, idCol, vecCol)
+    base
+      .mapPartitions(_.map { case (vid, v) =>
+        (vid, nearestCentroidsOf(v, centroids, nProbe))
       })
-      .toDF("query_id", "q_vec", "centroid_id")
-    val scored = probes
-      .join(assigned, "centroid_id")
-      .filter(col("query_id") =!= col("nbr_id"))
-      .withColumn(
-        "cosine",
-        dot(col("q_vec"), col("nbr_vec")) / (norm(col("q_vec")) * norm(col("nbr_vec")))
-      )
-    // Rerank through TopKAgg (map-side partial top-k), not a Window: IVF at
-    // production scale probes nProbe lists × corpus fraction — the same
-    // candidate-volume regime where lshTopK replaced row_number().over(...)
-    // because the window shuffles AND SORTS every scored row per query
-    // partition. Identical output contract (cosine desc, nbr_id asc
-    // tie-break); the agg's dedup guard is a no-op here since each nbr
-    // lives in exactly one centroid list.
-    topKPerQuery(scored, k)
+      .toDF("vid", "probes")
   }
 
   /** Driver-side exact cosine-threshold pairs over a small collected vector
@@ -489,7 +603,6 @@ object Similarity {
     val useProbes = multiProbe && nProbes > 0
     val probeFan = if (useProbes) nProbes else 0
     val sketch = sketchRows(corpus, dim, nTables, bandBits, seed, idCol, vecCol, probeFan)
-    val exploded = bucketIds(sketch)
     // multiprobe matters MORE here than for top-k: near-dup thresholds like
     // cosine 0.4 are far pairs (per-hyperplane agreement ~0.63), where exact
     // bucket collision is rare (p^bits) — measured recall 0.20 without
@@ -497,16 +610,7 @@ object Similarity {
     // Default nProbes = bandBits (all flips = blind Hamming-1 probing):
     // far pairs don't concentrate their disagreements in the low-margin
     // bits the way near neighbors do, so the full fan earns its cost here.
-    val a = (if (useProbes) probeIds(sketch, nProbes) else exploded).alias("a")
-    val b = exploded.alias("b")
-    val candIds = a
-      .join(
-        b,
-        col("a.table_idx") === col("b.table_idx") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.vid") < col("b.vid")
-      )
-      .select(col("a.vid").as("doc1"), col("b.vid").as("doc2"))
+    val candIds = candIdsOf(sketch, useProbes, nProbes, lt = true, "doc1", "doc2")
       .distinct()
     val vecs = sketch.select(col("vid"), col("vec"), col("vnorm"))
     val pairs = candIds

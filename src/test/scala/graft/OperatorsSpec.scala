@@ -243,6 +243,70 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("committed ANN candidate frames reproduce the query results (oracle-replay parity)") {
+    // the Scala-side mirror of the q_ann_lsh / q_ann_ivf / q_embed_neardup
+    // DuckDB oracles: the PUBLIC committable frames (lshCandidateIds,
+    // ivfCellsFrame/ivfCentroidsFrame, embedNearDupCandidateIds) must
+    // determine exactly the answers the internal paths produce — a drift
+    // between the exposed candidate relation and the one the rerank
+    // consumed would silently hollow out the replay oracles
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val vecs = e.select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def rerank(cands: Map[Long, Seq[Long]], k: Int): Set[(Long, Int, Long)] =
+      cands.flatMap { case (q, ns) =>
+        ns.map(n => (n, cosine(vecs(q), vecs(n))))
+          .sortBy { case (n, c) => (-c, n) }.take(k).zipWithIndex
+          .map { case ((n, _), i) => (q, i + 1, n) }
+      }.toSet
+
+    // LSH: local rerank of the committed candidates == lshTopK
+    val lshCands = Similarity.lshCandidateIds(e, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .groupBy(_._1).map { case (q, ps) => (q, ps.map(_._2)) }
+    val lshGot = Similarity.lshTopK(e, k = 5, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rerank(lshCands, 5) == lshGot)
+
+    // IVF: candidates derived from the committed cells (assignment =
+    // probes.head, probe x assignment join) rerank to ivfTopK; and the
+    // cells' probe ranking must match a local re-rank of the committed
+    // centroids (what the DuckDB cells oracle does)
+    val cells = Similarity.ivfCellsFrame(e, nCentroids = 16, nProbe = 12).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toArray)).toMap
+    val assignedOf = cells.map { case (vid, probes) => (vid, probes.head) }
+    val byList = assignedOf.groupBy(_._2).map { case (c, m) => (c, m.keys.toSeq) }
+    val ivfCands = cells.map { case (q, probes) =>
+      (q, probes.toSeq.flatMap(c => byList.getOrElse(c, Seq.empty)).filter(_ != q))
+    }
+    val ivfGot = Similarity.ivfTopK(e, k = 5, nCentroids = 16, nProbe = 12).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rerank(ivfCands, 5) == ivfGot)
+    val centroids = Similarity.ivfCentroidsFrame(e, nCentroids = 16).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1).map(_._2)
+    cells.foreach { case (vid, probes) =>
+      val v = vecs(vid)
+      val nv = math.sqrt(v.map(x => x * x).sum)
+      val expect = centroids.zipWithIndex
+        .map { case (c, i) => (if (nv == 0) 0.0 else c.zip(v).map(p => p._1 * p._2).sum / nv, i) }
+        .sortBy { case (s, i) => (-s, i) }.take(12).map(_._2)
+      assert(probes.toSeq == expect.toSeq, s"vid=$vid")
+    }
+
+    // near-dup: thresholding the committed symmetric candidates == pairs
+    val nearCands = Similarity.embedNearDupCandidateIds(e, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nearGot = Similarity.embeddingNearDupPairs(e, minCosine = 0.4, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nearCands.filter { case (a, b) => cosine(vecs(a), vecs(b)) >= 0.4 } == nearGot)
+    spark.catalog.clearCache()
+  }
+
   test("token counts: ws vs bpe-ish") {
     val df = Seq((0L, "hello world"), (1L, "don't stop-me now!"), (2L, ""), (3L, "  "))
       .toDF("doc_id", "text")
