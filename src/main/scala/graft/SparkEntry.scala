@@ -215,11 +215,46 @@ object SparkEntry {
           documents(s, dir).select(col("doc_id"), injected.as("text")))
         .orderBy("doc_id")
     }),
+    // The clean-pipeline replay chain (round 6): the two kernel-bound
+    // artifacts of the composed recipe — the near-dup input's signatures
+    // (murmur-bound values) and the semantic sketch (gaussian-bound
+    // buckets) — are committed once; everything else in the recipe is
+    // SQL: DuckDB re-derives stages 1-4 from `documents` (boiler-strip,
+    // quality gate, PII redact, exact dedup: q_clean_signatures' oracle
+    // pins the survivor SET + the band fold), then candidates (star-cap
+    // rule), similarity pairs, semantic cosine pairs, recursive-CTE CC,
+    // representatives and the split/shard tail (q_clean_pipeline's
+    // oracle) — flipping the composed recipe itself to hash-match.
+    "q_clean_signatures" -> ((s, dir) => {
+      val cfg = CleanPipeline.Config(maxLineDocFreq = 20L, tokensPerShard = 50000L)
+      MinHashPipeline.signatures(
+          CleanPipeline.nearDupInputs(
+              documents(s, dir).select(col("doc_id"), col("text")), cfg)
+            .select(col("doc_id"), col("text").as("content")),
+          cfg.minhash)
+        .toDF().select(col("doc_id"), col("signature"), col("bands"))
+        .orderBy("doc_id")
+    }),
+    "q_clean_embsketch" -> ((s, dir) => {
+      // the semantic arm's sketch over SURVIVOR embeddings at
+      // withSemanticPairs' exact config (embeddingNearDupPairs defaults:
+      // 12 tables x 8 bits, seed 42, blind nProbes = bandBits = 8)
+      val cfg = CleanPipeline.Config(maxLineDocFreq = 20L, tokensPerShard = 50000L)
+      val surv = CleanPipeline.nearDupInputs(
+        documents(s, dir).select(col("doc_id"), col("text")), cfg)
+      val emb = embeddings(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+          size(col("embedding")) > 0)
+        .join(surv.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      Similarity.lshSketchFrame(emb, dim = 64, nTables = 12, nProbes = 8)
+        .orderBy("vid")
+    }),
     "q_clean_pipeline" -> ((s, dir) => {
       // the COMPOSED C4-style recipe (boiler-lines -> quality -> PII ->
-      // exact dedup -> near-dup dedup -> split+shards); cluster-dependent
-      // output => murmur-bound, rows-only check (each stage has its own
-      // oracle/parity pin)
+      // exact dedup -> near-dup dedup -> split+shards); hash-matched via
+      // the committed-artifact replay above (each stage ALSO has its own
+      // standalone oracle/parity pin)
       val (out, _) = CleanPipeline.run(
         documents(s, dir).select(col("doc_id"), col("text")),
         CleanPipeline.Config(maxLineDocFreq = 20L, tokensPerShard = 50000L),
@@ -440,6 +475,55 @@ object SparkEntry {
           min("value").as("min_value"), max("value").as("max_value"))
         .orderBy("event_type"))
   )
+
+  /** The cleaning recipe's stages 1-4 re-derived from `documents` as a
+    * DuckDB CTE fragment ending in `surv(doc_id, rtext)` — the SQL mirror
+    * of [[graft.operators.CleanPipeline.nearDupInputs]] at the driver
+    * config (maxLineDocFreq 20, minTokens 5, maxPunctRatio 0.5, no
+    * gopher): boiler-line strip (q_line_dedup's proven SQL), quality gate
+    * (q_quality's), PII redact (q_redact's), exact dedup (min doc_id per
+    * distinct redacted text). Shared by the three clean-replay oracles
+    * below via string concatenation (PLAIN triple quotes: the \x0b class
+    * must never meet the s-interpolator — CLAUDE.md).
+    */
+  private val cleanSurvCtes: String =
+    """l AS (
+      |  SELECT doc_id,
+      |    generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+      |    unnest(string_split(text, chr(10))) AS line
+      |  FROM documents),
+      |bl AS (
+      |  SELECT line FROM (
+      |    SELECT line, count(DISTINCT doc_id) AS ldf FROM l
+      |    WHERE length(trim(line)) >= 10 GROUP BY line)
+      |  WHERE ldf > 20),
+      |st1 AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+      |  FROM l
+      |  WHERE NOT (length(trim(line)) >= 10 AND line IN (SELECT line FROM bl))
+      |  GROUP BY doc_id),
+      |q0 AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END
+      |      AS n_tokens,
+      |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \t\n\x0b\f\r]', '', 'g'))
+      |      AS n_punct
+      |  FROM st1),
+      |st2 AS (
+      |  SELECT doc_id, text FROM q0
+      |  WHERE n_tokens >= 5
+      |    AND (CASE WHEN length(text) = 0 THEN 0.0
+      |         ELSE CAST(n_punct AS DOUBLE) / length(text) END) <= 0.5),
+      |st3 AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+      |      '\b[0-9]{13,19}\b', '<NUM>', 'g') AS rtext
+      |  FROM st2),
+      |kmin AS (SELECT min(doc_id) AS doc_id FROM st3 GROUP BY rtext),
+      |surv AS (SELECT s3.doc_id, s3.rtext FROM st3 s3 JOIN kmin k ON s3.doc_id = k.doc_id)""".stripMargin
 
   /** DuckDB oracles for the SQL-expressible queries. Column names match the
     * Spark side exactly (driver hash-compares after sorting columns by
@@ -712,6 +796,137 @@ object SparkEntry {
         |  WHERE NOT (length(trim(line)) >= 10 AND line IN (SELECT line FROM b)))
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_clean_signatures" ->
+      // survivor-SET teeth: the doc universe is re-derived from `documents`
+      // through all four SQL stages (a missing/extra committed row breaks
+      // the LEFT-join hash/count); band teeth: the Q4 XOR fold recomputed
+      // from the committed signature (128 rows, r=4 -> 32 bands). The
+      // signature VALUES are murmur-bound echoes (reference-binary parity
+      // pins them), exactly like q_minhash_signatures.
+      ("WITH " + cleanSurvCtes + "," +
+       """
+        |sg AS (
+        |  SELECT doc_id, signature
+        |  FROM read_parquet('@GRAFT_OUT@/q_clean_signatures/*.parquet'))
+        |SELECT s.doc_id, g.signature,
+        |  list_transform(generate_series(0, 31), b ->
+        |    CAST(xor(xor(g.signature[b*4+1], g.signature[b*4+2]),
+        |             xor(g.signature[b*4+3], g.signature[b*4+4])) AS INTEGER)) AS bands
+        |FROM surv s LEFT JOIN sg g ON g.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin),
+    "q_clean_embsketch" ->
+      // vid set = survivors ∩ valid embeddings (derived side drives the
+      // LEFT join: a missing committed sketch row nulls out and a spurious
+      // one breaks the row count); vnorm is the real value check
+      // (ordered-fold dot product); buckets/probes gaussian-bound echoes
+      // whose teeth are q_clean_pipeline's candidate replay.
+      ("WITH " + cleanSurvCtes + "," +
+       """
+        |es AS (
+        |  SELECT vid, buckets, probes
+        |  FROM read_parquet('@GRAFT_OUT@/q_clean_embsketch/*.parquet')),
+        |ev AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) > 0)
+        |SELECT sv.doc_id AS vid, sqrt(list_dot_product(e.v, e.v)) AS vnorm,
+        |       s.buckets, s.probes
+        |FROM surv sv JOIN ev e ON e.vec_id = sv.doc_id
+        |LEFT JOIN es s ON s.vid = sv.doc_id
+        |ORDER BY vid""".stripMargin),
+    "q_clean_pipeline" ->
+      // the COMPOSED recipe replayed end-to-end: stages 1-4 from
+      // `documents` (the shared CTE fragment), lexical near-dup from the
+      // committed signatures (star-cap-256 candidate rule: cliques for
+      // buckets <= cap, hub-star for larger — hub = bucket min; positional
+      // agreement / 128 >= 0.8), semantic near-dup from the committed
+      // survivor sketch (12x(1+8)-layout candidate replay + exact cosine
+      // >= 0.95), recursive-CTE min-label CC over the pair union,
+      // representatives (doc_id == component min), then the split/shard
+      // tail (modular mix seed 13, 0.98/0.01/0.01; prefix sum / 50000).
+      ("WITH RECURSIVE " + cleanSurvCtes + "," +
+       """
+        |sg AS (
+        |  SELECT doc_id, signature, bands
+        |  FROM read_parquet('@GRAFT_OUT@/q_clean_signatures/*.parquet')),
+        |x AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(bands, 1) AS band_idx,
+        |    unnest(bands) AS band_hash
+        |  FROM sg),
+        |bg AS (
+        |  SELECT band_idx, band_hash, count(*) AS bn, min(doc_id) AS hub
+        |  FROM x GROUP BY band_idx, band_hash),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        |  FROM x a
+        |  JOIN x b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        |         AND a.doc_id < b.doc_id
+        |  JOIN bg ON bg.band_idx = a.band_idx AND bg.band_hash = a.band_hash
+        |  WHERE bg.bn <= 256 OR a.doc_id = bg.hub),
+        |lex AS (
+        |  SELECT doc1, doc2 FROM (
+        |    SELECT c.doc1, c.doc2,
+        |      CAST(len(list_filter(generate_series(1, 128),
+        |        i -> s1.signature[i] = s2.signature[i])) AS DOUBLE) / 128.0 AS sim
+        |    FROM cand c JOIN sg s1 ON c.doc1 = s1.doc_id
+        |                JOIN sg s2 ON c.doc2 = s2.doc_id)
+        |  WHERE sim >= 0.8),
+        |es AS (
+        |  SELECT vid, buckets, probes
+        |  FROM read_parquet('@GRAFT_OUT@/q_clean_embsketch/*.parquet')),
+        |eb AS (
+        |  SELECT vid, generate_subscripts(buckets, 1) - 1 AS table_idx,
+        |         unnest(buckets) AS bucket
+        |  FROM es),
+        |ep AS (
+        |  SELECT vid, (generate_subscripts(probes, 1) - 1) // 9 AS table_idx,
+        |         unnest(probes) AS bucket
+        |  FROM es),
+        |ec AS (
+        |  SELECT DISTINCT p.vid AS doc1, b.vid AS doc2
+        |  FROM ep p JOIN eb b
+        |    ON p.table_idx = b.table_idx AND p.bucket = b.bucket AND p.vid < b.vid),
+        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sem AS (
+        |  SELECT doc1, doc2 FROM (
+        |    SELECT c.doc1, c.doc2,
+        |      list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        |        AS cosine
+        |    FROM ec c JOIN ev a ON a.vec_id = c.doc1 JOIN ev b ON b.vec_id = c.doc2)
+        |  WHERE cosine >= 0.95),
+        |p AS (SELECT doc1, doc2 FROM lex UNION SELECT doc1, doc2 FROM sem),
+        |e AS (SELECT doc1 AS a, doc2 AS b FROM p UNION SELECT doc2, doc1 FROM p),
+        |r AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+        |m AS (SELECT a AS doc_id, min(b) AS mn FROM r GROUP BY a),
+        |reps AS (
+        |  SELECT s3.doc_id, s3.rtext FROM surv s3 LEFT JOIN m ON s3.doc_id = m.doc_id
+        |  WHERE least(s3.doc_id, coalesce(m.mn, s3.doc_id)) = s3.doc_id),
+        |tok AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(rtext)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(rtext), '[ \t\n\x0b\f\r]+')) END
+        |      AS BIGINT) AS n_tokens
+        |  FROM reps),
+        |bkt AS (
+        |  SELECT doc_id, n_tokens,
+        |    ((doc_id % 1000000007 + 13) * 654435747) % 1000000007 % 10000 AS bucket
+        |  FROM tok),
+        |cum AS (
+        |  SELECT doc_id, bucket,
+        |    CAST(COALESCE(SUM(n_tokens) OVER
+        |      (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum0
+        |  FROM bkt)
+        |SELECT doc_id,
+        |  CASE WHEN bucket < 9800 THEN 'train'
+        |       WHEN bucket < 9900 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CAST(cum0 // 50000 AS BIGINT) AS shard_id
+        |FROM cum ORDER BY doc_id""".stripMargin),
     "q_clean_tail" ->
       // replays split membership (modular mix, seed 13, default
       // 0.98/0.01/0.01 cuts) + token-shard packing (exclusive prefix sum /

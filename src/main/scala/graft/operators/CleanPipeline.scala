@@ -215,6 +215,43 @@ object CleanPipeline {
     (out, StageCounts(nInput, nLineClean, nQuality, nExact, nOut))
   }
 
+  /** Stages 1–4 of [[run]] (boiler-strip → quality [→ gopher] → PII redact
+    * → exact-dedup survivors) as one composition: the near-dup stage's
+    * input corpus, (idCol, textCol with the REDACTED text). Exists so the
+    * committed-artifact queries (q_clean_signatures / q_clean_embsketch)
+    * can commit exactly the frame run()'s near-dup stage consumes, making
+    * the WHOLE composed recipe DuckDB-replayable: the SQL replay of stages
+    * 1–4 must equal THIS frame (q_clean_signatures' oracle) and the full
+    * pipeline replay from the committed artifacts must equal run()'s
+    * output (q_clean_pipeline's oracle) — drift on either side is a red
+    * correctness row. No cache choreography beyond the self-join persist
+    * the exact-dedup sharp edge requires (run() keeps its tuned
+    * equivalent); cache lifetime is CALLER-owned as everywhere.
+    */
+  def nearDupInputs(docs: DataFrame, cfg: Config = Config(),
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val stripped = Dedup.stripBoilerplateLines(
+      docs, cfg.maxLineDocFreq, idCol = idCol, textCol = textCol)
+    val basicQuality = TextAnalysis.withQualityColumns(
+        stripped.select(col(idCol), col("clean_text").as(textCol)), textCol)
+      .filter(col("n_tokens") >= cfg.minTokens &&
+        col("punct_ratio") <= cfg.maxPunctRatio)
+      .select(col(idCol), col(textCol))
+    val quality = cfg.gopher match {
+      case Some(g) =>
+        val pre = basicQuality.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pre.count()
+        applyGopherGates(pre, g, idCol, textCol)
+      case None => basicQuality
+    }
+    val redacted = quality
+      .select(col(idCol), TextAnalysis.redactPii(col(textCol)).as(textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    redacted.count()
+    redacted.join(Dedup.exactDedup(redacted, idCol, textCol).select(idCol),
+      Seq(idCol), "left_semi")
+  }
+
   /** Apply the [[GopherGates]] thresholds to (idCol, textCol) docs: four
     * exact signal operators joined per doc, one conjunctive filter — the
     * one gate implementation for BOTH [[run]] and [[runCheckpointed]].

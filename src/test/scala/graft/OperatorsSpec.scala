@@ -664,6 +664,62 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("CleanPipeline.nearDupInputs mirrors run()'s internal stages 1-4 (replay-commit parity)") {
+    // nearDupInputs is the frame the committed-artifact queries
+    // (q_clean_signatures / q_clean_embsketch) sign and sketch; if it
+    // drifted from run()'s internal stage composition, the DuckDB replay
+    // oracles would verify the wrong corpus. Pin: its row count equals
+    // run()'s exact-stage count, and near-dup clustering ITS survivors
+    // (same config + semantic arm) reproduces run()'s output doc set.
+    val header = "REPEATED BOILERPLATE NAVIGATION HEADER LINE"
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+      "hotel", "india", "juliet", "kilo", "lima", "mike", "november", "oscar", "papa")
+    def body(i: Int): String =
+      (0 until 15).map(k => words((i * 7 + k * 3) % 16) + i).mkString(" ")
+    val nearDupOf1 = body(1).split(" ").dropRight(1).mkString(" ") + " zulu1"
+    val docs = ((0 until 8).map(i => (i.toLong, s"$header\n${body(i)}")) ++ Seq(
+      (8L, body(0)),                              // exact dup of doc 0 post-strip
+      (9L, "tiny doc"),                           // fails the quality token gate
+      (10L, nearDupOf1),                          // near-dup of doc 1
+      (11L, body(11) + " contact a@b.io now")     // carries PII
+    )).toDF("doc_id", "text")
+    // embedding-identical pair (2, 3): the semantic arm must merge them in
+    // BOTH the pipeline and the mirror
+    val emb = Seq(
+      (2L, Array.fill(8)(1.0f)),
+      (3L, Array.fill(8)(1.0f)),
+      (4L, Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f))
+    ).toDF("doc_id", "embedding")
+    val cfg = CleanPipeline.Config(
+      maxLineDocFreq = 3L, minTokens = 5L,
+      minhash = graft.core.MinHashConfig(3, 64, 4, 13, 0.5),
+      tokensPerShard = 100L)
+    val (out, counts) = CleanPipeline.run(docs, cfg, embeddings = Some(emb))
+    val gotIds = out.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val surv = CleanPipeline.nearDupInputs(docs, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(surv.count() == counts.afterExactDedup,
+      s"${surv.count()} vs ${counts.afterExactDedup}")
+    // mirror of run()'s near-dup stage over the committed-query frame
+    val sigs = MinHashPipeline.signatures(
+      surv.select(col("doc_id"), col("text").as("content")), cfg.minhash).toDF()
+    val lexPairs = MinHashPipeline.pairs(
+      MinHashPipeline.candidates(sigs, cfg.starCapBucketSize), sigs, cfg.minhash)
+      .select("doc1", "doc2")
+    val semEmb = emb.select(col("doc_id").as("vec_id"), col("embedding"))
+      .join(surv.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val semPairs = Similarity.embeddingNearDupPairs(semEmb, cfg.embeddingMinCosine, dim = 8)
+      .select("doc1", "doc2")
+    val clusters = ConnectedComponents.cluster(
+      lexPairs.union(semPairs), surv.select(col("doc_id")))
+    val reps = Dedup.keepRepresentatives(surv, clusters)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reps == gotIds, s"mirror $reps vs run $gotIds")
+    out.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("removeExactDuplicateSpans: keep-first across docs, intra-doc repeats, exactness") {
     val docs = Seq(
       (0L, "p q r s t u"), // unique — untouched
