@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *     [--candidate-partitions N] [--verbose true] [--dedup-corpus true]
   *     [--content-fingerprint true] [--pairs-csv true]
   *     [--clean true [--max-line-df 1000] [--min-tokens 5] [--tokens-per-shard N]
-  *       [--gopher true] [--exact-spans N]
+  *       [--gopher true] [--exact-spans N] [--keep-best true]
   *       [--splits train:0.98,val:0.01,test:0.01] [--split-seed 13]
   *       [--embeddings <parquet> [--embedding-id-col vec_id] [--embedding-col embedding]]]
   *   graft.Main --stream <parquetDir> --output <workDir>
@@ -204,6 +204,9 @@ object Main {
           // than once corpus-wide from all but its first occurrence
           // (exact suffix-array-substring dedup; rewrite, not a filter)
           exactSpanTokens = opts.get("exact-spans").map(_.toInt),
+          // --keep-best true: near-dup survivors are the highest
+          // content-richness cluster member instead of the min-label root
+          keepBestByQuality = opts.get("keep-best").exists(_.toBoolean),
           minhash = cleanCfg,
           starCapBucketSize = starCap.orElse(Some(256)),
           candidatePartitions = candParts,

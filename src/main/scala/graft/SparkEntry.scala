@@ -82,6 +82,24 @@ object SparkEntry {
         .select(col("doc_id"), length(col("content")).as("n_chars"))
         .orderBy("doc_id")
     }),
+    "q_cluster_best" -> ((s, dir) => {
+      // quality-aware survivor selection: the same clusters as
+      // q_minhash_clusters, but the kept member is the HIGHEST-scoring doc
+      // (content-rich score = tokens - punctuation chars, INTEGER arithmetic
+      // for oracle safety; NULL text -> -1), tie -> min doc_id. The oracle
+      // re-derives the clusters from the committed (verified) q_minhash_pairs
+      // table AND recomputes score + argmax independently in DuckDB — only
+      // the murmur-bound pair generation is taken from the artifact.
+      val docs = documents(s, dir)
+      val corpus = docsAsCorpus(s, dir)
+      val clusters = ConnectedComponents
+        .cluster(MinHashPipeline.run(corpus, docCfg), corpus.select("doc_id"))
+      val t = col("text")
+      val nToks = TextAnalysis.tokenCountWs(t).cast("long")
+      val nPunct = (length(t) - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))).cast("long")
+      val score = coalesce(nToks - nPunct, lit(-1L))
+      Dedup.bestPerClusterLabels(docs, clusters, score).orderBy("doc_id")
+    }),
 
     // ---- dedup family ----
     "q_exact_dedup" -> ((s, dir) =>
@@ -1157,6 +1175,39 @@ object SparkEntry {
         |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
         |WHERE least(d.doc_id, coalesce(m.mn, d.doc_id)) = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q_cluster_best" ->
+      // quality-aware representatives replayed end-to-end: clusters from the
+      // committed pair table (recursive-CTE closure, as q_minhash_clusters),
+      // score recomputed from documents with q_quality's expressions
+      // (INTEGER tokens - punct; explicit ws class — RE2 \s excludes \x0b),
+      // argmax + min-id tie-break re-derived via max/equi-join (no windows)
+      """WITH RECURSIVE p AS (
+        |  SELECT doc1, doc2 FROM read_parquet('@GRAFT_OUT@/q_minhash_pairs/*.parquet')),
+        |e AS (SELECT doc1 AS a, doc2 AS b FROM p UNION SELECT doc2, doc1 FROM p),
+        |r AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+        |m AS (SELECT a AS doc_id, min(b) AS mn FROM r GROUP BY a),
+        |s AS (
+        |  SELECT d.doc_id,
+        |    CAST(least(d.doc_id, coalesce(m.mn, d.doc_id)) AS BIGINT) AS cluster_id,
+        |    CAST(COALESCE(
+        |      CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
+        |           ELSE len(regexp_split_to_array(trim(d.text), '[ \t\n\x0b\f\r]+')) END AS BIGINT)
+        |      - CAST(length(d.text)
+        |             - length(regexp_replace(d.text, '[^A-Za-z0-9 \t\n\x0b\f\r]', '', 'g')) AS BIGINT),
+        |      -1) AS BIGINT) AS score
+        |  FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id),
+        |mx AS (SELECT cluster_id, max(score) AS mxs FROM s GROUP BY cluster_id),
+        |rep AS (
+        |  SELECT s.cluster_id, min(s.doc_id) AS rep_id
+        |  FROM s JOIN mx ON s.cluster_id = mx.cluster_id AND s.score = mx.mxs
+        |  GROUP BY s.cluster_id)
+        |SELECT s.doc_id, s.cluster_id, s.score,
+        |  CAST(CASE WHEN s.doc_id = rep.rep_id THEN 1 ELSE 0 END AS INTEGER) AS is_rep
+        |FROM s JOIN rep ON s.cluster_id = rep.cluster_id
+        |ORDER BY s.doc_id""".stripMargin,
     "q_streaming_dedup" ->
       // stream == batch: the incremental pipeline's final pair table must
       // equal the (oracle-verified) batch pair table on the same corpus —

@@ -79,6 +79,12 @@ object CleanPipeline {
       // from all but its first occurrence. Rewrite, not a filter — doc
       // counts are unchanged. None = off.
       exactSpanTokens: Option[Int] = None,
+      // quality-aware near-dup survivor selection: keep the HIGHEST
+      // content-richness member of each cluster (whitespace tokens minus
+      // punctuation chars, integer arithmetic; tie -> min id) instead of
+      // the arbitrary min-label root. Off by default — it changes the
+      // survivor RULE, i.e. which copy of each near-dup group ships.
+      keepBestByQuality: Boolean = false,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
       splitSeed: Long = 13L,
@@ -197,7 +203,20 @@ object CleanPipeline {
       allPairs, corpus.select(col(idCol).as("doc_id")))
     sigs.unpersist()
     sketchHandle.foreach(_.unpersist())
-    val deduped = Dedup.keepRepresentatives(corpus, clusters, idCol)
+    var bestHandle: Option[DataFrame] = None
+    val deduped =
+      if (cfg.keepBestByQuality) {
+        // score once into a persisted frame (three join sides; the
+        // self-join recompute sharp edge), elect, semi-join survivors
+        val labeled = Dedup
+          .clusterScoreLabels(corpus, clusters, richnessScore(textCol), idCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        bestHandle = Some(labeled)
+        val repIds = Dedup.electBest(labeled)
+          .filter(col("is_rep") === 1)
+          .select(col("doc_id").as(idCol))
+        corpus.join(repIds, Seq(idCol), "left_semi")
+      } else Dedup.keepRepresentatives(corpus, clusters, idCol)
 
     // 6: deterministic membership + token-budget shards
     val withSplit = Corpus.split(deduped, cfg.splits, cfg.splitSeed, idCol)
@@ -212,6 +231,7 @@ object CleanPipeline {
     shards.unpersist()
     exact.unpersist()
     spanHandle.foreach(_.unpersist())
+    bestHandle.foreach(_.unpersist())
     (out, StageCounts(nInput, nLineClean, nQuality, nExact, nOut))
   }
 
@@ -250,6 +270,20 @@ object CleanPipeline {
     redacted.count()
     redacted.join(Dedup.exactDedup(redacted, idCol, textCol).select(idCol),
       Seq(idCol), "left_semi")
+  }
+
+  /** Integer content-richness score for keep-best election: whitespace
+    * tokens minus punctuation chars, NULL text ranks last (-1). Integer
+    * arithmetic on purpose — the rule stays replayable in an oracle
+    * without IEEE ordering concerns (q_cluster_best pins exactly this
+    * expression pair in DuckDB).
+    */
+  private def richnessScore(textCol: String): org.apache.spark.sql.Column = {
+    val t = col(textCol)
+    coalesce(
+      TextAnalysis.tokenCountWs(t).cast("long")
+        - (length(t) - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))).cast("long"),
+      lit(-1L))
   }
 
   /** Apply the [[GopherGates]] thresholds to (idCol, textCol) docs: four
@@ -371,9 +405,13 @@ object CleanPipeline {
     // force the expensive clustering stages to recompute on upgrade with
     // byte-identical semantics
     val cSpan = cfg.exactSpanTokens.map(l => s"$cQual;spans=$l").getOrElse(cQual)
-    val cNear = s"$cSpan;sh=${mh.shingleSize};sig=${mh.signatureSize};r=${mh.nBandRows};" +
+    val cNearBase = s"$cSpan;sh=${mh.shingleSize};sig=${mh.signatureSize};r=${mh.nBandRows};" +
       s"seed=${mh.seed};thr=${mh.threshold};cap=${cfg.starCapBucketSize.getOrElse(-1)};" +
       s"cp=${cfg.candidatePartitions.getOrElse(-1)};cos=${cfg.embeddingMinCosine};emb=$embFp"
+    // keep-best component only when ENABLED (same rationale as spans=):
+    // pre-existing workDirs keep resuming under the default min-label rule
+    val cNear =
+      if (cfg.keepBestByQuality) s"$cNearBase;keepbest=on" else cNearBase
     val cOut = s"$cNear;splits=${cfg.splits.map { case (n, w) => s"$n:$w" }.mkString(",")};" +
       s"sseed=${cfg.splitSeed};tps=${cfg.tokensPerShard}"
 
@@ -440,6 +478,7 @@ object CleanPipeline {
     // 5: near-dup (lexical + optional semantic) -> representatives
     var sigsHandle: Option[DataFrame] = None
     var sketchHandle: Option[DataFrame] = None
+    var bestHandle: Option[DataFrame] = None
     val deduped = store.stage("neardup", fp, cNear, log) {
       val sigs = MinHashPipeline.signatures(
         corpus.select(col(idCol).as("doc_id"), col(textCol).as("content")), mh).toDF()
@@ -456,10 +495,20 @@ object CleanPipeline {
       val clusters = ConnectedComponents.cluster(
         allPairs, corpus.select(col(idCol).as("doc_id")),
         reliableCheckpointDir = Some(s"$workDir/_cc_scratch"))
-      Dedup.keepRepresentatives(corpus, clusters, idCol)
+      if (cfg.keepBestByQuality) {
+        val labeled = Dedup
+          .clusterScoreLabels(corpus, clusters, richnessScore(textCol), idCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        bestHandle = Some(labeled)
+        val repIds = Dedup.electBest(labeled)
+          .filter(col("is_rep") === 1)
+          .select(col("doc_id").as(idCol))
+        corpus.join(repIds, Seq(idCol), "left_semi")
+      } else Dedup.keepRepresentatives(corpus, clusters, idCol)
     }
     sigsHandle.foreach(_.unpersist())
     sketchHandle.foreach(_.unpersist())
+    bestHandle.foreach(_.unpersist())
     store.deleteScratch("_cc_scratch")
 
     // 6: deterministic membership + token-budget shards

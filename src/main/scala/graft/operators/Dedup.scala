@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core.{Murmur2, Tokenizer}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The deduplication operator family a training-data pipeline needs, beyond
@@ -71,6 +71,71 @@ object Dedup {
       .filter(col("doc_id") === col("cluster_id"))
       .select(col("doc_id").as(idCol))
     docs.join(reps, Seq(idCol), "left_semi")
+  }
+
+  /** Quality-aware cluster representatives: per-member labels with an
+    * `is_rep` flag marking the HIGHEST-`score` member of each cluster
+    * (ties → min doc_id), instead of [[keepRepresentatives]]' arbitrary
+    * min-label root. This is what a production training-data pipeline
+    * actually wants from near-dup collapse: keep the best copy (longest,
+    * cleanest), not whichever copy got the smallest id.
+    *
+    * `clusters` is a (doc_id, cluster_id) labels table (ConnectedComponents
+    * output); docs absent from it survive as their own singleton cluster.
+    * NULL scores rank below every non-NULL score (an all-NULL cluster still
+    * elects its min-id member via the null-safe `<=>` against a NULL max).
+    *
+    * Scale shape: the score Column — typically an expensive regex-heavy
+    * quality derivation — is evaluated ONCE into a persisted frame (it is
+    * consumed from three join sides; the self-join sharp edge otherwise
+    * re-runs it per side). Everything downstream is cluster_id-keyed
+    * equi-joins and aggs whose right sides are one-row-per-cluster; no
+    * windows, no cross joins, payloads never shuffled. Caller owns the
+    * cache release (same contract as the pair operators above).
+    */
+  def bestPerClusterLabels(docs: DataFrame, clusters: DataFrame, score: Column,
+                           idCol: String = "doc_id"): DataFrame =
+    electBest(clusterScoreLabels(docs, clusters, score, idCol).persist())
+
+  /** The UNPERSISTED (doc_id, cluster_id, score) member frame behind
+    * [[bestPerClusterLabels]] — callers that must own the cache lifetime
+    * (CleanPipeline's stage hygiene) persist this themselves and feed
+    * [[electBest]].
+    */
+  private[graft] def clusterScoreLabels(docs: DataFrame, clusters: DataFrame,
+                                        score: Column, idCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), score.as("score"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+
+  /** Representative election over a (persisted) [[clusterScoreLabels]]
+    * frame: max score per cluster, null-safe tie filter, min doc_id.
+    */
+  private[graft] def electBest(labeled: DataFrame): DataFrame = {
+    val best = labeled.groupBy("cluster_id").agg(max(col("score")).as("_best"))
+    val reps = labeled
+      .join(best, Seq("cluster_id"))
+      .filter(col("score") <=> col("_best"))
+      .groupBy("cluster_id")
+      .agg(min(col("doc_id")).as("_rep"))
+    labeled
+      .join(reps, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("score"),
+        (col("doc_id") === col("_rep")).cast("int").as("is_rep"))
+  }
+
+  /** The deduped corpus under quality-aware selection: one highest-scoring
+    * document per near-dup cluster (see [[bestPerClusterLabels]]). Same
+    * output contract as [[keepRepresentatives]] — the surviving docs with
+    * all their columns — so the two are drop-in alternatives.
+    */
+  def keepBestPerCluster(docs: DataFrame, clusters: DataFrame, score: Column,
+                         idCol: String = "doc_id"): DataFrame = {
+    val repIds = bestPerClusterLabels(docs, clusters, score, idCol)
+      .filter(col("is_rep") === 1)
+      .select(col("doc_id").as(idCol))
+    docs.join(repIds, Seq(idCol), "left_semi")
   }
 
   /** 64-bit SimHash over the normalized token stream: per token, a 64-bit

@@ -27,6 +27,36 @@ class OperatorsSpec extends SparkSpec {
     assert(survivors == Set(0L, 2L, 3L, 4L))
   }
 
+  test("bestPerClusterLabels / keepBestPerCluster: argmax score, tie -> min id, null-safe") {
+    // cluster {0,1,2}: 1 has the top score; cluster {3,4}: tie -> min id 3;
+    // 5 absent from the labels table -> singleton, its own rep;
+    // cluster {6,7}: both scores NULL -> null-safe max still elects min id 6
+    val scored = Seq(
+      (0L, Some(10L)), (1L, Some(25L)), (2L, Some(25L - 25L)),
+      (3L, Some(7L)), (4L, Some(7L)),
+      (5L, Some(3L)),
+      (6L, None: Option[Long]), (7L, None: Option[Long])
+    ).toDF("doc_id", "s")
+    val clusters = Seq(
+      (0L, 0L), (1L, 0L), (2L, 0L),
+      (3L, 3L), (4L, 3L),
+      (6L, 6L), (7L, 6L)
+    ).toDF("doc_id", "cluster_id")
+
+    val labels = Dedup.bestPerClusterLabels(scored, clusters, col("s")).collect()
+    assert(labels.length == 8)
+    val reps = labels.filter(_.getAs[Int]("is_rep") == 1).map(_.getAs[Long]("doc_id")).toSet
+    assert(reps == Set(1L, 3L, 5L, 6L))
+    // every member row carries its cluster label (absent doc coalesced to own id)
+    val byDoc = labels.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(byDoc(5L) == 5L && byDoc(4L) == 3L && byDoc(7L) == 6L)
+
+    val kept = Dedup.keepBestPerCluster(scored, clusters, col("s"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 3L, 5L, 6L))
+    spark.catalog.clearCache()
+  }
+
   test("simHash: identical == ; near-dup close ; distinct far") {
     val h0 = Dedup.simHash64("the quick brown fox jumps over the lazy dog", 13)
     val h1 = Dedup.simHash64("the quick brown fox jumps over the lazy dog", 13)
@@ -600,6 +630,40 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(0L, 1L, 2L), kept.toString)
     assert(counts.afterQuality == 3, counts.toString)
     out.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("CleanPipeline keep-best: richest cluster member survives; run == runCheckpointed") {
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+      "hotel", "india", "juliet", "kilo", "lima", "mike", "november", "oscar", "papa")
+    def body(i: Int): String =
+      (0 until 15).map(k => words((i * 7 + k * 3) % 16) + i).mkString(" ")
+    // doc 10 = body(1) plus 5 extra tokens: same cluster (shingle superset,
+    // jaccard ~0.72 >= 0.5) but RICHER (20 tokens vs 15) — keep-best must
+    // elect it over the min-label root 1
+    val richDup = body(1) + " " + (0 until 5).map(k => s"extraword${k}q1").mkString(" ")
+    val rows = Seq(
+      (0L, body(0)), (1L, body(1)), (2L, body(2)), (10L, richDup)
+    ).toDF("doc_id", "text")
+    val cfg = CleanPipeline.Config(
+      maxLineDocFreq = 100L, minTokens = 5L,
+      minhash = graft.core.MinHashConfig(3, 64, 4, 13, 0.5),
+      tokensPerShard = 100L, keepBestByQuality = true)
+
+    val (out, _) = CleanPipeline.run(rows, cfg)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L, 10L), kept.toString)
+    out.unpersist()
+
+    val (outDefault, _) = CleanPipeline.run(rows, cfg.copy(keepBestByQuality = false))
+    val keptDefault = outDefault.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptDefault == Set(0L, 1L, 2L), keptDefault.toString)
+    outDefault.unpersist()
+
+    val work = java.nio.file.Files.createTempDirectory("graft_keepbest").toString
+    val (ck, _, _) = CleanPipeline.runCheckpointed(spark, rows, work, cfg)
+    val keptCk = ck.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptCk == kept, s"checkpointed $keptCk != in-memory $kept")
     spark.catalog.clearCache()
   }
 
