@@ -350,6 +350,14 @@ object SparkEntry {
       Corpus.split(documents(s, dir).select("doc_id"),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 13L)
         .select("doc_id", "split").orderBy("doc_id")),
+    "q_quota_sample" -> ((s, dir) =>
+      // deterministic per-group corpus balancing: at most 40 docs per lang,
+      // chosen by ascending split-mix priority (tie -> min id). Layout-
+      // invariant like q_corpus_split; the oracle replays the integer mix
+      // and the partitioned rank in DuckDB
+      Corpus.quotaSample(documents(s, dir).select("doc_id", "lang"),
+          "lang", cap = 40, seed = 13L)
+        .orderBy("doc_id")),
     "q_token_shards" -> ((s, dir) =>
       // token-budget packing via the distributed two-pass prefix sum (the
       // naive global-order window is a single task at scale); the oracle
@@ -1044,6 +1052,18 @@ object SparkEntry {
         |       WHEN bucket < 9000 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q_quota_sample" ->
+      // mirrors Corpus.quotaSample: full-resolution mix as the sampling
+      // priority, partitioned rank, cap 40 per lang, tie -> min doc_id
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    ((doc_id % 1000000007 + 13) * 654435747) % 1000000007 AS prio
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY prio, doc_id) AS rn
+        |  FROM s)
+        |SELECT doc_id, lang FROM r WHERE rn <= 40 ORDER BY doc_id""".stripMargin,
     "q_token_shards" ->
       // shard = floor(exclusive-prefix-sum(n_tokens) / 50000) over doc_id
       // order; DuckDB SUM(BIGINT) returns HUGEINT -> cast back before the

@@ -26,9 +26,16 @@ object Corpus {
     * (rand is per-partition-seeded: membership would change with the
     * input's partition layout).
     */
-  def splitBucket(id: Column, seed: Long): Column =
+  /** The full-resolution (0..SplitModulus-1) deterministic mix behind
+    * [[splitBucket]] — also the sampling priority of [[quotaSample]],
+    * where 10000 buckets would tie too often to rank within a group.
+    */
+  def mixHash(id: Column, seed: Long): Column =
     pmod((pmod(id, lit(SplitModulus)) + lit(seed % SplitModulus)) * lit(SplitMultiplier),
-      lit(SplitModulus)) % lit(10000L)
+      lit(SplitModulus))
+
+  def splitBucket(id: Column, seed: Long): Column =
+    mixHash(id, seed) % lit(10000L)
 
   /** Deterministic train/validation/test (… any number of ways) split:
     * `weights` maps split name -> nonnegative weight; each doc gets the
@@ -70,6 +77,39 @@ object Corpus {
         when(bucket < lit(cut), lit(name)).otherwise(acc)
       }
     docs.withColumn("split", expr)
+  }
+
+  /** Deterministic per-group quota sample — corpus balancing: keep at most
+    * `cap` docs per `groupCol` value (language, domain, source…), chosen by
+    * ascending [[mixHash]] priority (tie → min id). Like [[split]] this is
+    * NOT rand(): membership is a pure function of (id, seed), so it is
+    * stable across runs, partition layouts and cluster sizes, and the
+    * DuckDB oracle replays the integer mix digit-for-digit.
+    *
+    * Scale shape: one hash-partitioned sort per group (the canonical
+    * distributed top-N; row_number over a PARTITIONED window — not the
+    * single-task global window the sharp-edge note bans). A pathologically
+    * hot group sorts more data on one key but spills, never OOMs; the
+    * output is exact, not approximate. NULL group values form their own
+    * group; a NULL id fails loudly (same data-lineage rationale as
+    * [[split]] — silent membership of an id-less doc is a landmine).
+    */
+  def quotaSample(docs: DataFrame, groupCol: String, cap: Int, seed: Long = 13L,
+                  idCol: String = "doc_id"): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    require(seed >= 0, s"seed must be nonnegative (SQL % is sign-following): $seed")
+    val id = col(idCol).cast("long")
+    val prio = when(id.isNull,
+        raise_error(lit(s"Corpus.quotaSample: null or non-integral $idCol — " +
+          "reproducible membership requires a concrete id")))
+      .otherwise(mixHash(id, seed))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(prio.asc, col(idCol).asc)
+    docs
+      .withColumn("_qs_rank", row_number().over(w))
+      .filter(col("_qs_rank") <= lit(cap))
+      .drop("_qs_rank")
   }
 
   /** Token-budget sharding: assign each doc (in ascending `idCol` order) to

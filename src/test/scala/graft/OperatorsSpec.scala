@@ -929,6 +929,36 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L) == "<EMAIL> x <IP> y <NUM>", got(3L))
   }
 
+  test("quotaSample: exact per-group cap, deterministic, layout-invariant, brute-force parity") {
+    // 3 groups of very different sizes; cap below two of them
+    val docs = spark.range(0, 300)
+      .select($"id".as("doc_id"),
+        when($"id" < 200, "en").when($"id" < 280, "de").otherwise("fr").as("lang"))
+    val got = Corpus.quotaSample(docs, "lang", cap = 50, seed = 13L)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byLang = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang == Map("en" -> 50, "de" -> 50, "fr" -> 20), byLang.toString)
+    // brute-force parity: the kept ids ARE the cap lowest (mixHash, id) per group
+    val m = Corpus.SplitModulus
+    def prio(id: Long): Long = ((id % m + 13L) % m) * Corpus.SplitMultiplier % m
+    val expect = (0L until 300L)
+      .map(i => (i, if (i < 200) "en" else if (i < 280) "de" else "fr"))
+      .groupBy(_._2)
+      .flatMap { case (_, g) => g.sortBy { case (i, _) => (prio(i), i) }.take(50) }
+      .map(_._1).toSet
+    assert(got.map(_._1).toSet == expect)
+    // layout-invariant: same membership at any parallelism
+    val re = Corpus.quotaSample(docs.repartition(7), "lang", cap = 50, seed = 13L)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(re == expect)
+    // a null id must FAIL loudly (data-lineage contract, as split)
+    val withNull = Seq((Some(1L), "en"), (None: Option[Long], "en")).toDF("doc_id", "lang")
+    val err = intercept[Exception] {
+      Corpus.quotaSample(withNull, "lang", cap = 5).collect()
+    }
+    assert(err.getMessage.contains("quotaSample"), err.getMessage)
+  }
+
   test("corpus split: deterministic, covering, layout-invariant, ~weighted") {
     val ids = spark.range(0, 10000).select($"id".as("doc_id"))
     val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
