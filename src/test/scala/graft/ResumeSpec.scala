@@ -138,6 +138,13 @@ class ResumeSpec extends SparkSpec {
     assert(log5.skipped.toSeq == Seq("line_clean"), log5.toString)
     assert(log5.computed.toSeq == allStages.tail, log5.toString)
 
+    // toggling the survivor rule (keep-best) invalidates ONLY neardup and
+    // downstream — the four text gates resume (tag chained only when ON)
+    val (_, _, logKb) = CleanPipeline.runCheckpointed(spark, rows, work,
+      cfg.copy(minTokens = 6L, keepBestByQuality = true))
+    assert(logKb.skipped.toSeq == Seq("line_clean", "quality", "redact", "exact"), logKb.toString)
+    assert(logKb.computed.toSeq == Seq("neardup", "clean_corpus"), logKb.toString)
+
     // adding an embeddings table re-clusters (its fingerprint is in the
     // neardup tag) without re-running any text gate — and the embeddings
     // ARM of the checkpointed path must match run() exactly (the semantic
