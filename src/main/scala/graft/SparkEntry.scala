@@ -139,6 +139,17 @@ object SparkEntry {
         n = 3, minContainment = 0.5)
         .orderBy("doc_id", "bench_id")
     }),
+    "q_contamination_bloom" -> ((s, dir) => {
+      // the broadcast-Bloom prefilter path: identical output contract as
+      // q_contamination (no false negatives; false positives die in the
+      // exact verify join) — so it shares q_contamination's oracle SQL
+      // verbatim. The 100 TB difference is the exchange: only HIT grams
+      // shuffle, never the whole corpus gram explosion.
+      val docs = documents(s, dir)
+      Dedup.ngramContainmentBloom(docs, docs.filter(col("doc_id") % 25 === 0),
+        n = 3, minContainment = 0.5)
+        .orderBy("doc_id", "bench_id")
+    }),
 
     // ---- text analysis ----
     "q_token_count" -> ((s, dir) =>
@@ -557,6 +568,27 @@ object SparkEntry {
     * order-insensitive min/max make the value bit-reproducible; no
     * order-sensitive double sums.
     */
+  /** Shared by q_contamination and q_contamination_bloom: the Bloom path
+    * is a prefilter over the SAME relational semantics (no false
+    * negatives; false positives killed by the exact verify join), so one
+    * SQL text pins both.
+    */
+  private val ContaminationSql: String =
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |          i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+      |      FROM t WHERE len(toks) >= 3),
+      |b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 25 = 0),
+      |bs AS (SELECT bench_id, count(*) AS nb FROM b GROUP BY bench_id),
+      |i AS (SELECT g.doc_id, b.bench_id, count(*) AS ni
+      |      FROM g JOIN b ON g.gram = b.gram GROUP BY 1, 2)
+      |SELECT i.doc_id AS doc_id, i.bench_id AS bench_id,
+      |       CAST(ni AS DOUBLE) / CAST(nb AS DOUBLE) AS containment
+      |FROM i JOIN bs ON i.bench_id = bs.bench_id
+      |WHERE CAST(ni AS DOUBLE) / CAST(nb AS DOUBLE) >= 0.5
+      |ORDER BY i.doc_id, i.bench_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
@@ -582,21 +614,9 @@ object SparkEntry {
         |FROM i JOIN s sa ON i.d1 = sa.doc_id JOIN s sb ON i.d2 = sb.doc_id
         |WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.2
         |ORDER BY doc1, doc2""".stripMargin,
-    "q_contamination" ->
-      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
-        |g AS (SELECT doc_id,
-        |        unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
-        |          i -> array_to_string(toks[i:i+2], ' ')))) AS gram
-        |      FROM t WHERE len(toks) >= 3),
-        |b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 25 = 0),
-        |bs AS (SELECT bench_id, count(*) AS nb FROM b GROUP BY bench_id),
-        |i AS (SELECT g.doc_id, b.bench_id, count(*) AS ni
-        |      FROM g JOIN b ON g.gram = b.gram GROUP BY 1, 2)
-        |SELECT i.doc_id AS doc_id, i.bench_id AS bench_id,
-        |       CAST(ni AS DOUBLE) / CAST(nb AS DOUBLE) AS containment
-        |FROM i JOIN bs ON i.bench_id = bs.bench_id
-        |WHERE CAST(ni AS DOUBLE) / CAST(nb AS DOUBLE) >= 0.5
-        |ORDER BY i.doc_id, i.bench_id""".stripMargin,
+    "q_contamination" -> ContaminationSql,
+    // the Bloom path's contract IS q_contamination's: same rows, same SQL
+    "q_contamination_bloom" -> ContaminationSql,
     "q_token_count" ->
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0

@@ -349,6 +349,63 @@ object Dedup {
       .select("doc_id", "bench_id", "containment")
   }
 
+  /** Bloom-gated decontamination — same output contract as
+    * [[ngramContainment]] (bit-identical rows; the spec asserts it), built
+    * for the regime where the benchmark gram set is too big to broadcast
+    * as a join hash relation but its BLOOM is not.
+    *
+    * Why: ngramContainment's good case broadcasts (gram -> bench_id) —
+    * full gram STRINGS plus ids. Past the broadcast threshold (~10M grams)
+    * it degrades to shuffling EVERY corpus gram, which at 100 TB is the
+    * whole corpus re-keyed by gram. A Bloom filter over the same gram set
+    * is ~1.2 bytes/gram at 1% fpp (10M grams ≈ 12 MB — broadcastable two
+    * orders of magnitude past the hash-relation limit), and Bloom
+    * membership has NO false negatives, so gating the corpus-side gram
+    * kernel on `mightContain` before the join drops every miss doc-locally:
+    * only HIT grams (true hits + ~fpp false positives) enter the exchange,
+    * and the exact equi-join against the benchmark grams then kills the
+    * false positives. Net shuffle: O(hits), not O(corpus grams).
+    *
+    * The bloom itself is built with one distributed pass
+    * (`df.stat.bloomFilter`) sized from the exact benchmark gram count.
+    * Cache lifetime contract as ngramContainment: caller releases.
+    */
+  def ngramContainmentBloom(docs: DataFrame, benchmark: DataFrame, n: Int,
+                            minContainment: Double,
+                            idCol: String = "doc_id", textCol: String = "text",
+                            fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val benchGrams = gramRows(benchmark, n, idCol, textCol).toDF("bench_id", "gram")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBench = benchGrams.count()
+    if (nBench == 0L) {
+      benchGrams.unpersist()
+      return spark.emptyDataset[(Long, Long, Double)]
+        .toDF("doc_id", "bench_id", "containment")
+    }
+    // one distributed pass over the persisted gram table; put/test go
+    // through the same UTF-8 byte path (putBinary/mightContainString)
+    val bloom = spark.sparkContext.broadcast(
+      benchGrams.stat.bloomFilter("gram", nBench, fpp))
+    val hitGrams = gramRows(docs, n, idCol, textCol)
+      .filter(t => bloom.value.mightContainString(t._2))
+      .toDF("doc_id", "gram")
+    val benchSizes = benchGrams.groupBy("bench_id").agg(count(lit(1)).as("n_bench_grams"))
+    // exact verify: false positives fail this join; no broadcast hint —
+    // the hit relation is O(true hits) and AQE picks the side
+    val inter = hitGrams
+      .join(benchGrams, "gram")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(benchSizes, "bench_id")
+      .withColumn("containment",
+        col("n_inter").cast("double") / col("n_bench_grams").cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select("doc_id", "bench_id", "containment")
+  }
+
   /** Distinct word n-grams per doc as a typed Dataset — the shared kernel
     * behind ngramJaccardPairs and ngramContainment (LinkedHashSet dedupe,
     * precompiled whitespace split; higher-order Column lambdas would run

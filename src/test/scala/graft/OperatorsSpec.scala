@@ -113,6 +113,36 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ngramContainmentBloom == ngramContainment (no false negatives; FPs die in verify join)") {
+    // planted structure: full leak, partial leak above/below threshold,
+    // disjoint docs, multiple benchmark items — the bloom path must
+    // reproduce the exact operator row-for-row
+    val corpus = Seq(
+      (1L, "x a b c d e y"),
+      (2L, "a b c something else entirely here"),
+      (3L, "nothing shared at all in this one"),
+      (4L, "p q r s t u v w"),
+      (5L, "a b c d and p q r s also present")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e"), (200L, "p q r s")).toDF("doc_id", "text")
+    val exact = Dedup.ngramContainment(corpus, bench, n = 3, minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    spark.catalog.clearCache()
+    val bloomed = Dedup.ngramContainmentBloom(corpus, bench, n = 3, minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(exact.nonEmpty && bloomed == exact, s"exact=$exact bloom=$bloomed")
+    spark.catalog.clearCache()
+  }
+
+  test("ngramContainmentBloom: empty benchmark yields empty typed frame") {
+    val corpus = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Dedup.ngramContainmentBloom(corpus, bench, n = 3, minContainment = 0.5)
+    assert(out.columns.toSeq == Seq("doc_id", "bench_id", "containment"))
+    assert(out.count() == 0L)
+    spark.catalog.clearCache()
+  }
+
   test("gram doc-frequency cap drops only hot grams") {
     // 'the quick' appears in 3 docs; cap=2 removes it but near-dup pairs
     // survive via the remaining grams
