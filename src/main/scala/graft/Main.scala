@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions._
   *     [--content-fingerprint true] [--pairs-csv true]
   *     [--clean true [--max-line-df 1000] [--min-tokens 5] [--tokens-per-shard N]
   *       [--gopher true] [--exact-spans N] [--keep-best true]
+  *       [--decontam <parquet> [--decontam-ngram 8] [--decontam-threshold 0.8]
+  *         [--decontam-id-col doc_id] [--decontam-text-col text]]
   *       [--splits train:0.98,val:0.01,test:0.01] [--split-seed 13]
   *       [--embeddings <parquet> [--embedding-id-col vec_id] [--embedding-col embedding]]]
   *   graft.Main --stream <parquetDir> --output <workDir>
@@ -175,6 +177,16 @@ object Main {
           col(opts.getOrElse("embedding-id-col", "vec_id")).cast("long").as("doc_id"),
           col(opts.getOrElse("embedding-col", "embedding")).as("embedding"))
       }
+      // --decontam <parquet>: benchmark decontamination — drop survivors
+      // whose n-gram containment of any benchmark doc reaches the
+      // threshold (bloom-gated path; 8-grams at 0.8 by default). The
+      // benchmark table uses the same --id-col/--text-col names as the
+      // input (or doc_id/text via --decontam-id-col/--decontam-text-col).
+      val bench = opts.get("decontam").map { p =>
+        spark.read.parquet(p).select(
+          col(opts.getOrElse("decontam-id-col", "doc_id")).cast("long").as("doc_id"),
+          col(opts.getOrElse("decontam-text-col", "text")).as("text"))
+      }
       // --splits name:weight[,name:weight...] (weights need not sum to 1;
       // Corpus.split normalizes and validates non-empty intervals)
       val splits = opts.get("splits").map { s =>
@@ -207,6 +219,9 @@ object Main {
           // --keep-best true: near-dup survivors are the highest
           // content-richness cluster member instead of the min-label root
           keepBestByQuality = opts.get("keep-best").exists(_.toBoolean),
+          decontamNgram = opts.getOrElse("decontam-ngram", "8").toInt,
+          decontamMinContainment =
+            opts.getOrElse("decontam-threshold", "0.8").toDouble,
           minhash = cleanCfg,
           starCapBucketSize = starCap.orElse(Some(256)),
           candidatePartitions = candParts,
@@ -214,13 +229,16 @@ object Main {
           splitSeed = opts.getOrElse("split-seed", "13").toLong,
           tokensPerShard = opts.getOrElse("tokens-per-shard", "1000000").toLong),
         embeddings = emb,
-        contentFingerprint = contentFp)
+        contentFingerprint = contentFp,
+        benchmark = bench)
       System.err.println(s"[graft] clean stages: $stageLog")
       val secC = (System.nanoTime() - tC) / 1e9
+      val decontamField = counts.afterDecontam
+        .map(n => s""""after_decontam":$n,""").getOrElse("")
       println(
         s"""{"input":${counts.input},"after_line_clean":${counts.afterLineClean},""" +
           s""""after_quality":${counts.afterQuality},""" +
-          s""""after_exact_dedup":${counts.afterExactDedup},""" +
+          s""""after_exact_dedup":${counts.afterExactDedup},""" + decontamField +
           s""""output":${counts.output},"sec":$secC,""" +
           s""""files_per_sec":${counts.input / secC}}""")
       spark.stop()

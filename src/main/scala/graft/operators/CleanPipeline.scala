@@ -85,6 +85,15 @@ object CleanPipeline {
       // the arbitrary min-label root. Off by default — it changes the
       // survivor RULE, i.e. which copy of each near-dup group ships.
       keepBestByQuality: Boolean = false,
+      // benchmark decontamination (the GPT-3/Llama recipe stage; active
+      // only when a benchmark table is passed to run/runCheckpointed):
+      // drop exact-dedup survivors whose word-n-gram containment of ANY
+      // benchmark doc reaches the threshold. Runs via the bloom-gated
+      // path (Dedup.ngramContainmentBloom) — a corpus gram that misses
+      // the benchmark set never enters an exchange. 8-grams at 0.8 are
+      // the published decontamination shape.
+      decontamNgram: Int = 8,
+      decontamMinContainment: Double = 0.8,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
       splitSeed: Long = 13L,
@@ -96,7 +105,8 @@ object CleanPipeline {
     */
   final case class StageCounts(input: Long, afterLineClean: Long,
                                afterQuality: Long, afterExactDedup: Long,
-                               output: Long)
+                               output: Long,
+                               afterDecontam: Option[Long] = None)
 
   /** @param embeddings optional (idCol, embedding: array&lt;float&gt;) table:
     *   when present, embedding-cosine near-dup pairs (>= embeddingMinCosine,
@@ -112,7 +122,8 @@ object CleanPipeline {
     */
   def run(docs: DataFrame, cfg: Config = Config(),
           idCol: String = "doc_id", textCol: String = "text",
-          embeddings: Option[DataFrame] = None): (DataFrame, StageCounts) = {
+          embeddings: Option[DataFrame] = None,
+          benchmark: Option[DataFrame] = None): (DataFrame, StageCounts) = {
     val nInput = docs.count()
 
     // 1: line-level cleanup (returns a persisted, materialized frame —
@@ -168,7 +179,28 @@ object CleanPipeline {
     val nExact = exact.count()
     redacted.unpersist()
 
-    // 4b (optional): EXACT duplicate-span excision on the survivors —
+    // 4b (optional): benchmark decontamination of the survivors — drop
+    // any doc containing a benchmark item (n-gram containment >= the
+    // threshold) before the expensive near-dup stage signs it. The
+    // benchmark-gram cache is released as soon as the survivor set
+    // materializes; the survivor cache itself at the end.
+    var decontamHandle: Option[DataFrame] = None
+    val (afterDecontam, nDecontam) = benchmark match {
+      case Some(b) =>
+        val (flagged, benchHandle) = Dedup.ngramContainmentBloomWithHandle(
+          exact, b, cfg.decontamNgram, cfg.decontamMinContainment, idCol, textCol)
+        val d = exact.join(
+            flagged.select(col("doc_id").as(idCol)).distinct(),
+            Seq(idCol), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        decontamHandle = Some(d)
+        val nD = d.count()
+        benchHandle.foreach(_.unpersist())
+        (d, Some(nD))
+      case None => (exact, None)
+    }
+
+    // 4c (optional): EXACT duplicate-span excision on the survivors —
     // rewrites text (no doc is dropped, counts unchanged); near-dup then
     // clusters the excised text, so a boilerplate span shared by unrelated
     // docs no longer glues them into one cluster
@@ -179,10 +211,10 @@ object CleanPipeline {
     var spanHandle: Option[DataFrame] = None
     val corpus = cfg.exactSpanTokens match {
       case Some(l) =>
-        val spans = Dedup.removeExactDuplicateSpans(exact, l, idCol, textCol)
+        val spans = Dedup.removeExactDuplicateSpans(afterDecontam, l, idCol, textCol)
         spanHandle = Some(spans)
         spans.select(col(idCol), col("clean_text").as(textCol))
-      case None => exact
+      case None => afterDecontam
     }
 
     // 5: near-dup clusters -> one representative per cluster. Composes
@@ -230,9 +262,10 @@ object CleanPipeline {
     val nOut = out.count()
     shards.unpersist()
     exact.unpersist()
+    decontamHandle.foreach(_.unpersist())
     spanHandle.foreach(_.unpersist())
     bestHandle.foreach(_.unpersist())
-    (out, StageCounts(nInput, nLineClean, nQuality, nExact, nOut))
+    (out, StageCounts(nInput, nLineClean, nQuality, nExact, nOut, nDecontam))
   }
 
   /** Stages 1–4 of [[run]] (boiler-strip → quality [→ gopher] → PII redact
@@ -362,7 +395,8 @@ object CleanPipeline {
     * Stage graph (each table is the next stage's input, so a resumed stage
     * never re-evaluates anything upstream of it):
     *
-    *   line_clean -> quality -> redact -> exact -> neardup -> clean_corpus
+    *   line_clean -> quality -> redact -> exact [-> decontam]
+    *     [-> exact_spans] -> neardup -> clean_corpus
     *
     * Tags chain the config: a stage is invalidated by the input fingerprint
     * plus every parameter at-or-upstream-of it (changing `tokensPerShard`
@@ -387,7 +421,8 @@ object CleanPipeline {
                       cfg: Config = Config(),
                       idCol: String = "doc_id", textCol: String = "text",
                       embeddings: Option[DataFrame] = None,
-                      contentFingerprint: Boolean = false)
+                      contentFingerprint: Boolean = false,
+                      benchmark: Option[DataFrame] = None)
       : (DataFrame, StageCounts, CheckpointedPipeline.StageLog) = {
     val store = new StageStore(spark, workDir)
     val log = new CheckpointedPipeline.StageLog
@@ -400,11 +435,21 @@ object CleanPipeline {
     val cQual = s"$cLine;mintok=${cfg.minTokens};maxpunct=${cfg.maxPunctRatio};" +
       cfg.gopher.map(_.tag).getOrElse("gopher=off")
     val mh = cfg.minhash
+    // decontam component only when ENABLED (a benchmark table is passed):
+    // the benchmark's own fingerprint is in the tag, so swapping the eval
+    // set recomputes decontam + downstream without re-running the text
+    // gates; pre-existing workDirs without decontam resume unchanged
+    val cDecon = benchmark match {
+      case Some(b) =>
+        val bFp = StageStore.fingerprint(spark, b, contentFingerprint)
+        s"$cQual;dcn=${cfg.decontamNgram};dct=${cfg.decontamMinContainment};bench=$bFp"
+      case None => cQual
+    }
     // spans component only when ENABLED: unconditionally embedding
     // "spans=-1" would change every pre-existing workDir's neardup tag and
     // force the expensive clustering stages to recompute on upgrade with
     // byte-identical semantics
-    val cSpan = cfg.exactSpanTokens.map(l => s"$cQual;spans=$l").getOrElse(cQual)
+    val cSpan = cfg.exactSpanTokens.map(l => s"$cDecon;spans=$l").getOrElse(cDecon)
     val cNearBase = s"$cSpan;sh=${mh.shingleSize};sig=${mh.signatureSize};r=${mh.nBandRows};" +
       s"seed=${mh.seed};thr=${mh.threshold};cap=${cfg.starCapBucketSize.getOrElse(-1)};" +
       s"cp=${cfg.candidatePartitions.getOrElse(-1)};cos=${cfg.embeddingMinCosine};emb=$embFp"
@@ -458,7 +503,27 @@ object CleanPipeline {
         Seq(idCol), "left_semi")
     }
 
-    // 4b (optional): exact duplicate-span excision — its own committed
+    // 4b (optional): benchmark decontamination — its own committed stage
+    // table (the flag pass over the corpus resumes); enabling/disabling or
+    // swapping the benchmark invalidates spans/neardup/downstream through
+    // the chained tag (cDecon is a prefix of cSpan/cNear)
+    var benchGramHandle: Option[DataFrame] = None
+    val afterDecontam = benchmark match {
+      case Some(b) =>
+        val st = store.stage("decontam", fp, cDecon, log) {
+          val (flagged, bh) = Dedup.ngramContainmentBloomWithHandle(
+            exact, b, cfg.decontamNgram, cfg.decontamMinContainment, idCol, textCol)
+          benchGramHandle = bh
+          exact.join(
+            flagged.select(col("doc_id").as(idCol)).distinct(),
+            Seq(idCol), "left_anti")
+        }
+        benchGramHandle.foreach(_.unpersist())
+        st
+      case None => exact
+    }
+
+    // 4c (optional): exact duplicate-span excision — its own committed
     // stage table so the expensive window pass resumes; enabling/disabling
     // or changing the window length invalidates neardup and downstream
     // through the chained tag (cSpan is a prefix of cNear)
@@ -466,13 +531,13 @@ object CleanPipeline {
     val corpus = cfg.exactSpanTokens match {
       case Some(l) =>
         val st = store.stage("exact_spans", fp, cSpan, log) {
-          val s = Dedup.removeExactDuplicateSpans(exact, l, idCol, textCol)
+          val s = Dedup.removeExactDuplicateSpans(afterDecontam, l, idCol, textCol)
           spanHandle = Some(s)
           s.select(col(idCol), col("clean_text").as(textCol))
         }
         spanHandle.foreach(_.unpersist())
         st
-      case None => exact
+      case None => afterDecontam
     }
 
     // 5: near-dup (lexical + optional semantic) -> representatives
@@ -529,7 +594,7 @@ object CleanPipeline {
     // fully-resumed run never re-executes the input subtree for a number
     val inputCount = store.cachedInputCount("input", fp, cLine)(docs.count())
     val counts = StageCounts(inputCount, lineClean.count(), quality.count(),
-      exact.count(), out.count())
+      exact.count(), out.count(), benchmark.map(_ => afterDecontam.count()))
     (out, counts, log)
   }
 }

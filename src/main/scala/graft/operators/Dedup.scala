@@ -373,7 +373,22 @@ object Dedup {
   def ngramContainmentBloom(docs: DataFrame, benchmark: DataFrame, n: Int,
                             minContainment: Double,
                             idCol: String = "doc_id", textCol: String = "text",
-                            fpp: Double = 0.01): DataFrame = {
+                            fpp: Double = 0.01): DataFrame =
+    ngramContainmentBloomWithHandle(docs, benchmark, n, minContainment,
+      idCol, textCol, fpp)._1
+
+  /** [[ngramContainmentBloom]] plus the internal benchmark-gram cache
+    * handle, for pipeline callers that must release it after their
+    * terminal action instead of clearCache()-ing the whole session
+    * (CleanPipeline's decontam stage does). The handle is None only for
+    * an empty benchmark.
+    */
+  def ngramContainmentBloomWithHandle(docs: DataFrame, benchmark: DataFrame,
+                                      n: Int, minContainment: Double,
+                                      idCol: String = "doc_id",
+                                      textCol: String = "text",
+                                      fpp: Double = 0.01)
+      : (DataFrame, Option[DataFrame]) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val benchGrams = gramRows(benchmark, n, idCol, textCol).toDF("bench_id", "gram")
@@ -381,8 +396,8 @@ object Dedup {
     val nBench = benchGrams.count()
     if (nBench == 0L) {
       benchGrams.unpersist()
-      return spark.emptyDataset[(Long, Long, Double)]
-        .toDF("doc_id", "bench_id", "containment")
+      return (spark.emptyDataset[(Long, Long, Double)]
+        .toDF("doc_id", "bench_id", "containment"), None)
     }
     // one distributed pass over the persisted gram table; put/test go
     // through the same UTF-8 byte path (putBinary/mightContainString)
@@ -398,12 +413,12 @@ object Dedup {
       .join(benchGrams, "gram")
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("n_inter"))
-    inter
+    (inter
       .join(benchSizes, "bench_id")
       .withColumn("containment",
         col("n_inter").cast("double") / col("n_bench_grams").cast("double"))
       .filter(col("containment") >= minContainment)
-      .select("doc_id", "bench_id", "containment")
+      .select("doc_id", "bench_id", "containment"), Some(benchGrams))
   }
 
   /** Distinct word n-grams per doc as a typed Dataset — the shared kernel

@@ -214,6 +214,36 @@ class ResumeSpec extends SparkSpec {
     assert(m.select("stage").distinct().count() == allStages.size.toLong + 2)
     assert(m.filter(col("stage") === "input" && col("partition_id") === -1).count() >= 1L)
     spark.catalog.clearCache()
+
+    // benchmark decontamination: a planted verbatim leak (bench doc 500 ==
+    // body(2)) is dropped identically by run() and runCheckpointed();
+    // toggling decontam ON resumes the four text gates and computes only
+    // decontam + downstream (tag chained only when a benchmark is passed)
+    val benchTbl = Seq((500L, body(2))).toDF("doc_id", "text")
+    val workD = java.nio.file.Files.createTempDirectory("graft_clean_resume_dc").toString
+    val (oD0, _, logD0) = CleanPipeline.runCheckpointed(spark, rows, workD, cfg)
+    assert(logD0.computed.toSeq == allStages, logD0.toString)
+    val baselineIds = snap(oD0).map(_._1)
+    val (refDcOut, refDcCounts) = CleanPipeline.run(rows, cfg, benchmark = Some(benchTbl))
+    val refDc = refDcOut.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    refDcOut.unpersist()
+    spark.catalog.clearCache()
+    val (oD, nD, logD) = CleanPipeline.runCheckpointed(spark, rows, workD, cfg,
+      benchmark = Some(benchTbl))
+    assert(logD.skipped.toSeq == Seq("line_clean", "quality", "redact", "exact"), logD.toString)
+    assert(logD.computed.toSeq == Seq("decontam", "neardup", "clean_corpus"), logD.toString)
+    assert(nD == refDcCounts, nD.toString)
+    assert(snap(oD) == refDc)
+    // the leak carrier is gone, nothing else newly dropped
+    assert(baselineIds.contains(2L) && !snap(oD).exists(_._1 == 2L))
+    assert(snap(oD).map(_._1) == baselineIds - 2L)
+    assert(nD.afterDecontam.contains(nD.afterExactDedup - 1))
+    // warm rerun with the same benchmark: nothing recomputes
+    val (_, _, logD2) = CleanPipeline.runCheckpointed(spark, rows, workD, cfg,
+      benchmark = Some(benchTbl))
+    assert(logD2.computed.isEmpty, logD2.toString)
+    spark.catalog.clearCache()
   }
 
   test("dedup_corpus stage: representatives only, resumable like any stage") {
