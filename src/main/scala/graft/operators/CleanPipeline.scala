@@ -189,6 +189,12 @@ object CleanPipeline {
       case Some(b) =>
         val (flagged, benchHandle) = Dedup.ngramContainmentBloomWithHandle(
           exact, b, cfg.decontamNgram, cfg.decontamMinContainment, idCol, textCol)
+        // a gram-less benchmark makes decontamination a silent no-op —
+        // in a recipe that is a compliance bug (an emptied/mispointed
+        // benchmark table ships contaminated data), so fail loudly
+        require(benchHandle.nonEmpty, s"decontamination benchmark produced zero " +
+          s"${cfg.decontamNgram}-grams (empty or sub-gram table) — refusing to " +
+          "silently skip the stage; drop the benchmark argument to disable decontam")
         val d = exact.join(
             flagged.select(col("doc_id").as(idCol)).distinct(),
             Seq(idCol), "left_anti")
@@ -514,6 +520,11 @@ object CleanPipeline {
           val (flagged, bh) = Dedup.ngramContainmentBloomWithHandle(
             exact, b, cfg.decontamNgram, cfg.decontamMinContainment, idCol, textCol)
           benchGramHandle = bh
+          // gram-less benchmark = silent no-op = compliance bug: fail loudly
+          // (same contract as run(); see the rationale there)
+          require(bh.nonEmpty, s"decontamination benchmark produced zero " +
+            s"${cfg.decontamNgram}-grams (empty or sub-gram table) — refusing to " +
+            "silently skip the stage; drop the benchmark argument to disable decontam")
           exact.join(
             flagged.select(col("doc_id").as(idCol)).distinct(),
             Seq(idCol), "left_anti")

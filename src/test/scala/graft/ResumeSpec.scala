@@ -243,6 +243,18 @@ class ResumeSpec extends SparkSpec {
     val (_, _, logD2) = CleanPipeline.runCheckpointed(spark, rows, workD, cfg,
       benchmark = Some(benchTbl))
     assert(logD2.computed.isEmpty, logD2.toString)
+
+    // a gram-less benchmark (empty or all-sub-gram docs) fails LOUDLY on
+    // both paths — a silently skipped decontam stage ships contaminated
+    // data (an emptied/mispointed benchmark table must not no-op)
+    val gramless = Seq((999L, "x y")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      CleanPipeline.run(rows, cfg, benchmark = Some(gramless))
+    }
+    spark.catalog.clearCache()
+    intercept[IllegalArgumentException] {
+      CleanPipeline.runCheckpointed(spark, rows, workD, cfg, benchmark = Some(gramless))
+    }
     spark.catalog.clearCache()
   }
 
