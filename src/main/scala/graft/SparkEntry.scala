@@ -40,6 +40,19 @@ object SparkEntry {
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Input for the perceptual-image-dedup queries: documents plus every
+    * 25th doc RE-INGESTED under a shifted id — the re-encoded-copy
+    * scenario image dedup exists for. Offset 273273 ≡ 0 mod (3, 13, 7)
+    * so a planted copy keeps the asset modality AND synth dims: same
+    * text + same dims = byte-identical PNG = Hamming-0 pair, at every sf
+    * (natural image dups need not exist in a small slice).
+    */
+  private def imageDupDocs(spark: SparkSession, dir: String): DataFrame = {
+    val base = documents(spark, dir).select(col("doc_id"), col("text"))
+    base.union(base.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 273273L).as("doc_id"), col("text")))
+  }
+
   /** Flagship: the full near-dup pipeline (signatures -> LSH candidates ->
     * similarity pairs) on sf0.001 documents. Driver smoke-checks rows>0.
     */
@@ -447,11 +460,39 @@ object SparkEntry {
 
     // ---- multimodal plumbing ----
     "q_mm_features" -> ((s, dir) => {
-      val assets = Multimodal.synthesizeAssets(documents(s, dir))
-      Multimodal.extractFeatures(assets).toDF()
-        .select("asset_id", "modality", "n_bytes", "byte_entropy", "thumb_w", "thumb_h")
+      // committed-artifact oracle (the q_clean_tail pattern): the decoded
+      // 16-bin byte histogram and the asset dims are committed, and the
+      // DuckDB oracle RE-DERIVES byte_entropy (-sum p*log2 p over the
+      // committed bins, rounded 9dp on both engines) and thumb_w/thumb_h
+      // (the aspect-box integer rule) from them — only the codec-bound
+      // echoes (histogram, n_bytes, dims) stay synthesis-pinned
+      val assets = Multimodal.synthesizeAssets(documents(s, dir)).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      import s.implicits._
+      val feats = Multimodal.extractFeatures(assets.as[Multimodal.MediaAsset]).toDF()
+        .select(col("asset_id"), col("modality"), col("n_bytes"),
+          round(col("byte_entropy"), 9).as("byte_entropy"),
+          col("histogram"), col("thumb_w"), col("thumb_h"))
+      feats
+        .join(assets.select(col("asset_id"), col("width"), col("height")), "asset_id")
         .orderBy("asset_id")
     }),
+    "q_mm_phash" -> ((s, dir) =>
+      // committed 64-bit perceptual hash per image asset: the replay
+      // substrate for q_mm_imagedup's oracle (values are pixel-DSP-bound,
+      // pinned by the OperatorsSpec planted-clone tests; this oracle pins
+      // completeness — exactly one hash per image-modality doc incl. the
+      // planted re-ingested copies)
+      Multimodal.imageHashes(Multimodal.synthesizeAssets(imageDupDocs(s, dir)))
+        .toDF().orderBy("asset_id")),
+    "q_mm_imagedup" -> ((s, dir) =>
+      // perceptual image near-dups over the SAME planted input as
+      // q_mm_phash (the oracle replays pairs from those committed hashes):
+      // the block-pigeonhole operator output must equal the exhaustive
+      // Hamming filter — replayed O(n²) in DuckDB like q_simhash_pairs
+      Multimodal.imageNearDupPairs(
+        Multimodal.synthesizeAssets(imageDupDocs(s, dir)), maxHamming = 3)
+        .orderBy("asset1", "asset2")),
     "q_mm_frames" -> ((s, dir) =>
       Multimodal.sampleFramePlan(
         Multimodal.synthesizeAssets(documents(s, dir)).toDF()
@@ -1398,6 +1439,52 @@ object SparkEntry {
         |SELECT asset_id, CAST(ts_ms // 1000 AS INTEGER) AS frame_idx, ts_ms
         |FROM f WHERE ts_ms // 1000 < 32
         |ORDER BY asset_id, frame_idx""".stripMargin,
+    "q_mm_phash" ->
+      // completeness + echo (the q_simhash_fp pattern): exactly one
+      // perceptual hash per image-modality asset — documents plus the
+      // planted re-ingested copies (every 25th doc under +273273, the
+      // offset that preserves modality %3 and synth dims %13/%7); the
+      // VALUES are pixel-DSP-bound (aHash over a real decode), spec-pinned
+      """WITH ids AS (
+        |  SELECT doc_id FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 273273 FROM documents WHERE doc_id % 25 = 0)
+        |SELECT i.doc_id AS asset_id, f.phash
+        |FROM ids i
+        |JOIN read_parquet('@GRAFT_OUT@/q_mm_phash/*.parquet') f ON i.doc_id = f.asset_id
+        |WHERE i.doc_id % 3 = 0
+        |ORDER BY asset_id""".stripMargin,
+    "q_mm_imagedup" ->
+      // the block-pigeonhole operator must equal the exhaustive Hamming
+      // filter over the committed perceptual hashes (O(n²) fine at oracle
+      // scale) — the q_simhash_pairs replay pattern on image fingerprints
+      """WITH f AS (
+        |  SELECT asset_id, phash FROM read_parquet('@GRAFT_OUT@/q_mm_phash/*.parquet'))
+        |SELECT a.asset_id AS asset1, b.asset_id AS asset2,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+        |FROM f a JOIN f b ON a.asset_id < b.asset_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY asset1, asset2""".stripMargin,
+    "q_mm_features" ->
+      // committed-artifact replay: histogram / n_bytes / dims are
+      // codec-bound echoes of the query's own output, but byte_entropy is
+      // RE-DERIVED from the committed 16-bin histogram (-sum p*log2 p,
+      // list order = bin order on both engines, 9dp round absorbs the
+      // ln/ln2-vs-log2 ulp) and thumb_w/thumb_h from the committed dims
+      // (the aspect-box integer rule, maxSide 256 — pure integer SQL)
+      """SELECT f.asset_id, f.modality, f.n_bytes,
+        |  round(coalesce(list_sum(list_transform(f.histogram,
+        |    p -> CASE WHEN p > 0 THEN -(p * log2(p)) ELSE 0 END)), 0), 9) AS byte_entropy,
+        |  f.histogram,
+        |  CASE WHEN f.width <= 0 OR f.height <= 0 THEN 0
+        |       WHEN f.width >= f.height THEN 256
+        |       ELSE greatest(1, (f.width * 256) // f.height) END AS thumb_w,
+        |  CASE WHEN f.width <= 0 OR f.height <= 0 THEN 0
+        |       WHEN f.width >= f.height THEN greatest(1, (f.height * 256) // f.width)
+        |       ELSE 256 END AS thumb_h,
+        |  f.width, f.height
+        |FROM read_parquet('@GRAFT_OUT@/q_mm_features/*.parquet') f
+        |ORDER BY f.asset_id""".stripMargin,
     "q_mm_audio" ->
       // mirrors synthesizeAssets' audio arm (audio iff doc_id%3=1;
       // duration 200+(id%16)*100 ms at 4000 Hz => n_samples = dur*4, and

@@ -189,11 +189,34 @@ object Dedup {
     // the simHash kernel would run once per side (CLAUDE.md sharp edge)
     val sh = simHashes(docs, seed, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val blocks = sh.select(
-      col(idCol).as("doc_id"),
-      col("simhash"),
+    hammingPairs64(sh, maxHamming, nBlocks = 4, idCol = idCol, hashCol = "simhash")
+  }
+
+  /** All pairs of 64-bit fingerprints within Hamming distance `maxHamming`,
+    * via the block-permutation pigeonhole: split the hash into `nBlocks`
+    * equal blocks; any pair within distance < nBlocks shares at least one
+    * exact block, so an equi-join per block finds every candidate with
+    * zero cross join; exact `bit_count(xor)` filters. The fingerprint-
+    * agnostic core behind [[simHashPairs]] (text) and
+    * Multimodal.imageNearDupPairs (perceptual image hashes).
+    *
+    * The input frame feeds BOTH self-join sides — the CALLER persists it
+    * (the repo-wide kernel-cache contract; simHashPairs does).
+    */
+  def hammingPairs64(hashes: DataFrame, maxHamming: Int, nBlocks: Int = 4,
+                     idCol: String = "doc_id",
+                     hashCol: String = "simhash"): DataFrame = {
+    require(nBlocks > 0 && 64 % nBlocks == 0, "nBlocks must divide 64")
+    require(maxHamming < nBlocks,
+      s"$nBlocks-block pigeonhole guarantees recall only for maxHamming < $nBlocks")
+    val bw = 64 / nBlocks
+    val mask = if (bw == 64) -1L else (1L << bw) - 1L
+    val blocks = hashes.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(hashCol).as("_h"),
       posexplode(
-        array((0 until 4).map(b => shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*)
+        array((0 until nBlocks).map(b =>
+          shiftright(col(hashCol), b * bw).bitwiseAND(lit(mask))): _*)
       ).as(Seq("block_idx", "block_val"))
     )
     val a = blocks.alias("a")
@@ -207,7 +230,7 @@ object Dedup {
       .select(
         col("a.doc_id").as("doc1"),
         col("b.doc_id").as("doc2"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming")
+        bit_count(col("a._h").bitwiseXOR(col("b._h"))).as("hamming")
       )
       .filter(col("hamming") <= maxHamming)
       .distinct()

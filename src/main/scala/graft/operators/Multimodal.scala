@@ -400,6 +400,44 @@ object Multimodal {
       }
     }
 
+    /** 64-bit perceptual average hash (aHash) of an encoded image: real
+      * decode, bilinear downscale to 8x8, integer luma
+      * ((299r+587g+114b)/1000 — no IEEE in the fingerprint), threshold
+      * strictly above the integer mean; bit (y*8+x). Near-identical
+      * images land within small Hamming distance; undecodable input
+      * hashes to 0 (gated out by the caller's modality filter — all-dark
+      * real images also hash to 0 and would pair, by design: aHash has no
+      * discrimination inside uniform images).
+      */
+    def aHash64(payload: Array[Byte]): Long = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return 0L
+      val small = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = small.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, 8, 8, null)
+      } finally g.dispose()
+      val luma = new Array[Int](64)
+      var sum = 0L
+      var i = 0
+      while (i < 64) {
+        val rgb = small.getRGB(i % 8, i / 8)
+        val r = (rgb >> 16) & 0xff; val gg = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        luma(i) = (299 * r + 587 * gg + 114 * b) / 1000
+        sum += luma(i)
+        i += 1
+      }
+      val mean = sum / 64
+      var out = 0L
+      i = 0
+      while (i < 64) { if (luma(i) > mean) out |= (1L << i); i += 1 }
+      out
+    }
+
     /** Deterministic REAL PNG: pixels are a pure function of the seed
       * bytes (cycled over RGB channels), encoded with the JDK PNG writer.
       */
@@ -561,6 +599,39 @@ object Multimodal {
       val (tw, th) = Codec.thumbBox(a.width, a.height, thumbMaxSide)
       MediaFeatures(a.asset_id, a.modality, decoded.length.toLong, Codec.entropy(hist), hist, tw, th)
     })
+  }
+
+  /** Row of the perceptual-hash table. */
+  final case class ImageHash(asset_id: Long, phash: Long)
+
+  /** 64-bit perceptual hash per IMAGE asset (real decode + [[Codec.aHash64]];
+    * narrow per-partition batch, payloads never leave the executor).
+    * Non-image assets are filtered out.
+    */
+  def imageHashes(assets: Dataset[MediaAsset]): Dataset[ImageHash] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .filter(_.modality == "image")
+      .mapPartitions(_.map(a => ImageHash(a.asset_id, Codec.aHash64(a.payload))))
+  }
+
+  /** Perceptual near-duplicate IMAGE pairs: aHash fingerprints joined by
+    * Dedup.hammingPairs64's block-pigeonhole (zero cross join — the image
+    * analog of SimHash text dedup; a training pipeline dedups re-encoded /
+    * resized copies of the same picture this way). Output
+    * (asset1, asset2, hamming), asset1 < asset2.
+    *
+    * Cache contract as simHashPairs: the hash table feeds both self-join
+    * sides and is persisted here; the CALLER releases (clearCache or via
+    * the returned frame's lineage after the terminal action).
+    */
+  def imageNearDupPairs(assets: Dataset[MediaAsset], maxHamming: Int = 3,
+                        nBlocks: Int = 4): DataFrame = {
+    val h = imageHashes(assets).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.hammingPairs64(h, maxHamming, nBlocks, idCol = "asset_id", hashCol = "phash")
+      .select(col("doc1").as("asset1"), col("doc2").as("asset2"), col("hamming"))
   }
 
   /** Row of the thumbnails table. */

@@ -473,6 +473,39 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.Codec.entropy(h2) > 1.0)
   }
 
+  test("multimodal: aHash64 deterministic, scale-tolerant, undecodable -> 0") {
+    val png = Multimodal.Codec.synthesizePng(64, 48, "abc seed".getBytes("UTF-8"))
+    val h1 = Multimodal.Codec.aHash64(png)
+    // deterministic: same bytes, same hash
+    assert(h1 == Multimodal.Codec.aHash64(
+      Multimodal.Codec.synthesizePng(64, 48, "abc seed".getBytes("UTF-8"))))
+    // perceptual: a RESIZED copy of the same picture stays near (that is
+    // the whole point of the hash — re-encoded/rescaled dups must pair)
+    val resized = Multimodal.Codec.resizePng(png, 32)
+    assert(resized.nonEmpty)
+    val hr = Multimodal.Codec.aHash64(resized)
+    assert(java.lang.Long.bitCount(h1 ^ hr) <= 8,
+      s"resized copy drifted ${java.lang.Long.bitCount(h1 ^ hr)} bits")
+    // undecodable payload hashes to 0
+    assert(Multimodal.Codec.aHash64(Array[Byte](1, 2, 3)) == 0L)
+  }
+
+  test("multimodal: imageNearDupPairs pairs planted identical images only") {
+    // ids 0 and 273 share modality (%3=0) AND dims (%13=0, %7=0): identical
+    // text => byte-identical synthesized PNG => hamming 0. id 3 is an
+    // image with different content/dims — must not pair at hamming <= 3.
+    val docs3 = Seq(
+      (0L, "the same pixel seed text"),
+      (273L, "the same pixel seed text"),
+      (3L, "completely different content to paint with other bytes")
+    ).toDF("doc_id", "text")
+    val pairs = Multimodal.imageNearDupPairs(
+        Multimodal.synthesizeAssets(docs3), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs == Seq((0L, 273L, 0)), pairs.mkString(","))
+    spark.catalog.clearCache()
+  }
+
   test("multimodal: thumbnails are REAL resized PNGs with the exact box dims") {
     val assets = Multimodal.synthesizeAssets(docs)
     val th = Multimodal.thumbnails(assets).collect()
