@@ -382,6 +382,12 @@ object SparkEntry {
       Corpus.quotaSample(documents(s, dir).select("doc_id", "lang"),
           "lang", cap = 40, seed = 13L)
         .orderBy("doc_id")),
+    "q_corpus_profile" -> ((s, dir) =>
+      // per-(lang, source) data-card profile: doc counts, token totals and
+      // extremes, code-point chars, exact distinct-content counts — every
+      // measure integer/exact, so DuckDB replays the whole table
+      Corpus.profile(documents(s, dir))
+        .orderBy("lang", "source")),
     "q_token_shards" -> ((s, dir) =>
       // token-budget packing via the distributed two-pass prefix sum (the
       // naive global-order window is a single task at scale); the oracle
@@ -1125,6 +1131,26 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY lang ORDER BY prio, doc_id) AS rn
         |  FROM s)
         |SELECT doc_id, lang FROM r WHERE rn <= 40 ORDER BY doc_id""".stripMargin,
+    "q_corpus_profile" ->
+      // same token expression as q_token_shards' oracle (the pinned
+      // tokenCountWs pair), code-point length(), exact distinct on the
+      // text itself (the digest only exists to keep the Spark-side
+      // shuffle text-free); DuckDB SUM -> HUGEINT, cast back
+      """WITH t AS (
+        |  SELECT lang, source, coalesce(text, '') AS tx,
+        |    CAST(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '[ \t\n\x0b\f\r]+')) END AS BIGINT)
+        |      AS ntk
+        |  FROM documents)
+        |SELECT lang, source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(ntk) AS BIGINT) AS total_tokens,
+        |  min(ntk) AS min_tokens,
+        |  max(ntk) AS max_tokens,
+        |  CAST(sum(length(tx)) AS BIGINT) AS total_chars,
+        |  count(DISTINCT tx) AS n_distinct_texts
+        |FROM t GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
     "q_token_shards" ->
       // shard = floor(exclusive-prefix-sum(n_tokens) / 50000) over doc_id
       // order; DuckDB SUM(BIGINT) returns HUGEINT -> cast back before the

@@ -112,6 +112,38 @@ object Corpus {
       .drop("_qs_rank")
   }
 
+  /** Per-group corpus profile — the data-card numbers a production run
+    * publishes next to a release (and the first sanity read after a 100 TB
+    * ingest): doc count, whitespace-token totals and extremes, code-point
+    * char total, and the exact distinct-content count per group
+    * (lang × source by default).
+    *
+    * Scale shape: one map-side-combinable groupBy on the group key; the
+    * distinct-content count rides Spark's two-phase count(DISTINCT) over
+    * the 256-bit digest — the shuffle carries one row per (group, digest),
+    * never text. All measures are integer/exact (no approx sketches), so
+    * the whole table replays in DuckDB (q_corpus_profile).
+    */
+  def profile(docs: DataFrame, groupCols: Seq[String] = Seq("lang", "source"),
+              textCol: String = "text"): DataFrame = {
+    require(groupCols.nonEmpty, "profile needs at least one group column")
+    val t = coalesce(col(textCol).cast("string"), lit(""))
+    val gs = groupCols.map(col)
+    docs
+      .select(gs :+
+        graft.functions.TextAnalysis.tokenCountWs(t).cast("long").as("_tk") :+
+        length(t).cast("long").as("_ch") :+
+        sha2(t, 256).as("_dg"): _*)
+      .groupBy(gs: _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("_tk").as("total_tokens"),
+        min("_tk").as("min_tokens"),
+        max("_tk").as("max_tokens"),
+        sum("_ch").as("total_chars"),
+        countDistinct(col("_dg")).as("n_distinct_texts"))
+  }
+
   /** Token-budget sharding: assign each doc (in ascending `idCol` order) to
     * the shard whose running token total its FIRST token falls into —
     * shard_id = floor(exclusive-prefix-sum(n_tokens) / tokensPerShard).

@@ -1022,6 +1022,25 @@ class OperatorsSpec extends SparkSpec {
     assert(err.getMessage.contains("quotaSample"), err.getMessage)
   }
 
+  test("Corpus.profile: hand-computed data-card numbers per group") {
+    val docs = Seq(
+      (0L, "en", "web", "a b c"),          // 3 tokens, 5 chars
+      (1L, "en", "web", "a b c"),          // exact dup of 0
+      (2L, "en", "web", "d e f g"),        // 4 tokens, 7 chars
+      (3L, "en", "books", "hello"),        // 1 token, 5 chars
+      (4L, "de", "web", ""),               // empty: 0 tokens, 0 chars
+      (5L, "de", "web", null.asInstanceOf[String]) // null == empty
+    ).toDF("doc_id", "lang", "source", "text")
+    val got = Corpus.profile(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // (n_docs, total_tokens, min_tokens, max_tokens, total_chars, n_distinct)
+    assert(got(("en", "web")) == ((3L, 10L, 3L, 4L, 17L, 2L)), got.toString)
+    assert(got(("en", "books")) == ((1L, 1L, 1L, 1L, 5L, 1L)), got.toString)
+    assert(got(("de", "web")) == ((2L, 0L, 0L, 0L, 0L, 1L)), got.toString)
+    assert(got.size == 3)
+  }
+
   test("corpus split: deterministic, covering, layout-invariant, ~weighted") {
     val ids = spark.range(0, 10000).select($"id".as("doc_id"))
     val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
