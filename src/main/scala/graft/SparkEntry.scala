@@ -53,6 +53,16 @@ object SparkEntry {
       .select((col("doc_id") + 273273L).as("doc_id"), col("text")))
   }
 
+  /** Audio analog of [[imageDupDocs]]: offset 4800000 ≡ 0 mod (3, 16)
+    * keeps the planted copy's modality AND synth duration — byte-identical
+    * WAV, Hamming-0 pair at every sf.
+    */
+  private def audioDupDocs(spark: SparkSession, dir: String): DataFrame = {
+    val base = documents(spark, dir).select(col("doc_id"), col("text"))
+    base.union(base.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 4800000L).as("doc_id"), col("text")))
+  }
+
   /** Flagship: the full near-dup pipeline (signatures -> LSH candidates ->
     * similarity pairs) on sf0.001 documents. Driver smoke-checks rows>0.
     */
@@ -498,6 +508,23 @@ object SparkEntry {
       // Hamming filter — replayed O(n²) in DuckDB like q_simhash_pairs
       Multimodal.imageNearDupPairs(
         Multimodal.synthesizeAssets(imageDupDocs(s, dir)), maxHamming = 3)
+        .orderBy("asset1", "asset2")),
+    "q_mm_audiohash" -> ((s, dir) =>
+      // committed spectral fingerprint per audio asset (documents + the
+      // planted re-ingested copies): the replay substrate for
+      // q_mm_audiodup — values are DSP-bound, spec-pinned (determinism,
+      // resample robustness); this oracle pins completeness
+      Multimodal.audioHashes(Multimodal.synthesizeAssets(audioDupDocs(s, dir)))
+        .toDF().orderBy("asset_id")),
+    "q_mm_audiodup" -> ((s, dir) =>
+      // perceptual audio near-dups over the SAME planted input: block-
+      // pigeonhole output == exhaustive Hamming filter over the committed
+      // fingerprints, replayed O(n²) in DuckDB. Pair density is high by
+      // construction: synth WAVs derive from the first 4 text bytes, so
+      // docs sharing a prefix ARE the same two-tone clip — real dups to
+      // this fingerprint, and the oracle replays exactly that semantics
+      Multimodal.audioNearDupPairs(
+        Multimodal.synthesizeAssets(audioDupDocs(s, dir)), maxHamming = 3)
         .orderBy("asset1", "asset2")),
     "q_mm_frames" -> ((s, dir) =>
       Multimodal.sampleFramePlan(
@@ -1490,6 +1517,28 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
         |FROM f a JOIN f b ON a.asset_id < b.asset_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY asset1, asset2""".stripMargin,
+    "q_mm_audiohash" ->
+      // completeness + echo: one spectral fingerprint per audio-modality
+      // asset — documents plus planted copies at +4800000 (≡ 0 mod 3 and
+      // 16: modality and synth duration preserved); VALUES are DSP-bound
+      """WITH ids AS (
+        |  SELECT doc_id FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 4800000 FROM documents WHERE doc_id % 25 = 0)
+        |SELECT i.doc_id AS asset_id, f.ahash
+        |FROM ids i
+        |JOIN read_parquet('@GRAFT_OUT@/q_mm_audiohash/*.parquet') f ON i.doc_id = f.asset_id
+        |WHERE i.doc_id % 3 = 1
+        |ORDER BY asset_id""".stripMargin,
+    "q_mm_audiodup" ->
+      // exhaustive Hamming replay over the committed audio fingerprints
+      """WITH f AS (
+        |  SELECT asset_id, ahash FROM read_parquet('@GRAFT_OUT@/q_mm_audiohash/*.parquet'))
+        |SELECT a.asset_id AS asset1, b.asset_id AS asset2,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+        |FROM f a JOIN f b ON a.asset_id < b.asset_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
         |ORDER BY asset1, asset2""".stripMargin,
     "q_mm_features" ->
       // committed-artifact replay: histogram / n_bytes / dims are

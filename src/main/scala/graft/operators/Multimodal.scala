@@ -438,6 +438,71 @@ object Multimodal {
       out
     }
 
+    /** 64 log-spaced probe frequencies for [[audioHash64]], 55..1600 Hz —
+      * covers the synthesized two-tone range and stays below Nyquist for
+      * every PCM rate >= 3200 Hz, so a RESAMPLED copy keeps its bands.
+      */
+    private[operators] val AudioHashBands: Array[Double] =
+      Array.tabulate(64)(k => 55.0 * math.pow(1600.0 / 55.0, k / 63.0))
+
+    /** 64-bit perceptual audio fingerprint: real WAV decode, Goertzel
+      * power at 64 log-spaced physical frequencies over the whole clip,
+      * per-sample-count normalization, bit = band power strictly above the
+      * mean band power. Frequency-domain on purpose: it is invariant to
+      * duration and to resampling (the two edits a re-ingested copy
+      * actually has), where a windowed time-energy hash is degenerate on
+      * stationary signals. Undecodable / sub-64-sample input hashes to 0.
+      */
+    def audioHash64(payload: Array[Byte]): Long = {
+      val (pcm, rate) =
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try (ais.readAllBytes(), ais.getFormat.getSampleRate.toDouble)
+          finally ais.close()
+        } catch { case _: Exception => return 0L }
+      val n = pcm.length / 2
+      if (n < 64 || rate <= 0) return 0L
+      val powers = new Array[Double](64)
+      var k = 0
+      while (k < 64) {
+        // Goertzel at band frequency fk (skip bands at/above Nyquist —
+        // they stay 0 and land below the mean, never spuriously set)
+        val fk = AudioHashBands(k)
+        if (fk < rate / 2.0) {
+          val w = 2.0 * math.Pi * fk / rate
+          val coeff = 2.0 * math.cos(w)
+          var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+          var i = 0
+          while (i < n) {
+            // 16-bit little-endian PCM
+            val sample = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toDouble
+            s0 = sample + coeff * s1 - s2
+            s2 = s1; s1 = s0
+            i += 1
+          }
+          powers(k) = (s1 * s1 + s2 * s2 - coeff * s1 * s2) / (n.toDouble * n.toDouble)
+        }
+        k += 1
+      }
+      // MEAN threshold on purpose (a median cut was measured 20-bit
+      // duration-UNstable: the mid-ranked bands are leakage skirts whose
+      // ordering churns with the sample count). The mean cut keeps only
+      // strong peaks -> a sparse peak-position code: identical content 0,
+      // duration/rate edits <= a few bits, distinct tone sets disjoint
+      // peak clusters. Hamming here measures PEAK overlap — clips whose
+      // tones sit within a band step are perceptually close and DO pair;
+      // that is the semantics, not a collision.
+      var mean = 0.0
+      k = 0
+      while (k < 64) { mean += powers(k); k += 1 }
+      mean /= 64.0
+      var out = 0L
+      k = 0
+      while (k < 64) { if (powers(k) > mean) out |= (1L << k); k += 1 }
+      out
+    }
+
     /** Deterministic REAL PNG: pixels are a pure function of the seed
       * bytes (cycled over RGB channels), encoded with the JDK PNG writer.
       */
@@ -631,6 +696,34 @@ object Multimodal {
     val h = imageHashes(assets).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.hammingPairs64(h, maxHamming, nBlocks, idCol = "asset_id", hashCol = "phash")
+      .select(col("doc1").as("asset1"), col("doc2").as("asset2"), col("hamming"))
+  }
+
+  /** Row of the audio-fingerprint table. */
+  final case class AudioHash(asset_id: Long, ahash: Long)
+
+  /** 64-bit perceptual fingerprint per AUDIO asset (real decode +
+    * [[Codec.audioHash64]]; narrow, payloads never leave the executor).
+    */
+  def audioHashes(assets: Dataset[MediaAsset]): Dataset[AudioHash] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .filter(_.modality == "audio")
+      .mapPartitions(_.map(a => AudioHash(a.asset_id, Codec.audioHash64(a.payload))))
+  }
+
+  /** Perceptual near-duplicate AUDIO pairs — the audio member of the
+    * cross-modality dedup family (images: [[imageNearDupPairs]]); same
+    * Dedup.hammingPairs64 block-pigeonhole, same cache contract.
+    * The spectral fingerprint pairs re-ingested copies that differ in
+    * duration or sample rate. Output (asset1, asset2, hamming).
+    */
+  def audioNearDupPairs(assets: Dataset[MediaAsset], maxHamming: Int = 3,
+                        nBlocks: Int = 4): DataFrame = {
+    val h = audioHashes(assets).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.hammingPairs64(h, maxHamming, nBlocks, idCol = "asset_id", hashCol = "ahash")
       .select(col("doc1").as("asset1"), col("doc2").as("asset2"), col("hamming"))
   }
 

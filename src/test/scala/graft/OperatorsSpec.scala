@@ -506,6 +506,46 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("multimodal: audioHash64 deterministic, duration- and resample-tolerant") {
+    val wav = Multimodal.Codec.synthesizeWav(800L, 4000, "AB tone seed x".getBytes("UTF-8"))
+    val h1 = Multimodal.Codec.audioHash64(wav)
+    assert(h1 != 0L)
+    assert(h1 == Multimodal.Codec.audioHash64(
+      Multimodal.Codec.synthesizeWav(800L, 4000, "AB tone seed x".getBytes("UTF-8"))))
+    // frequency-domain: the SAME tones at a different duration and at a
+    // RESAMPLED rate must stay near (the re-ingested-copy edits)
+    val longer = Multimodal.Codec.synthesizeWav(1500L, 4000, "AB tone seed x".getBytes("UTF-8"))
+    val dDur = java.lang.Long.bitCount(h1 ^ Multimodal.Codec.audioHash64(longer))
+    assert(dDur <= 8, s"duration change drifted $dDur bits")
+    val resampled = Multimodal.Codec.resampleWav(wav, 8000)
+    val dRate = java.lang.Long.bitCount(h1 ^ Multimodal.Codec.audioHash64(resampled))
+    assert(dRate <= 8, s"resample drifted $dRate bits")
+    // genuinely different tones land far: seed bytes 'A'(65) vs 'z'(122)
+    // put f1 at 370 vs 598 Hz — disjoint peak clusters. (Seeds with CLOSE
+    // first bytes produce tones within a band step and legitimately pair:
+    // the hash measures peak overlap, i.e. perceptual similarity.)
+    val other = Multimodal.Codec.synthesizeWav(800L, 4000, "zz other tone".getBytes("UTF-8"))
+    assert(java.lang.Long.bitCount(h1 ^ Multimodal.Codec.audioHash64(other)) > 4)
+    // undecodable payload hashes to 0
+    assert(Multimodal.Codec.audioHash64(Array[Byte](9, 9, 9)) == 0L)
+  }
+
+  test("multimodal: audioNearDupPairs pairs planted identical clips only") {
+    // ids 1 and 1+48 share modality (%3=1) and duration (%16): identical
+    // text => byte-identical WAV => hamming 0. id 4 is audio with
+    // different tones — must not pair at hamming <= 3.
+    val docs3 = Seq(
+      (1L, "same tone text"),
+      (49L, "same tone text"),
+      (4L, "completely different tonal seed bytes")
+    ).toDF("doc_id", "text")
+    val pairs = Multimodal.audioNearDupPairs(
+        Multimodal.synthesizeAssets(docs3), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs == Seq((1L, 49L, 0)), pairs.mkString(","))
+    spark.catalog.clearCache()
+  }
+
   test("multimodal: thumbnails are REAL resized PNGs with the exact box dims") {
     val assets = Multimodal.synthesizeAssets(docs)
     val th = Multimodal.thumbnails(assets).collect()
