@@ -63,6 +63,15 @@ object SparkEntry {
       .select((col("doc_id") + 4800000L).as("doc_id"), col("text")))
   }
 
+  /** Video analog: offset 6000000 ≡ 0 mod (3, 4, 60) preserves modality,
+    * synth dims (w %4, h %3) and duration (%60) — byte-identical Y4M.
+    */
+  private def videoDupDocs(spark: SparkSession, dir: String): DataFrame = {
+    val base = documents(spark, dir).select(col("doc_id"), col("text"))
+    base.union(base.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 6000000L).as("doc_id"), col("text")))
+  }
+
   /** Flagship: the full near-dup pipeline (signatures -> LSH candidates ->
     * similarity pairs) on sf0.001 documents. Driver smoke-checks rows>0.
     */
@@ -525,6 +534,19 @@ object SparkEntry {
       // this fingerprint, and the oracle replays exactly that semantics
       Multimodal.audioNearDupPairs(
         Multimodal.synthesizeAssets(audioDupDocs(s, dir)), maxHamming = 3)
+        .orderBy("asset1", "asset2")),
+    "q_mm_videohash" -> ((s, dir) =>
+      // committed key-frame fingerprint per video asset (documents + the
+      // planted re-ingested copies): the replay substrate for
+      // q_mm_videodup; values are pixel-DSP-bound, spec-pinned
+      Multimodal.videoHashes(Multimodal.synthesizeAssets(videoDupDocs(s, dir)))
+        .toDF().orderBy("asset_id")),
+    "q_mm_videodup" -> ((s, dir) =>
+      // perceptual video near-dups over the SAME planted input: block-
+      // pigeonhole output == exhaustive Hamming filter over the committed
+      // fingerprints, replayed O(n²) in DuckDB
+      Multimodal.videoNearDupPairs(
+        Multimodal.synthesizeAssets(videoDupDocs(s, dir)), maxHamming = 3)
         .orderBy("asset1", "asset2")),
     "q_mm_frames" -> ((s, dir) =>
       Multimodal.sampleFramePlan(
@@ -1539,6 +1561,28 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
         |FROM f a JOIN f b ON a.asset_id < b.asset_id
         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        |ORDER BY asset1, asset2""".stripMargin,
+    "q_mm_videohash" ->
+      // completeness + echo: one key-frame fingerprint per video-modality
+      // asset — documents plus planted copies at +6000000 (≡ 0 mod 3/4/60:
+      // modality, synth dims and duration preserved); values DSP-bound
+      """WITH ids AS (
+        |  SELECT doc_id FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 6000000 FROM documents WHERE doc_id % 25 = 0)
+        |SELECT i.doc_id AS asset_id, f.vhash
+        |FROM ids i
+        |JOIN read_parquet('@GRAFT_OUT@/q_mm_videohash/*.parquet') f ON i.doc_id = f.asset_id
+        |WHERE i.doc_id % 3 = 2
+        |ORDER BY asset_id""".stripMargin,
+    "q_mm_videodup" ->
+      // exhaustive Hamming replay over the committed video fingerprints
+      """WITH f AS (
+        |  SELECT asset_id, vhash FROM read_parquet('@GRAFT_OUT@/q_mm_videohash/*.parquet'))
+        |SELECT a.asset_id AS asset1, b.asset_id AS asset2,
+        |  CAST(bit_count(xor(a.vhash, b.vhash)) AS INTEGER) AS hamming
+        |FROM f a JOIN f b ON a.asset_id < b.asset_id
+        |WHERE bit_count(xor(a.vhash, b.vhash)) <= 3
         |ORDER BY asset1, asset2""".stripMargin,
     "q_mm_features" ->
       // committed-artifact replay: histogram / n_bytes / dims are

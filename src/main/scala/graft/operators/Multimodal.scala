@@ -503,6 +503,19 @@ object Multimodal {
       out
     }
 
+    /** 64-bit perceptual video fingerprint — the key-frame hash a
+      * production tier starts with: real Y4M parse, grab the frame at the
+      * temporal MIDPOINT (an fps-resampled copy keeps timeline content,
+      * so frame-at-normalized-time is edit-stable where a fixed frame
+      * index is not), real YUV->RGB render, then [[aHash64]] it.
+      * Undecodable / empty video hashes to 0.
+      */
+    def videoHash64(payload: Array[Byte]): Long = {
+      val v = try decodeY4m(payload) catch { case _: Exception => return 0L }
+      if (v.frames.isEmpty || v.fpsNum == 0) return 0L
+      aHash64(frameToPng(v, (v.frames.length - 1) / 2))
+    }
+
     /** Deterministic REAL PNG: pixels are a pure function of the seed
       * bytes (cycled over RGB channels), encoded with the JDK PNG writer.
       */
@@ -724,6 +737,33 @@ object Multimodal {
     val h = audioHashes(assets).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.hammingPairs64(h, maxHamming, nBlocks, idCol = "asset_id", hashCol = "ahash")
+      .select(col("doc1").as("asset1"), col("doc2").as("asset2"), col("hamming"))
+  }
+
+  /** Row of the video-fingerprint table. */
+  final case class VideoHash(asset_id: Long, vhash: Long)
+
+  /** 64-bit key-frame fingerprint per VIDEO asset ([[Codec.videoHash64]];
+    * narrow, payloads never leave the executor).
+    */
+  def videoHashes(assets: Dataset[MediaAsset]): Dataset[VideoHash] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .filter(_.modality == "video")
+      .mapPartitions(_.map(a => VideoHash(a.asset_id, Codec.videoHash64(a.payload))))
+  }
+
+  /** Perceptual near-duplicate VIDEO pairs — completes the cross-modality
+    * dedup family (images / audio / video all over the same
+    * Dedup.hammingPairs64 block-pigeonhole; same cache contract).
+    * Output (asset1, asset2, hamming).
+    */
+  def videoNearDupPairs(assets: Dataset[MediaAsset], maxHamming: Int = 3,
+                        nBlocks: Int = 4): DataFrame = {
+    val h = videoHashes(assets).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.hammingPairs64(h, maxHamming, nBlocks, idCol = "asset_id", hashCol = "vhash")
       .select(col("doc1").as("asset1"), col("doc2").as("asset2"), col("hamming"))
   }
 

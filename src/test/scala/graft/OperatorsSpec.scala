@@ -546,6 +546,34 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("multimodal: videoHash64 deterministic, fps-resample tolerant") {
+    val y4m = Multimodal.Codec.synthesizeY4m(64, 48, 12, 4, "AB video seed".getBytes("UTF-8"))
+    val h1 = Multimodal.Codec.videoHash64(y4m)
+    assert(h1 == Multimodal.Codec.videoHash64(
+      Multimodal.Codec.synthesizeY4m(64, 48, 12, 4, "AB video seed".getBytes("UTF-8"))))
+    // the key frame is picked at the temporal midpoint, so an fps-
+    // resampled copy (same timeline, duplicated/dropped frames) stays near
+    val res = Multimodal.Codec.resampleY4m(y4m, 8)
+    val d = java.lang.Long.bitCount(h1 ^ Multimodal.Codec.videoHash64(res))
+    assert(d <= 8, s"fps resample drifted $d bits")
+    assert(Multimodal.Codec.videoHash64(Array[Byte](5, 5)) == 0L)
+  }
+
+  test("multimodal: videoNearDupPairs pairs planted identical clips only") {
+    // ids 2 and 62 share modality (%3=2), dims (%4, %3) and duration
+    // (%60): identical text => byte-identical Y4M => hamming 0
+    val docs3 = Seq(
+      (2L, "same clip text"),
+      (62L, "same clip text"),
+      (5L, "a different moving gradient clip")
+    ).toDF("doc_id", "text")
+    val pairs = Multimodal.videoNearDupPairs(
+        Multimodal.synthesizeAssets(docs3), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs == Seq((2L, 62L, 0)), pairs.mkString(","))
+    spark.catalog.clearCache()
+  }
+
   test("multimodal: thumbnails are REAL resized PNGs with the exact box dims") {
     val assets = Multimodal.synthesizeAssets(docs)
     val th = Multimodal.thumbnails(assets).collect()
