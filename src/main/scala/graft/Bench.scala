@@ -364,29 +364,68 @@ object Bench {
     val discardedJson =
       discardedLoS.map(r => s""","runs_lo_discarded":${runsJson(r)}""").getOrElse("") +
         discardedHiS.map(r => s""","runs_hi_discarded":${runsJson(r)}""").getOrElse("")
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        f""""total_min3":$totalMin3%.3f,"queries_min3":$qsMin3,"sf":"$sfDir",""" +
-        s""""headline_pass_env":${headlineStamps.map(stampJson).mkString("[", ",", "]")},""" +
-        s""""plans":$plans,"configs":$cfgs,"configs_med":$cfgsMed,""" +
-        s""""configs_runs":$cfgsRuns,""" +
-        s""""scaling":{"files":$scaleFiles,"cores_lo":$coresLo,"cores_hi":$coresHi,""" +
+    // Shared by the compact stdout line and the full file JSON so the two
+    // cannot drift on the graded scalars.
+    val scalingCore =
+      s""""files":$scaleFiles,"cores_lo":$coresLo,"cores_hi":$coresHi,""" +
         f""""sec_lo":$tLo%.2f,"sec_hi":$tHi%.2f,""" +
         f""""sec_lo_med":$tLoMed%.2f,"sec_hi_med":$tHiMed%.2f,""" +
         f""""files_per_sec_lo":$thrLo%.1f,"files_per_sec_hi":$thrHi%.1f,""" +
         f""""scaling_efficiency":$eff%.3f,"efficiency_raw":$effRaw%.3f,""" +
         f""""efficiency_med":$effMed%.3f,""" +
         f""""band_lo":$effBandLo%.3f,"band_hi":$effBandHi%.3f,""" +
+        s""""rerun_lo":${discardedLoS.isDefined},"rerun_hi":${discardedHiS.isDefined}"""
+    // COMPACT stdout line — the driver keeps only a 2,000-char stdout TAIL
+    // and parses the last line as JSON; round 6's enriched line hit 2,484
+    // bytes and the driver graded NO bench at all (BENCH_r06 parsed: null).
+    // Scalars only here; every bulky array (env stamps, per-run arrays,
+    // plan summaries, sweep) lives in bench_out.json. BenchSpec asserts the
+    // assembled line stays under budget.
+    val compact = compactJson(total, qs, totalMin3, qsMin3, sfDir, cfgs, cfgsMed,
+      scalingCore)
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        f""""total_min3":$totalMin3%.3f,"queries_min3":$qsMin3,"sf":"$sfDir",""" +
+        s""""headline_pass_env":${headlineStamps.map(stampJson).mkString("[", ",", "]")},""" +
+        s""""plans":$plans,"configs":$cfgs,"configs_med":$cfgsMed,""" +
+        s""""configs_runs":$cfgsRuns,""" +
+        s""""scaling":{$scalingCore,""" +
         s""""runs_lo":${runsLo.map(t => f"$t%.2f").mkString("[", ",", "]")},""" +
         s""""runs_hi":${runsHi.map(t => f"$t%.2f").mkString("[", ",", "]")},""" +
         s""""runs_lo_env":${runsLoS.map(r => stampJson(r._1)).mkString("[", ",", "]")},""" +
-        s""""runs_hi_env":${runsHiS.map(r => stampJson(r._1)).mkString("[", ",", "]")},""" +
-        s""""rerun_lo":${discardedLoS.isDefined},"rerun_hi":${discardedHiS.isDefined}""" +
+        s""""runs_hi_env":${runsHiS.map(r => stampJson(r._1)).mkString("[", ",", "]")}""" +
         s"""$discardedJson}$sweepJson}"""
-    // File copy for the judge + humans; stdout line for the driver's parser.
+    // Full JSON for the judge + humans; compact line for the driver parser.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (json + "\n").getBytes("UTF-8"))
-    println(json)
+      (full + "\n").getBytes("UTF-8"))
+    println(compact)
     System.out.flush()
   }
+
+  /** The driver-facing stdout line. Kept as a pure assembler so BenchSpec
+    * can pin its byte budget (driver tail capture = 2,000 chars) with
+    * worst-case-width inputs without running the benchmark.
+    */
+  private[graft] def compactJson(total: Double, qs: String, totalMin3: Double,
+                                 qsMin3: String, sfDir: String, cfgs: String,
+                                 cfgsMed: String, scalingCore: String): String =
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      f""""total_min3":$totalMin3%.3f,"queries_min3":$qsMin3,"sf":"$sfDir",""" +
+      s""""configs":$cfgs,"configs_med":$cfgsMed,"scaling":{$scalingCore}}"""
+
+  /** Names the spec uses to build worst-case-width headline maps. */
+  private[graft] def headlineNames: Seq[String] = headline
+
+  /** Worst-case-width scaling block for the spec (same fields as
+    * scalingCore in main).
+    */
+  private[graft] def scalingCoreSample(files: Long): String =
+    s""""files":$files,"cores_lo":32,"cores_hi":32,""" +
+      """"sec_lo":99999.99,"sec_hi":99999.99,""" +
+      """"sec_lo_med":99999.99,"sec_hi_med":99999.99,""" +
+      """"files_per_sec_lo":999999.9,"files_per_sec_hi":999999.9,""" +
+      """"scaling_efficiency":1.000,"efficiency_raw":99.999,""" +
+      """"efficiency_med":1.000,""" +
+      """"band_lo":1.000,"band_hi":1.000,""" +
+      """"rerun_lo":false,"rerun_hi":false"""
 }

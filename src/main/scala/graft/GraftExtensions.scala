@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayAgreeI, DotProductD, Murmur2Expr}
+import graft.functions.{ArrayAgreeI, DotProductD, Murmur2Expr, U64Fold}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -32,5 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e => ArrayAgreeI(e(0), e(1))))
     ext.injectFunction(fn("graft_murmur2", classOf[Murmur2Expr], 2,
       e => Murmur2Expr(e(0), e(1))))
+    ext.injectFunction(fn("graft_u64fold", classOf[U64Fold], 1,
+      e => U64Fold(e(0))))
   }
 }

@@ -78,15 +78,96 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     MinHashPipeline.run(docsAsCorpus(spark, "/root/testdata/sf0.001"), docCfg)
 
+  /** Array-bearing committed frames — the `@GRAFT_OUT@` replay substrate.
+    * Verify writes each one to `outDir/_artifact_<name>`: the driver's `q*`
+    * glob never compares them (its pandas sort cannot hash ndarray cells —
+    * the r6 regression that `err`ed 8 rows), but the downstream oracles
+    * read the arrays from here, and each artifact's CONTENT is value-pinned
+    * by a scalar digest query below (u64Fold on the Spark side, the
+    * q_fingerprint HUGEINT fold in DuckDB).
+    */
+  def artifacts: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "minhash_signatures" -> ((s, dir) =>
+      // the FULL signature + band arrays: candidates/pairs/clusters/
+      // survivors are re-derived from them downstream via @GRAFT_OUT@
+      MinHashPipeline.signatures(docsAsCorpus(s, dir), docCfg)
+        .toDF().select(col("doc_id"), col("signature"), col("bands"))
+        .orderBy("doc_id")),
+    "clean_signatures" -> ((s, dir) =>
+      cleanSignaturesFrame(s, dir).orderBy("doc_id")),
+    "clean_embsketch" -> ((s, dir) =>
+      cleanEmbSketchFrame(s, dir).orderBy("vid")),
+    "ann_sketch" -> ((s, dir) =>
+      Similarity.lshSketchFrame(embeddings(s, dir), dim = 64).orderBy("vid")),
+    "ann_ivf_centroids" -> ((s, dir) =>
+      Similarity.ivfCentroidsFrame(embeddings(s, dir), nCentroids = 16)
+        .orderBy("centroid_id")),
+    "ann_ivf_cells" -> ((s, dir) =>
+      Similarity.ivfCellsFrame(embeddings(s, dir), nCentroids = 16, nProbe = 12)
+        .orderBy("vid")),
+    "embed_sketch" -> ((s, dir) =>
+      Similarity.lshSketchFrame(embeddings(s, dir), dim = 64, nTables = 12, nProbes = 8)
+        .orderBy("vid")),
+    "mm_features" -> ((s, dir) => mmFeaturesFrame(s, dir).orderBy("asset_id"))
+  )
+
+  /** The recipe near-dup stage's signature frame (shared by the artifact
+    * and its digest query so both provably run the SAME code path).
+    */
+  private def cleanSignaturesFrame(s: SparkSession, dir: String): DataFrame = {
+    val cfg = CleanPipeline.Config(maxLineDocFreq = 20L, tokensPerShard = 50000L)
+    MinHashPipeline.signatures(
+        CleanPipeline.nearDupInputs(
+            documents(s, dir).select(col("doc_id"), col("text")), cfg)
+          .select(col("doc_id"), col("text").as("content")),
+        cfg.minhash)
+      .toDF().select(col("doc_id"), col("signature"), col("bands"))
+  }
+
+  /** The recipe semantic arm's sketch over SURVIVOR embeddings at
+    * withSemanticPairs' exact config (12 tables x 8 bits, seed 42, blind
+    * nProbes = bandBits = 8) — shared by artifact + digest query.
+    */
+  private def cleanEmbSketchFrame(s: SparkSession, dir: String): DataFrame = {
+    val cfg = CleanPipeline.Config(maxLineDocFreq = 20L, tokensPerShard = 50000L)
+    val surv = CleanPipeline.nearDupInputs(
+      documents(s, dir).select(col("doc_id"), col("text")), cfg)
+    val emb = embeddings(s, dir)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+        size(col("embedding")) > 0)
+      .join(surv.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    Similarity.lshSketchFrame(emb, dim = 64, nTables = 12, nProbes = 8)
+  }
+
+  /** The multimodal feature frame incl. the 16-bin histogram array and the
+    * synth dims — shared by the artifact and the scalar digest query.
+    */
+  private def mmFeaturesFrame(s: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.synthesizeAssets(documents(s, dir)).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import s.implicits._
+    val feats = Multimodal.extractFeatures(assets.as[Multimodal.MediaAsset]).toDF()
+      .select(col("asset_id"), col("modality"), col("n_bytes"),
+        round(col("byte_entropy"), 9).as("byte_entropy"),
+        col("histogram"), col("thumb_w"), col("thumb_h"))
+    feats
+      .join(assets.select(col("asset_id"), col("width"), col("height")), "asset_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- flagship MinHash/LSH dedup pipeline (reference parity ops) ----
     "q_minhash_signatures" -> ((s, dir) =>
-      // commits the FULL signature + band arrays: the committed arrays are
-      // the replay substrate for the whole flagship-path oracle chain
-      // (bands recomputed from signatures here; candidates/pairs/clusters/
-      // survivors re-derived from them downstream via @GRAFT_OUT@)
+      // scalar digest surface over the committed-array artifact's exact
+      // computation: the driver compares (doc_id, n_sig, sig_digest,
+      // band_digest) while the arrays live in _artifact_minhash_signatures;
+      // the oracle recomputes the digests (and the Q4 band fold) FROM the
+      // artifact, so a drifted/missing/extra artifact row hash-mismatches
       MinHashPipeline.signatures(docsAsCorpus(s, dir), docCfg)
-        .toDF().select(col("doc_id"), col("signature"), col("bands"))
+        .toDF().select(col("doc_id"),
+          size(col("signature")).cast("long").as("n_sig"),
+          graft.functions.VectorExprs.u64Fold(col("signature")).as("sig_digest"),
+          graft.functions.VectorExprs.u64Fold(col("bands")).as("band_digest"))
         .orderBy("doc_id")),
     "q_lsh_candidates" -> ((s, dir) =>
       MinHashPipeline.candidates(
@@ -286,31 +367,25 @@ object SparkEntry {
     // rule), similarity pairs, semantic cosine pairs, recursive-CTE CC,
     // representatives and the split/shard tail (q_clean_pipeline's
     // oracle) — flipping the composed recipe itself to hash-match.
-    "q_clean_signatures" -> ((s, dir) => {
-      val cfg = CleanPipeline.Config(maxLineDocFreq = 20L, tokensPerShard = 50000L)
-      MinHashPipeline.signatures(
-          CleanPipeline.nearDupInputs(
-              documents(s, dir).select(col("doc_id"), col("text")), cfg)
-            .select(col("doc_id"), col("text").as("content")),
-          cfg.minhash)
-        .toDF().select(col("doc_id"), col("signature"), col("bands"))
-        .orderBy("doc_id")
-    }),
-    "q_clean_embsketch" -> ((s, dir) => {
-      // the semantic arm's sketch over SURVIVOR embeddings at
-      // withSemanticPairs' exact config (embeddingNearDupPairs defaults:
-      // 12 tables x 8 bits, seed 42, blind nProbes = bandBits = 8)
-      val cfg = CleanPipeline.Config(maxLineDocFreq = 20L, tokensPerShard = 50000L)
-      val surv = CleanPipeline.nearDupInputs(
-        documents(s, dir).select(col("doc_id"), col("text")), cfg)
-      val emb = embeddings(s, dir)
-        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
-        .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
-          size(col("embedding")) > 0)
-        .join(surv.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-      Similarity.lshSketchFrame(emb, dim = 64, nTables = 12, nProbes = 8)
-        .orderBy("vid")
-    }),
+    "q_clean_signatures" -> ((s, dir) =>
+      // scalar digest surface over _artifact_clean_signatures' computation
+      // (the shared cleanSignaturesFrame — same code path); the oracle
+      // re-derives the survivor universe through the four SQL stages and
+      // digests the artifact, so set AND content drift both mismatch
+      cleanSignaturesFrame(s, dir)
+        .select(col("doc_id"),
+          size(col("signature")).cast("long").as("n_sig"),
+          graft.functions.VectorExprs.u64Fold(col("signature")).as("sig_digest"),
+          graft.functions.VectorExprs.u64Fold(col("bands")).as("band_digest"))
+        .orderBy("doc_id")),
+    "q_clean_embsketch" -> ((s, dir) =>
+      // scalar digest surface over _artifact_clean_embsketch (shared
+      // cleanEmbSketchFrame); vnorm stays the real value check
+      cleanEmbSketchFrame(s, dir)
+        .select(col("vid"), col("vnorm"),
+          graft.functions.VectorExprs.u64Fold(col("buckets")).as("buckets_digest"),
+          graft.functions.VectorExprs.u64Fold(col("probes")).as("probes_digest"))
+        .orderBy("vid")),
     "q_clean_pipeline" -> ((s, dir) => {
       // the COMPOSED C4-style recipe (boiler-lines -> quality -> PII ->
       // exact dedup -> near-dup dedup -> split+shards); hash-matched via
@@ -446,7 +521,14 @@ object SparkEntry {
     // then the cosine rerank from the committed candidates. Flips all three
     // headline ANN queries from rows-only to hash-match.
     "q_ann_sketch" -> ((s, dir) =>
-      Similarity.lshSketchFrame(embeddings(s, dir), dim = 64).orderBy("vid")),
+      // scalar digest surface over _artifact_ann_sketch (same call): vnorm
+      // is the real value check (recomputed from embeddings in DuckDB);
+      // bucket/probe digests pin the committed arrays element-exactly
+      Similarity.lshSketchFrame(embeddings(s, dir), dim = 64)
+        .select(col("vid"), col("vnorm"),
+          graft.functions.VectorExprs.u64Fold(col("buckets")).as("buckets_digest"),
+          graft.functions.VectorExprs.u64Fold(col("probes")).as("probes_digest"))
+        .orderBy("vid")),
     "q_ann_lsh_cands" -> ((s, dir) =>
       Similarity.lshCandidateIds(embeddings(s, dir), dim = 64)
         .orderBy("query_id", "nbr_id")),
@@ -463,16 +545,35 @@ object SparkEntry {
       Similarity.ivfTopK(embeddings(s, dir), k = 5, nCentroids = 16, nProbe = 12)
         .orderBy("query_id", "rank")),
     "q_ann_ivf_centroids" -> ((s, dir) =>
-      // lloyd-bound echo (driver-side FP refinement — the ANN analog of the
-      // murmur-bound signature values): committed so q_ann_ivf_cells'
-      // probe-ranking oracle has the centroid values; itself rows-only
+      // scalar surface over _artifact_ann_ivf_centroids: id + dim echo plus
+      // cnorm — the centroid VALUES are lloyd-bound (driver-side FP
+      // refinement), but the unit-norm invariant is recomputable from the
+      // committed arrays in DuckDB, pinning the artifact's float content
       Similarity.ivfCentroidsFrame(embeddings(s, dir), nCentroids = 16)
+        .select(col("centroid_id"),
+          size(col("centroid")).cast("long").as("dim"),
+          round(sqrt(graft.functions.VectorExprs.dotD(col("centroid"), col("centroid"))), 9)
+            .as("cnorm"))
         .orderBy("centroid_id")),
     "q_ann_ivf_cells" -> ((s, dir) =>
+      // scalar digest surface over _artifact_ann_ivf_cells; the oracle
+      // re-derives the full probe ranking from the committed centroids +
+      // embeddings and digests it — full probe-order strength, no arrays
       Similarity.ivfCellsFrame(embeddings(s, dir), nCentroids = 16, nProbe = 12)
+        .select(col("vid"),
+          element_at(col("probes"), 1).as("probe1"),
+          size(col("probes")).cast("long").as("n_probes"),
+          graft.functions.VectorExprs.u64Fold(col("probes")).as("probes_digest"),
+          // same value under a second name: the oracle computes
+          // probes_digest from the RE-DERIVED ranking and artifact_digest
+          // from the COMMITTED cells artifact — both must equal this
+          graft.functions.VectorExprs.u64Fold(col("probes")).as("artifact_digest"))
         .orderBy("vid")),
     "q_embed_sketch" -> ((s, dir) =>
       Similarity.lshSketchFrame(embeddings(s, dir), dim = 64, nTables = 12, nProbes = 8)
+        .select(col("vid"), col("vnorm"),
+          graft.functions.VectorExprs.u64Fold(col("buckets")).as("buckets_digest"),
+          graft.functions.VectorExprs.u64Fold(col("probes")).as("probes_digest"))
         .orderBy("vid")),
     "q_embed_cands" -> ((s, dir) =>
       Similarity.embedNearDupCandidateIds(embeddings(s, dir), dim = 64)
@@ -484,24 +585,17 @@ object SparkEntry {
         .orderBy("doc1", "doc2")),
 
     // ---- multimodal plumbing ----
-    "q_mm_features" -> ((s, dir) => {
-      // committed-artifact oracle (the q_clean_tail pattern): the decoded
-      // 16-bin byte histogram and the asset dims are committed, and the
-      // DuckDB oracle RE-DERIVES byte_entropy (-sum p*log2 p over the
-      // committed bins, rounded 9dp on both engines) and thumb_w/thumb_h
-      // (the aspect-box integer rule) from them — only the codec-bound
-      // echoes (histogram, n_bytes, dims) stay synthesis-pinned
-      val assets = Multimodal.synthesizeAssets(documents(s, dir)).toDF()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      import s.implicits._
-      val feats = Multimodal.extractFeatures(assets.as[Multimodal.MediaAsset]).toDF()
-        .select(col("asset_id"), col("modality"), col("n_bytes"),
-          round(col("byte_entropy"), 9).as("byte_entropy"),
-          col("histogram"), col("thumb_w"), col("thumb_h"))
-      feats
-        .join(assets.select(col("asset_id"), col("width"), col("height")), "asset_id")
-        .orderBy("asset_id")
-    }),
+    "q_mm_features" -> ((s, dir) =>
+      // scalar surface over _artifact_mm_features (the shared
+      // mmFeaturesFrame): the 16-bin histogram array lives in the artifact;
+      // the DuckDB oracle RE-DERIVES byte_entropy from the committed bins
+      // (-sum p*log2 p, 9dp round) and thumb_w/thumb_h from the committed
+      // dims (aspect-box integer rule), with the doc universe LEFT-joined
+      // so a missing artifact row mismatches
+      mmFeaturesFrame(s, dir)
+        .select("asset_id", "modality", "n_bytes", "byte_entropy",
+          "thumb_w", "thumb_h", "width", "height")
+        .orderBy("asset_id")),
     "q_mm_phash" -> ((s, dir) =>
       // committed 64-bit perceptual hash per image asset: the replay
       // substrate for q_mm_imagedup's oracle (values are pixel-DSP-bound,
@@ -657,6 +751,28 @@ object SparkEntry {
       |  FROM st2),
       |kmin AS (SELECT min(doc_id) AS doc_id FROM st3 GROUP BY rtext),
       |surv AS (SELECT s3.doc_id, s3.rtext FROM st3 s3 JOIN kmin k ON s3.doc_id = k.doc_id)""".stripMargin
+
+  /** DuckDB replay of [[graft.functions.U64Fold]]: HUGEINT polynomial fold
+    * mod 2^64 (the q_fingerprint emulation), mapped back to signed BIGINT.
+    * `I` takes list elements as unsigned 32-bit (signature/band/probe-id
+    * ints); `L` takes BIGINT elements two's-complement mod 2^64 (bucket
+    * longs). Each splices `arr` into one self-contained expression.
+    */
+  private val U64FoldTailI: String =
+    ", x -> CAST(CAST(x AS BIGINT) & 4294967295 AS HUGEINT))), " +
+      "(acc, x) -> (acc * 1000003 + x) % CAST(18446744073709551616 AS HUGEINT))"
+  private val U64FoldTailL: String =
+    ", x -> CASE WHEN x < 0 THEN CAST(x AS HUGEINT) + CAST(18446744073709551616 AS HUGEINT) " +
+      "ELSE CAST(x AS HUGEINT) END)), " +
+      "(acc, x) -> (acc * 1000003 + x) % CAST(18446744073709551616 AS HUGEINT))"
+  private def u64FoldU(arr: String, tail: String): String =
+    "list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT), " +
+      "list_transform(" + arr + tail
+  private def u64Signed(f: String): String =
+    "CAST(CASE WHEN " + f + " >= CAST(9223372036854775808 AS HUGEINT) THEN " +
+      f + " - CAST(18446744073709551616 AS HUGEINT) ELSE " + f + " END AS BIGINT)"
+  private def u64FoldSqlI(arr: String): String = u64Signed(u64FoldU(arr, U64FoldTailI))
+  private def u64FoldSqlL(arr: String): String = u64Signed(u64FoldU(arr, U64FoldTailL))
 
   /** DuckDB oracles for the SQL-expressible queries. Column names match the
     * Spark side exactly (driver hash-compares after sorting columns by
@@ -940,41 +1056,54 @@ object SparkEntry {
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_clean_signatures" ->
       // survivor-SET teeth: the doc universe is re-derived from `documents`
-      // through all four SQL stages (a missing/extra committed row breaks
-      // the LEFT-join hash/count); band teeth: the Q4 XOR fold recomputed
-      // from the committed signature (128 rows, r=4 -> 32 bands). The
-      // signature VALUES are murmur-bound echoes (reference-binary parity
-      // pins them), exactly like q_minhash_signatures.
+      // through all four SQL stages (a missing/extra artifact row breaks
+      // the LEFT-join hash/count); content teeth: the Q4 XOR band fold
+      // recomputed from the committed signature (128 rows, r=4 -> 32
+      // bands), then BOTH arrays digested with the u64 fold — the scalar
+      // surface the driver compares. Signature VALUES are murmur-bound
+      // (reference-binary parity pins them).
       ("WITH " + cleanSurvCtes + "," +
        """
         |sg AS (
         |  SELECT doc_id, signature
-        |  FROM read_parquet('@GRAFT_OUT@/q_clean_signatures/*.parquet'))
-        |SELECT s.doc_id, g.signature,
-        |  list_transform(generate_series(0, 31), b ->
-        |    CAST(xor(xor(g.signature[b*4+1], g.signature[b*4+2]),
-        |             xor(g.signature[b*4+3], g.signature[b*4+4])) AS INTEGER)) AS bands
-        |FROM surv s LEFT JOIN sg g ON g.doc_id = s.doc_id
-        |ORDER BY s.doc_id""".stripMargin),
+        |  FROM read_parquet('@GRAFT_OUT@/_artifact_clean_signatures/*.parquet')),
+        |w AS (
+        |  SELECT doc_id, signature,
+        |    list_transform(generate_series(0, 31), b ->
+        |      CAST(xor(xor(signature[b*4+1], signature[b*4+2]),
+        |               xor(signature[b*4+3], signature[b*4+4])) AS INTEGER)) AS bands
+        |  FROM sg),
+        |u AS (
+        |  SELECT doc_id, CAST(len(signature) AS BIGINT) AS n_sig,
+        |    @SIGD@ AS sig_digest, @BANDD@ AS band_digest
+        |  FROM w)
+        |SELECT s.doc_id, u.n_sig, u.sig_digest, u.band_digest
+        |FROM surv s LEFT JOIN u ON u.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin
+         .replace("@SIGD@", u64FoldSqlI("signature"))
+         .replace("@BANDD@", u64FoldSqlI("bands"))),
     "q_clean_embsketch" ->
       // vid set = survivors ∩ valid embeddings (derived side drives the
-      // LEFT join: a missing committed sketch row nulls out and a spurious
-      // one breaks the row count); vnorm is the real value check
-      // (ordered-fold dot product); buckets/probes gaussian-bound echoes
-      // whose teeth are q_clean_pipeline's candidate replay.
+      // LEFT join: a missing artifact row nulls out and a spurious one
+      // breaks the row count); vnorm is the real value check (ordered-fold
+      // dot product); bucket/probe arrays digested from the artifact.
       ("WITH " + cleanSurvCtes + "," +
        """
         |es AS (
         |  SELECT vid, buckets, probes
-        |  FROM read_parquet('@GRAFT_OUT@/q_clean_embsketch/*.parquet')),
+        |  FROM read_parquet('@GRAFT_OUT@/_artifact_clean_embsketch/*.parquet')),
+        |u AS (
+        |  SELECT vid, @BD@ AS buckets_digest, @PD@ AS probes_digest FROM es),
         |ev AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) > 0)
         |SELECT sv.doc_id AS vid, sqrt(list_dot_product(e.v, e.v)) AS vnorm,
-        |       s.buckets, s.probes
+        |       u.buckets_digest, u.probes_digest
         |FROM surv sv JOIN ev e ON e.vec_id = sv.doc_id
-        |LEFT JOIN es s ON s.vid = sv.doc_id
-        |ORDER BY vid""".stripMargin),
+        |LEFT JOIN u ON u.vid = sv.doc_id
+        |ORDER BY vid""".stripMargin
+         .replace("@BD@", u64FoldSqlL("buckets"))
+         .replace("@PD@", u64FoldSqlL("probes"))),
     "q_clean_pipeline" ->
       // the COMPOSED recipe replayed end-to-end: stages 1-4 from
       // `documents` (the shared CTE fragment), lexical near-dup from the
@@ -989,7 +1118,7 @@ object SparkEntry {
        """
         |sg AS (
         |  SELECT doc_id, signature, bands
-        |  FROM read_parquet('@GRAFT_OUT@/q_clean_signatures/*.parquet')),
+        |  FROM read_parquet('@GRAFT_OUT@/_artifact_clean_signatures/*.parquet')),
         |x AS (
         |  SELECT doc_id,
         |    generate_subscripts(bands, 1) AS band_idx,
@@ -1015,7 +1144,7 @@ object SparkEntry {
         |  WHERE sim >= 0.8),
         |es AS (
         |  SELECT vid, buckets, probes
-        |  FROM read_parquet('@GRAFT_OUT@/q_clean_embsketch/*.parquet')),
+        |  FROM read_parquet('@GRAFT_OUT@/_artifact_clean_embsketch/*.parquet')),
         |eb AS (
         |  SELECT vid, generate_subscripts(buckets, 1) - 1 AS table_idx,
         |         unnest(buckets) AS bucket
@@ -1248,24 +1377,36 @@ object SparkEntry {
     // signatures -> XOR band fold -> ∃-band candidates -> positional
     // agreement + threshold -> recursive-CTE min-label CC -> survivor set.
     "q_minhash_signatures" ->
-      // signature column is an echo (values parity-pinned elsewhere); the
-      // TEETH: bands recomputed from the committed signature via the Q4
-      // XOR fold (docCfg: 128 rows, r=4 -> 32 bands), element-exact
+      // the TEETH: bands recomputed from the committed artifact signature
+      // via the Q4 XOR fold (docCfg: 128 rows, r=4 -> 32 bands), then both
+      // arrays digested element-exactly (u64 fold); doc universe LEFT-joined
+      // from `documents` so a missing/extra artifact row mismatches.
+      // Signature VALUES are murmur-bound (ref-binary parity pins them).
       """WITH t AS (
         |  SELECT doc_id, signature
-        |  FROM read_parquet('@GRAFT_OUT@/q_minhash_signatures/*.parquet'))
-        |SELECT doc_id, signature,
-        |  list_transform(generate_series(0, 31), b ->
-        |    CAST(xor(xor(signature[b*4+1], signature[b*4+2]),
-        |             xor(signature[b*4+3], signature[b*4+4])) AS INTEGER)) AS bands
-        |FROM t ORDER BY doc_id""".stripMargin,
+        |  FROM read_parquet('@GRAFT_OUT@/_artifact_minhash_signatures/*.parquet')),
+        |w AS (
+        |  SELECT doc_id, signature,
+        |    list_transform(generate_series(0, 31), b ->
+        |      CAST(xor(xor(signature[b*4+1], signature[b*4+2]),
+        |               xor(signature[b*4+3], signature[b*4+4])) AS INTEGER)) AS bands
+        |  FROM t),
+        |u AS (
+        |  SELECT doc_id, CAST(len(signature) AS BIGINT) AS n_sig,
+        |    @SIGD@ AS sig_digest, @BANDD@ AS band_digest
+        |  FROM w)
+        |SELECT d.doc_id, u.n_sig, u.sig_digest, u.band_digest
+        |FROM documents d LEFT JOIN u ON u.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+        .replace("@SIGD@", u64FoldSqlI("signature"))
+        .replace("@BANDD@", u64FoldSqlI("bands")),
     "q_lsh_candidates" ->
       // ∃-band gate replay: unnest committed bands positionally, equi-join
       // on (band_idx, band_hash), distinct doc1<doc2 — the exact candidate
       // relation of the reference's is_candidate_pair
       """WITH t AS (
         |  SELECT doc_id, bands
-        |  FROM read_parquet('@GRAFT_OUT@/q_minhash_signatures/*.parquet')),
+        |  FROM read_parquet('@GRAFT_OUT@/_artifact_minhash_signatures/*.parquet')),
         |x AS (
         |  SELECT doc_id,
         |    generate_subscripts(bands, 1) AS band_idx,
@@ -1282,7 +1423,7 @@ object SparkEntry {
       // exact power-of-two division — bit-identical IEEE on both engines
       """WITH t AS (
         |  SELECT doc_id, signature, bands
-        |  FROM read_parquet('@GRAFT_OUT@/q_minhash_signatures/*.parquet')),
+        |  FROM read_parquet('@GRAFT_OUT@/_artifact_minhash_signatures/*.parquet')),
         |x AS (
         |  SELECT doc_id,
         |    generate_subscripts(bands, 1) AS band_idx,
@@ -1415,9 +1556,12 @@ object SparkEntry {
       // VALUES are murmur-bound — KernelSpec pins them; this oracle pins
       // the row set so q_simhash_pairs' replay below stands on a verified
       // substrate)
+      // LEFT JOIN from the derived universe (ADVICE r6): an INNER join let
+      // a missing committed row vanish from BOTH sides and hash-compare
+      // equal; LEFT yields a NULL-simhash oracle row the Spark side lacks
       """SELECT d.doc_id, f.simhash
         |FROM documents d
-        |JOIN read_parquet('@GRAFT_OUT@/q_simhash_fp/*.parquet') f ON d.doc_id = f.doc_id
+        |LEFT JOIN read_parquet('@GRAFT_OUT@/q_simhash_fp/*.parquet') f ON d.doc_id = f.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "q_simhash_pairs" ->
       // the 4-block pigeonhole guarantees every pair at Hamming <= 3 shares
@@ -1520,21 +1664,26 @@ object SparkEntry {
       // planted re-ingested copies (every 25th doc under +273273, the
       // offset that preserves modality %3 and synth dims %13/%7); the
       // VALUES are pixel-DSP-bound (aHash over a real decode), spec-pinned
+      // LEFT JOIN from the derived id universe (ADVICE r6) so a missing
+      // committed fingerprint yields a NULL-phash row instead of vanishing
       """WITH ids AS (
-        |  SELECT doc_id FROM documents
+        |  SELECT doc_id FROM documents WHERE doc_id % 3 = 0
         |  UNION ALL
-        |  SELECT doc_id + 273273 FROM documents WHERE doc_id % 25 = 0)
+        |  SELECT doc_id + 273273 FROM documents
+        |  WHERE doc_id % 25 = 0 AND (doc_id + 273273) % 3 = 0)
         |SELECT i.doc_id AS asset_id, f.phash
         |FROM ids i
-        |JOIN read_parquet('@GRAFT_OUT@/q_mm_phash/*.parquet') f ON i.doc_id = f.asset_id
-        |WHERE i.doc_id % 3 = 0
+        |LEFT JOIN read_parquet('@GRAFT_OUT@/q_mm_phash/*.parquet') f ON i.doc_id = f.asset_id
         |ORDER BY asset_id""".stripMargin,
     "q_mm_imagedup" ->
       // the block-pigeonhole operator must equal the exhaustive Hamming
       // filter over the committed perceptual hashes (O(n²) fine at oracle
       // scale) — the q_simhash_pairs replay pattern on image fingerprints
+      // `<> 0` mirrors the operator's sentinel exclusion (undecodable /
+      // monochrome fingerprints never pair — r6 verdict's skew decision)
       """WITH f AS (
-        |  SELECT asset_id, phash FROM read_parquet('@GRAFT_OUT@/q_mm_phash/*.parquet'))
+        |  SELECT asset_id, phash FROM read_parquet('@GRAFT_OUT@/q_mm_phash/*.parquet')
+        |  WHERE phash <> 0)
         |SELECT a.asset_id AS asset1, b.asset_id AS asset2,
         |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
         |FROM f a JOIN f b ON a.asset_id < b.asset_id
@@ -1544,19 +1693,22 @@ object SparkEntry {
       // completeness + echo: one spectral fingerprint per audio-modality
       // asset — documents plus planted copies at +4800000 (≡ 0 mod 3 and
       // 16: modality and synth duration preserved); VALUES are DSP-bound
+      // LEFT JOIN from the derived id universe (ADVICE r6), as q_mm_phash
       """WITH ids AS (
-        |  SELECT doc_id FROM documents
+        |  SELECT doc_id FROM documents WHERE doc_id % 3 = 1
         |  UNION ALL
-        |  SELECT doc_id + 4800000 FROM documents WHERE doc_id % 25 = 0)
+        |  SELECT doc_id + 4800000 FROM documents
+        |  WHERE doc_id % 25 = 0 AND (doc_id + 4800000) % 3 = 1)
         |SELECT i.doc_id AS asset_id, f.ahash
         |FROM ids i
-        |JOIN read_parquet('@GRAFT_OUT@/q_mm_audiohash/*.parquet') f ON i.doc_id = f.asset_id
-        |WHERE i.doc_id % 3 = 1
+        |LEFT JOIN read_parquet('@GRAFT_OUT@/q_mm_audiohash/*.parquet') f ON i.doc_id = f.asset_id
         |ORDER BY asset_id""".stripMargin,
     "q_mm_audiodup" ->
       // exhaustive Hamming replay over the committed audio fingerprints
+      // `<> 0` mirrors the operator's sentinel exclusion (q_mm_imagedup)
       """WITH f AS (
-        |  SELECT asset_id, ahash FROM read_parquet('@GRAFT_OUT@/q_mm_audiohash/*.parquet'))
+        |  SELECT asset_id, ahash FROM read_parquet('@GRAFT_OUT@/q_mm_audiohash/*.parquet')
+        |  WHERE ahash <> 0)
         |SELECT a.asset_id AS asset1, b.asset_id AS asset2,
         |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
         |FROM f a JOIN f b ON a.asset_id < b.asset_id
@@ -1566,35 +1718,51 @@ object SparkEntry {
       // completeness + echo: one key-frame fingerprint per video-modality
       // asset — documents plus planted copies at +6000000 (≡ 0 mod 3/4/60:
       // modality, synth dims and duration preserved); values DSP-bound
+      // LEFT JOIN from the derived id universe (ADVICE r6), as q_mm_phash
       """WITH ids AS (
-        |  SELECT doc_id FROM documents
+        |  SELECT doc_id FROM documents WHERE doc_id % 3 = 2
         |  UNION ALL
-        |  SELECT doc_id + 6000000 FROM documents WHERE doc_id % 25 = 0)
+        |  SELECT doc_id + 6000000 FROM documents
+        |  WHERE doc_id % 25 = 0 AND (doc_id + 6000000) % 3 = 2)
         |SELECT i.doc_id AS asset_id, f.vhash
         |FROM ids i
-        |JOIN read_parquet('@GRAFT_OUT@/q_mm_videohash/*.parquet') f ON i.doc_id = f.asset_id
-        |WHERE i.doc_id % 3 = 2
+        |LEFT JOIN read_parquet('@GRAFT_OUT@/q_mm_videohash/*.parquet') f ON i.doc_id = f.asset_id
         |ORDER BY asset_id""".stripMargin,
     "q_mm_videodup" ->
       // exhaustive Hamming replay over the committed video fingerprints
+      // `<> 0` mirrors the operator's sentinel exclusion (q_mm_imagedup)
       """WITH f AS (
-        |  SELECT asset_id, vhash FROM read_parquet('@GRAFT_OUT@/q_mm_videohash/*.parquet'))
+        |  SELECT asset_id, vhash FROM read_parquet('@GRAFT_OUT@/q_mm_videohash/*.parquet')
+        |  WHERE vhash <> 0)
         |SELECT a.asset_id AS asset1, b.asset_id AS asset2,
         |  CAST(bit_count(xor(a.vhash, b.vhash)) AS INTEGER) AS hamming
         |FROM f a JOIN f b ON a.asset_id < b.asset_id
         |WHERE bit_count(xor(a.vhash, b.vhash)) <= 3
         |ORDER BY asset1, asset2""".stripMargin,
+    "q_ann_ivf_centroids" ->
+      // id/dim echo + the unit-norm invariant recomputed from the COMMITTED
+      // centroid arrays (same ordered IEEE fold as the Spark side's dotD
+      // over its deterministic recompute; 9dp round) — pins the artifact's
+      // float content; centroid VALUES stay lloyd-bound otherwise
+      """SELECT centroid_id, CAST(len(centroid) AS BIGINT) AS dim,
+        |  round(sqrt(list_dot_product(centroid, centroid)), 9) AS cnorm
+        |FROM read_parquet('@GRAFT_OUT@/_artifact_ann_ivf_centroids/*.parquet')
+        |ORDER BY centroid_id""".stripMargin,
     "q_mm_features" ->
-      // committed-artifact replay: histogram / n_bytes / dims are
-      // codec-bound echoes of the query's own output, but byte_entropy is
-      // RE-DERIVED from the committed 16-bin histogram (-sum p*log2 p,
-      // list order = bin order on both engines, 9dp round absorbs the
-      // ln/ln2-vs-log2 ulp) and thumb_w/thumb_h from the committed dims
-      // (the aspect-box integer rule, maxSide 256 — pure integer SQL)
-      """SELECT f.asset_id, f.modality, f.n_bytes,
+      // committed-artifact replay: modality / n_bytes / dims are codec-bound
+      // echoes of the artifact, but byte_entropy is RE-DERIVED from the
+      // committed 16-bin histogram (-sum p*log2 p, list order = bin order on
+      // both engines, 9dp round absorbs the ln/ln2-vs-log2 ulp) and
+      // thumb_w/thumb_h from the committed dims (the aspect-box integer
+      // rule, maxSide 256 — pure integer SQL); universe = documents
+      // LEFT JOIN artifact (one asset per doc), so missing rows mismatch
+      """WITH f AS (
+        |  SELECT asset_id, modality, n_bytes, histogram, thumb_w, thumb_h,
+        |         width, height
+        |  FROM read_parquet('@GRAFT_OUT@/_artifact_mm_features/*.parquet'))
+        |SELECT d.doc_id AS asset_id, f.modality, f.n_bytes,
         |  round(coalesce(list_sum(list_transform(f.histogram,
         |    p -> CASE WHEN p > 0 THEN -(p * log2(p)) ELSE 0 END)), 0), 9) AS byte_entropy,
-        |  f.histogram,
         |  CASE WHEN f.width <= 0 OR f.height <= 0 THEN 0
         |       WHEN f.width >= f.height THEN 256
         |       ELSE greatest(1, (f.width * 256) // f.height) END AS thumb_w,
@@ -1602,8 +1770,8 @@ object SparkEntry {
         |       WHEN f.width >= f.height THEN greatest(1, (f.height * 256) // f.width)
         |       ELSE 256 END AS thumb_h,
         |  f.width, f.height
-        |FROM read_parquet('@GRAFT_OUT@/q_mm_features/*.parquet') f
-        |ORDER BY f.asset_id""".stripMargin,
+        |FROM documents d LEFT JOIN f ON f.asset_id = d.doc_id
+        |ORDER BY asset_id""".stripMargin,
     "q_mm_audio" ->
       // mirrors synthesizeAssets' audio arm (audio iff doc_id%3=1;
       // duration 200+(id%16)*100 ms at 4000 Hz => n_samples = dur*4, and
@@ -1718,12 +1886,19 @@ object SparkEntry {
     // and the cosine rerank are re-derived in DuckDB from the committed
     // stages, exactly like the flagship minhash chain above.
     "q_ann_sketch" ->
+      // vnorm recomputed from embeddings (real value check); bucket/probe
+      // arrays digested from the artifact; universe = embeddings LEFT JOIN
+      // artifact, so a missing/extra artifact row mismatches
       """WITH s AS (
         |  SELECT vid, buckets, probes
-        |  FROM read_parquet('@GRAFT_OUT@/q_ann_sketch/*.parquet')),
+        |  FROM read_parquet('@GRAFT_OUT@/_artifact_ann_sketch/*.parquet')),
+        |u AS (SELECT vid, @BD@ AS buckets_digest, @PD@ AS probes_digest FROM s),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        |SELECT s.vid, sqrt(list_dot_product(e.v, e.v)) AS vnorm, s.buckets, s.probes
-        |FROM s JOIN e ON e.vec_id = s.vid ORDER BY s.vid""".stripMargin,
+        |SELECT e.vec_id AS vid, sqrt(list_dot_product(e.v, e.v)) AS vnorm,
+        |       u.buckets_digest, u.probes_digest
+        |FROM e LEFT JOIN u ON u.vid = e.vec_id ORDER BY vid""".stripMargin
+        .replace("@BD@", u64FoldSqlL("buckets"))
+        .replace("@PD@", u64FoldSqlL("probes")),
     "q_ann_lsh_cands" ->
       // candidate replay: probe rows (table-major layout, 1 base + 4 flips
       // per table -> table_idx = pos/5) equi-join base-bucket rows on
@@ -1731,7 +1906,7 @@ object SparkEntry {
       // candidate relation lshTopK reranks
       """WITH s AS (
         |  SELECT vid, buckets, probes
-        |  FROM read_parquet('@GRAFT_OUT@/q_ann_sketch/*.parquet')),
+        |  FROM read_parquet('@GRAFT_OUT@/_artifact_ann_sketch/*.parquet')),
         |b AS (
         |  SELECT vid, generate_subscripts(buckets, 1) - 1 AS table_idx,
         |         unnest(buckets) AS bucket
@@ -1766,12 +1941,20 @@ object SparkEntry {
         |SELECT query_id, rank, nbr_id, cosine FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     "q_ann_ivf_cells" ->
-      // probe-ranking replay: every vector ranks the COMMITTED centroids by
-      // dot/|v| (zero-norm -> 0.0), ties by centroid index; probes = the 12
-      // best, best first — verifying nearestCentroidsOf against DuckDB
+      // probe-ranking replay with FULL strength and a scalar surface: every
+      // vector ranks the COMMITTED centroids by dot/|v| (zero-norm -> 0.0),
+      // ties by centroid index; the re-derived 12-probe list is digested
+      // (probes_digest) — verifying nearestCentroidsOf against DuckDB —
+      // while artifact_digest digests the COMMITTED cells artifact, pinning
+      // it against the same Spark value (the Spark side emits u64Fold(probes)
+      // under both names); universe = embeddings LEFT JOIN both
       """WITH cen AS (
         |  SELECT centroid_id, centroid
-        |  FROM read_parquet('@GRAFT_OUT@/q_ann_ivf_centroids/*.parquet')),
+        |  FROM read_parquet('@GRAFT_OUT@/_artifact_ann_ivf_centroids/*.parquet')),
+        |ca AS (
+        |  SELECT vid, probes
+        |  FROM read_parquet('@GRAFT_OUT@/_artifact_ann_ivf_cells/*.parquet')),
+        |av AS (SELECT vid, @AD@ AS artifact_digest FROM ca),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |scored AS (
         |  SELECT e.vec_id AS vid, cen.centroid_id,
@@ -1782,16 +1965,28 @@ object SparkEntry {
         |ranked AS (
         |  SELECT vid, centroid_id,
         |    row_number() OVER (PARTITION BY vid ORDER BY s DESC, centroid_id ASC) AS rk
-        |  FROM scored)
-        |SELECT vid, list(CAST(centroid_id AS INTEGER) ORDER BY rk) AS probes
-        |FROM ranked WHERE rk <= 12 GROUP BY vid ORDER BY vid""".stripMargin,
+        |  FROM scored),
+        |pl AS (
+        |  SELECT vid, list(CAST(centroid_id AS INTEGER) ORDER BY rk) AS probes
+        |  FROM ranked WHERE rk <= 12 GROUP BY vid),
+        |u AS (
+        |  SELECT vid, probes[1] AS probe1, CAST(len(probes) AS BIGINT) AS n_probes,
+        |    @PD@ AS probes_digest
+        |  FROM pl)
+        |SELECT e.vec_id AS vid, u.probe1, u.n_probes, u.probes_digest,
+        |       av.artifact_digest
+        |FROM e LEFT JOIN u ON u.vid = e.vec_id
+        |LEFT JOIN av ON av.vid = e.vec_id
+        |ORDER BY vid""".stripMargin
+        .replace("@PD@", u64FoldSqlI("probes"))
+        .replace("@AD@", u64FoldSqlI("probes")),
     "q_ann_ivf" ->
       // candidate + rerank replay from the committed cells: assignment =
       // probes[1] (the nearest centroid), candidates = query probes x
       // assigned lists, then the same cosine/row_number rerank as q_ann_lsh
       """WITH cells AS (
         |  SELECT vid, probes
-        |  FROM read_parquet('@GRAFT_OUT@/q_ann_ivf_cells/*.parquet')),
+        |  FROM read_parquet('@GRAFT_OUT@/_artifact_ann_ivf_cells/*.parquet')),
         |a AS (SELECT vid AS nbr_id, probes[1] AS centroid_id FROM cells),
         |p AS (SELECT vid AS query_id, unnest(probes) AS centroid_id FROM cells),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1816,16 +2011,20 @@ object SparkEntry {
     "q_embed_sketch" ->
       """WITH s AS (
         |  SELECT vid, buckets, probes
-        |  FROM read_parquet('@GRAFT_OUT@/q_embed_sketch/*.parquet')),
+        |  FROM read_parquet('@GRAFT_OUT@/_artifact_embed_sketch/*.parquet')),
+        |u AS (SELECT vid, @BD@ AS buckets_digest, @PD@ AS probes_digest FROM s),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        |SELECT s.vid, sqrt(list_dot_product(e.v, e.v)) AS vnorm, s.buckets, s.probes
-        |FROM s JOIN e ON e.vec_id = s.vid ORDER BY s.vid""".stripMargin,
+        |SELECT e.vec_id AS vid, sqrt(list_dot_product(e.v, e.v)) AS vnorm,
+        |       u.buckets_digest, u.probes_digest
+        |FROM e LEFT JOIN u ON u.vid = e.vec_id ORDER BY vid""".stripMargin
+        .replace("@BD@", u64FoldSqlL("buckets"))
+        .replace("@PD@", u64FoldSqlL("probes")),
     "q_embed_cands" ->
       // near-dup candidate replay: 12 tables x (1 base + 8 blind flips) ->
       // table_idx = pos/9; symmetric doc1 < doc2 form
       """WITH s AS (
         |  SELECT vid, buckets, probes
-        |  FROM read_parquet('@GRAFT_OUT@/q_embed_sketch/*.parquet')),
+        |  FROM read_parquet('@GRAFT_OUT@/_artifact_embed_sketch/*.parquet')),
         |b AS (
         |  SELECT vid, generate_subscripts(buckets, 1) - 1 AS table_idx,
         |         unnest(buckets) AS bucket

@@ -16,12 +16,35 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // On failure: delete the (possibly partial/stale) dir and leave a
+    // _FAILED.json marker — the driver's q* glob then finds no parquet and
+    // reports the query as broken instead of comparing stale bits.
+    def failed(dir: String, name: String, e: Throwable): Unit = {
+      System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      val d = new java.io.File(dir)
+      if (d.exists()) rm(d)
+      d.mkdirs()
+      Files.writeString(Paths.get(s"$dir/_FAILED.json"),
+        s"""{"query":"$name","error":${"\"" + e.toString.replace("\\", "\\\\")
+          .replace("\"", "\\\"").replaceAll("[\\x00-\\x1f]", " ") + "\""}}""")
+    }
+    // Array-bearing replay substrates first: the driver never compares the
+    // _artifact_* dirs (its pandas sort cannot hash ndarray cells), but the
+    // scalar digest queries' oracles read them via @GRAFT_OUT@.
+    SparkEntry.artifacts.foreach { case (name, fn) =>
+      val dir = s"$outDir/_artifact_$name"
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(dir)
+      catch { case e: Throwable => failed(dir, s"_artifact_$name", e) }
+      finally spark.catalog.clearCache()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      catch { case e: Throwable => failed(s"$outDir/$name", name, e) }
       // operators persist their self-joined kernel subtrees; drop them
       // between queries so 25 queries don't accumulate cached tables
       finally spark.catalog.clearCache()

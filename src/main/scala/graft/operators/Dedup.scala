@@ -183,13 +183,19 @@ object Dedup {
     * candidates with zero cross join; exact Hamming check filters.
     */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3, seed: Int = 13,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   starCapGroupSize: Option[Int] = None): DataFrame = {
     require(maxHamming <= 3, "4-block pigeonhole guarantees recall only for maxHamming <= 3")
-    // persisted: the block table feeds BOTH self-join sides — un-persisted,
-    // the simHash kernel would run once per side (CLAUDE.md sharp edge)
+    // persisted: the hash table feeds the block explode AND both hash
+    // join-backs — un-persisted, the simHash kernel would run per consumer
+    // (CLAUDE.md sharp edge). Note: simhash 0 (empty/token-less docs) stays
+    // IN pairing here — empty docs being mutual dups mirrors the reference's
+    // Q3 all-MAX semantics for text; skew from that class is handled by the
+    // salted chunks (exact) or the opt-in starCapGroupSize (hub-star).
     val sh = simHashes(docs, seed, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    hammingPairs64(sh, maxHamming, nBlocks = 4, idCol = idCol, hashCol = "simhash")
+    hammingPairs64(sh, maxHamming, nBlocks = 4, idCol = idCol, hashCol = "simhash",
+      starCapGroupSize = starCapGroupSize)
   }
 
   /** All pairs of 64-bit fingerprints within Hamming distance `maxHamming`,
@@ -198,42 +204,107 @@ object Dedup {
     * exact block, so an equi-join per block finds every candidate with
     * zero cross join; exact `bit_count(xor)` filters. The fingerprint-
     * agnostic core behind [[simHashPairs]] (text) and
-    * Multimodal.imageNearDupPairs (perceptual image hashes).
+    * Multimodal.image/audio/videoNearDupPairs (perceptual hashes).
     *
-    * The input frame feeds BOTH self-join sides — the CALLER persists it
-    * (the repo-wide kernel-cache contract; simHashPairs does).
+    * Skew armor (round 7 — the r6 verdict's last scale gap): a class of B
+    * IDENTICAL fingerprints (blank/monochrome images, silence audio, empty
+    * docs) is B block-join hits on ONE (block_idx, block_val) key per
+    * block — a raw self-join generates its B²/2 rows in one task. Pair
+    * generation therefore rides the same machinery as
+    * MinHashPipeline.candidates:
+    *   - default (`starCapGroupSize = None`): OUTPUT-EXACT salted chunks —
+    *     block groups <= `saltChunkSize` stream their clique from one
+    *     sorted pass (BucketPairs.emit, memory O(group)); larger groups
+    *     split into hash-salted chunks whose chunk-PAIR groups emit across
+    *     many tasks (BucketPairs.emitChunkPairs). Every qualifying pair is
+    *     still emitted (the exhaustive-Hamming DuckDB oracles replay this
+    *     contract verbatim); only the TASK placement changes. The output
+    *     volume itself stays quadratic per identical-fingerprint class BY
+    *     CONTRACT — cap it semantically with `starCapGroupSize` or drop
+    *     degenerate fingerprints upstream (Multimodal's near-dup operators
+    *     exclude the undecodable sentinel 0 for exactly this reason).
+    *   - `starCapGroupSize = Some(cap)`: block groups larger than cap emit
+    *     hub-star pairs only (hub = min id) — cluster-preserving linear
+    *     output, the production profile for dedup-survivor selection
+    *     (exactly MinHashPipeline's star-cap contract).
+    * Candidate ids-only through the pair shuffle; hashes join back once per
+    * side for the exact Hamming filter (the lshTopK ids-only lesson).
+    *
+    * The input frame feeds the block explode AND both hash join-backs —
+    * the CALLER persists it (repo-wide kernel-cache contract; simHashPairs
+    * does).
     */
   def hammingPairs64(hashes: DataFrame, maxHamming: Int, nBlocks: Int = 4,
                      idCol: String = "doc_id",
-                     hashCol: String = "simhash"): DataFrame = {
-    require(nBlocks > 0 && 64 % nBlocks == 0, "nBlocks must divide 64")
+                     hashCol: String = "simhash",
+                     starCapGroupSize: Option[Int] = None,
+                     saltChunkSize: Int = 4096): DataFrame = {
+    require(nBlocks > 1 && 64 % nBlocks == 0,
+      "nBlocks must divide 64 and be >= 2 (block values must fit the two-int emitter key)")
     require(maxHamming < nBlocks,
       s"$nBlocks-block pigeonhole guarantees recall only for maxHamming < $nBlocks")
+    require(saltChunkSize > 1, "saltChunkSize must exceed 1")
+    val spark = hashes.sparkSession
+    import spark.implicits._
     val bw = 64 / nBlocks
-    val mask = if (bw == 64) -1L else (1L << bw) - 1L
+    val mask = (1L << bw) - 1L
+    // emitter key = (block_idx, block_val truncated to int) — injective for
+    // bw <= 32 (nBlocks >= 2, required above)
     val blocks = hashes.select(
-      col(idCol).cast("long").as("doc_id"),
-      col(hashCol).as("_h"),
-      posexplode(
-        array((0 until nBlocks).map(b =>
-          shiftright(col(hashCol), b * bw).bitwiseAND(lit(mask))): _*)
-      ).as(Seq("block_idx", "block_val"))
-    )
-    val a = blocks.alias("a")
-    val b = blocks.alias("b")
-    a.join(
-        b,
-        col("a.block_idx") === col("b.block_idx") &&
-          col("a.block_val") === col("b.block_val") &&
-          col("a.doc_id") < col("b.doc_id")
-      )
-      .select(
-        col("a.doc_id").as("doc1"),
-        col("b.doc_id").as("doc2"),
-        bit_count(col("a._h").bitwiseXOR(col("b._h"))).as("hamming")
-      )
-      .filter(col("hamming") <= maxHamming)
+        col(idCol).cast("long").as("doc_id"),
+        posexplode(
+          array((0 until nBlocks).map(b =>
+            shiftright(col(hashCol), b * bw).bitwiseAND(lit(mask))): _*)
+        ).as(Seq("block_idx", "block_val")))
+      .select(col("block_idx").cast("int"), col("block_val").cast("int"),
+        col("doc_id"))
+    val candIds = starCapGroupSize match {
+      case Some(cap) =>
+        blocks.repartition(col("block_idx"), col("block_val"))
+          .as[(Int, Int, Long)]
+          .sortWithinPartitions("block_idx", "block_val", "doc_id")
+          .mapPartitions(rows => graft.core.BucketPairs.emit(rows, cap))
+          .toDF("doc1", "doc2")
+      case None =>
+        // ONE fused exchange for small and mega groups (tighter than
+        // MinHashPipeline.candidates' two-arm union): every group gets a
+        // chunk count s (1 for groups <= saltChunkSize), members replicate
+        // to their s chunk-PAIR groups, and emitChunkPairs streams cliques
+        // (ci == cj — the s = 1 common case is exactly one such group) and
+        // cross-chunk products. Memory <= 2 chunks of ids per task; a
+        // mega-group's B²/2 output spreads over its s² chunk-pair groups.
+        val sizes = blocks.groupBy("block_idx", "block_val")
+          .agg(count(lit(1)).as("bn"))
+        blocks.join(sizes, Seq("block_idx", "block_val"))
+          .withColumn("s",
+            when(col("bn") <= saltChunkSize, lit(1))
+              .otherwise(ceil(col("bn").cast("double") / saltChunkSize).cast("int")))
+          .withColumn("chunk",
+            when(col("s") === 1, lit(0))
+              .otherwise(pmod(xxhash64(col("doc_id")), col("s")).cast("int")))
+          .select(col("block_idx"), col("block_val"), col("doc_id"), col("s"), col("chunk"))
+          .as[(Int, Int, Long, Int, Int)]
+          .flatMap { case (bi, bv, doc, sN, chunk) =>
+            (0 until sN).iterator.map { other =>
+              (bi, bv, math.min(chunk, other), math.max(chunk, other), doc, chunk)
+            }
+          }
+          .toDF("block_idx", "block_val", "ci", "cj", "doc_id", "chunk")
+          .repartition(col("block_idx"), col("block_val"), col("ci"), col("cj"))
+          .sortWithinPartitions("block_idx", "block_val", "ci", "cj", "doc_id")
+          .as[(Int, Int, Int, Int, Long, Int)]
+          .mapPartitions(rows => graft.core.BucketPairs.emitChunkPairs(rows))
+          .toDF("doc1", "doc2")
+    }
+    val h1 = hashes.select(col(idCol).cast("long").as("doc1"), col(hashCol).as("_h1"))
+    val h2 = hashes.select(col(idCol).cast("long").as("doc2"), col(hashCol).as("_h2"))
+    candIds
       .distinct()
+      .join(h1, "doc1")
+      .join(h2, "doc2")
+      .select(col("doc1"), col("doc2"),
+        bit_count(col("_h1").bitwiseXOR(col("_h2"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Substring-duplication pairs (the suffix-array-style third dedup family

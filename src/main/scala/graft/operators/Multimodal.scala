@@ -456,10 +456,27 @@ object Multimodal {
     def audioHash64(payload: Array[Byte]): Long = {
       val (pcm, rate) =
         try {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          val ais0 = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(payload))
+          // canonicalize to 16-bit signed little-endian MONO PCM (ADVICE
+          // r6): the Goertzel loop below reads exactly that layout, and a
+          // stereo / 8-bit / big-endian / compressed stream would otherwise
+          // decode silently into a garbage fingerprint instead of the
+          // documented undecodable -> 0. Already-canonical input (every
+          // synthesized WAV) passes through untouched — bit-identical
+          // hashes for the committed goldens; unconvertible encodings throw
+          // into the catch -> 0L.
+          val f0 = ais0.getFormat
+          val canonical =
+            f0.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              f0.getSampleSizeInBits == 16 && f0.getChannels == 1 && !f0.isBigEndian
+          val ais =
+            if (canonical) ais0
+            else javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new javax.sound.sampled.AudioFormat(f0.getSampleRate, 16, 1, true, false),
+              ais0)
           try (ais.readAllBytes(), ais.getFormat.getSampleRate.toDouble)
-          finally ais.close()
+          finally { ais.close(); ais0.close() }
         } catch { case _: Exception => return 0L }
       val n = pcm.length / 2
       if (n < 64 || rate <= 0) return 0L
@@ -705,10 +722,21 @@ object Multimodal {
     * the returned frame's lineage after the terminal action).
     */
   def imageNearDupPairs(assets: Dataset[MediaAsset], maxHamming: Int = 3,
-                        nBlocks: Int = 4): DataFrame = {
-    val h = imageHashes(assets).toDF()
+                        nBlocks: Int = 4,
+                        excludeUndecodable: Boolean = true,
+                        starCapGroupSize: Option[Int] = None): DataFrame = {
+    val h0 = imageHashes(assets).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.hammingPairs64(h, maxHamming, nBlocks, idCol = "asset_id", hashCol = "phash")
+    // sentinel-0 exclusion (r6 verdict, decided ON): Codec.aHash64 maps
+    // undecodable payloads to 0, and monochrome frames hash to 0
+    // legitimately — at corpus scale that class is a quadratic mega-clique
+    // of pairs that are "similar" only in being degenerate, so the near-dup
+    // operator drops them BEFORE pairing (the completeness/fingerprint
+    // tables keep every asset; only pairing skips the sentinel). The DuckDB
+    // pair oracles carry the identical `<> 0` predicate.
+    val h = if (excludeUndecodable) h0.filter(col("phash") =!= 0L) else h0
+    Dedup.hammingPairs64(h, maxHamming, nBlocks, idCol = "asset_id",
+        hashCol = "phash", starCapGroupSize = starCapGroupSize)
       .select(col("doc1").as("asset1"), col("doc2").as("asset2"), col("hamming"))
   }
 
@@ -733,10 +761,16 @@ object Multimodal {
     * duration or sample rate. Output (asset1, asset2, hamming).
     */
   def audioNearDupPairs(assets: Dataset[MediaAsset], maxHamming: Int = 3,
-                        nBlocks: Int = 4): DataFrame = {
-    val h = audioHashes(assets).toDF()
+                        nBlocks: Int = 4,
+                        excludeUndecodable: Boolean = true,
+                        starCapGroupSize: Option[Int] = None): DataFrame = {
+    val h0 = audioHashes(assets).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.hammingPairs64(h, maxHamming, nBlocks, idCol = "asset_id", hashCol = "ahash")
+    // sentinel-0 exclusion as imageNearDupPairs (undecodable WAVs + silence
+    // both land on 0 — the degenerate mega-clique stays out of pairing)
+    val h = if (excludeUndecodable) h0.filter(col("ahash") =!= 0L) else h0
+    Dedup.hammingPairs64(h, maxHamming, nBlocks, idCol = "asset_id",
+        hashCol = "ahash", starCapGroupSize = starCapGroupSize)
       .select(col("doc1").as("asset1"), col("doc2").as("asset2"), col("hamming"))
   }
 
@@ -760,10 +794,16 @@ object Multimodal {
     * Output (asset1, asset2, hamming).
     */
   def videoNearDupPairs(assets: Dataset[MediaAsset], maxHamming: Int = 3,
-                        nBlocks: Int = 4): DataFrame = {
-    val h = videoHashes(assets).toDF()
+                        nBlocks: Int = 4,
+                        excludeUndecodable: Boolean = true,
+                        starCapGroupSize: Option[Int] = None): DataFrame = {
+    val h0 = videoHashes(assets).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.hammingPairs64(h, maxHamming, nBlocks, idCol = "asset_id", hashCol = "vhash")
+    // sentinel-0 exclusion as imageNearDupPairs (unparseable streams +
+    // monochrome key frames)
+    val h = if (excludeUndecodable) h0.filter(col("vhash") =!= 0L) else h0
+    Dedup.hammingPairs64(h, maxHamming, nBlocks, idCol = "asset_id",
+        hashCol = "vhash", starCapGroupSize = starCapGroupSize)
       .select(col("doc1").as("asset1"), col("doc2").as("asset2"), col("hamming"))
   }
 

@@ -407,6 +407,11 @@ object Similarity {
     * the data distribution (clustered embeddings), LSH is
     * distribution-free.
     */
+  /** Cache contract: the internal typed base frame stays persisted (it
+    * feeds both the assignment and the probe side below) — the CALLER
+    * releases it (clearCache between Verify queries; long-lived sessions
+    * should prefer the committable frames + their own lifecycle).
+    */
   def ivfTopK(corpus: DataFrame, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
               lloydIters: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -553,6 +558,12 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val (base, centroids) = ivfIndex(corpus, nCentroids, lloydIters, idCol, vecCol)
+    // the index-build sample collect (base's only multi-consumer use) has
+    // already run inside ivfIndex; the single downstream pass below can
+    // recompute the scan+cast, so release the cache NOW instead of leaking
+    // it until a session-wide clearCache (ADVICE r6) — ivfCentroidsFrame
+    // does the same
+    base.unpersist()
     base
       .mapPartitions(_.map { case (vid, v) =>
         (vid, nearestCentroidsOf(v, centroids, nProbe))

@@ -68,4 +68,35 @@ class ExprSpec extends SparkSpec {
     ).collect()
     got.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
   }
+
+  test("U64Fold(int/long arrays) == JVM twin; golden values; null -> null") {
+    import graft.functions.U64Fold
+    import spark.implicits._
+    // golden pins (hand-derivable): empty = offset; [0] = offset*P;
+    // negative ints fold as unsigned 32-bit
+    assert(U64Fold.foldInts(Array.empty) == 1469598103934665603L)
+    assert(U64Fold.foldInts(Array(0)) == 1469598103934665603L * 1000003L)
+    assert(U64Fold.foldInts(Array(-1)) ==
+      1469598103934665603L * 1000003L + 0xffffffffL)
+    assert(U64Fold.foldLongs(Array(-1L)) ==
+      1469598103934665603L * 1000003L - 1L)
+    val rng = new scala.util.Random(11)
+    val ints = Seq.tabulate(100) { i =>
+      (i.toLong, Array.fill(rng.nextInt(130))(rng.nextInt()))
+    }
+    val gotI = ints.toDF("id", "a")
+      .select(col("id"), VectorExprs.u64Fold(col("a")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ints.foreach { case (id, a) => assert(gotI(id) == U64Fold.foldInts(a)) }
+    val longs = Seq.tabulate(100) { i =>
+      (i.toLong, Array.fill(rng.nextInt(40))(rng.nextLong()))
+    }
+    val gotL = longs.toDF("id", "a")
+      .select(col("id"), VectorExprs.u64Fold(col("a")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    longs.foreach { case (id, a) => assert(gotL(id) == U64Fold.foldLongs(a)) }
+    val nullRow = Seq((1L, None: Option[Array[Int]])).toDF("id", "a")
+      .select(VectorExprs.u64Fold(col("a"))).head()
+    assert(nullRow.isNullAt(0))
+  }
 }

@@ -494,15 +494,46 @@ class OperatorsSpec extends SparkSpec {
     // ids 0 and 273 share modality (%3=0) AND dims (%13=0, %7=0): identical
     // text => byte-identical synthesized PNG => hamming 0. id 3 is an
     // image with different content/dims — must not pair at hamming <= 3.
+    // The planted text must render a NON-degenerate image (aHash != 0):
+    // r7's sentinel exclusion drops hash-0 (uniform/undecodable) assets
+    // from perceptual pairing by design — byte-identical uniform copies
+    // are exact-dedup territory. Precondition-pinned below.
+    val seed = "high Contrast VARIED pixel seed 0xZZ 9911 zz AA bb ## stripes"
+    assert(Multimodal.Codec.aHash64(
+      Multimodal.Codec.synthesizePng(64, 48, seed.getBytes("UTF-8"))) != 0L,
+      "test seed renders a degenerate image; pick a busier one")
     val docs3 = Seq(
-      (0L, "the same pixel seed text"),
-      (273L, "the same pixel seed text"),
+      (0L, seed),
+      (273L, seed),
       (3L, "completely different content to paint with other bytes")
     ).toDF("doc_id", "text")
     val pairs = Multimodal.imageNearDupPairs(
         Multimodal.synthesizeAssets(docs3), maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
     assert(pairs == Seq((0L, 273L, 0)), pairs.mkString(","))
+    spark.catalog.clearCache()
+  }
+
+  test("multimodal: sentinel-0 (degenerate) fingerprints never pair by default") {
+    // two byte-identical UNIFORM images hash to 0 (all aHash bits are
+    // 'pixel > mean' over equal pixels): the default excludes them from
+    // perceptual pairing (the 100 TB mega-clique armor + undecodable
+    // payloads share the sentinel); excludeUndecodable = false restores
+    // the raw exhaustive relation for callers that want it.
+    val uniform = "the same pixel seed text" // empirically degenerate at 64x48
+    assert(Multimodal.Codec.aHash64(
+      Multimodal.Codec.synthesizePng(64, 48, uniform.getBytes("UTF-8"))) == 0L,
+      "expected a degenerate seed; synthesis changed?")
+    val docs3 = Seq((0L, uniform), (273L, uniform)).toDF("doc_id", "text")
+    val dflt = Multimodal.imageNearDupPairs(
+      Multimodal.synthesizeAssets(docs3), maxHamming = 3).count()
+    assert(dflt == 0L)
+    spark.catalog.clearCache()
+    val raw = Multimodal.imageNearDupPairs(
+        Multimodal.synthesizeAssets(docs3), maxHamming = 3,
+        excludeUndecodable = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(raw == Seq((0L, 273L, 0)), raw.mkString(","))
     spark.catalog.clearCache()
   }
 

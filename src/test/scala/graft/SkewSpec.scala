@@ -102,4 +102,48 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exists == chunked.keySet)
   }
+
+  test("hammingPairs64: identical-fingerprint clique — salted exact, star-cap linear") {
+    // the r6 verdict's last scale gap: a class of B IDENTICAL fingerprints
+    // (blank images, silence, undecodable->0) is ONE (block_idx, block_val)
+    // key per block; the old raw self-join generated its B²/2 rows in one
+    // task. 60 identical hashes + 40 near/far others, saltChunkSize = 8
+    // forces the clique through the chunk-pair emitters — output must stay
+    // the EXACT exhaustive Hamming relation (brute force below).
+    val rng = new scala.util.Random(41)
+    val hs = (0 until 60).map(i => (i.toLong, 0x0123456789abcdefL)) ++
+      (60 until 100).map { i =>
+        val base = 0x0123456789abcdefL
+        val flips = rng.nextInt(8)
+        var h = base
+        (0 until flips).foreach(_ => h ^= (1L << rng.nextInt(64)))
+        (i.toLong, h)
+      }
+    val brute = (for {
+      i <- hs.indices; j <- (i + 1) until hs.length
+      ham = java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2)
+      if ham <= 3
+    } yield ((hs(i)._1, hs(j)._1), ham)).toMap
+    assert(brute.size >= 60 * 59 / 2) // the clique alone is quadratic
+    val df = hs.toDF("doc_id", "simhash").repartition(8).cache()
+    val salted = graft.operators.Dedup.hammingPairs64(df, maxHamming = 3,
+        saltChunkSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(salted == brute,
+      s"missing=${(brute.keySet -- salted.keySet).take(3)} extra=${(salted.keySet -- brute.keySet).take(3)}")
+    // default chunk size (groups fit one emitter pass) agrees too
+    val plain = graft.operators.Dedup.hammingPairs64(df, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(plain == brute)
+    // star-cap mode: the identical clique contributes hub-star pairs only —
+    // linear in B — and stays one connected component
+    val starred = graft.operators.Dedup.hammingPairs64(df, maxHamming = 3,
+        starCapGroupSize = Some(16))
+      .select("doc1", "doc2")
+    val cliqueStar = starred.filter(col("doc1") < 60 && col("doc2") < 60)
+    assert(cliqueStar.count() < 60L * 59 / 2)
+    assert(cliqueStar.filter(col("doc1") === 0L).count() == 59,
+      "hub-star must keep the clique connected through the min id")
+    df.unpersist()
+  }
 }

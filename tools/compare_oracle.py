@@ -19,6 +19,12 @@ oracle = json.load(open(f'{out_dir}/oracle_sql.json'))
 def canon(rel):
     df = rel.df()
     df = df[sorted(df.columns)]
+    # Replicate the DRIVER's row sort: pandas sort_values throws
+    # "unhashable type: numpy.ndarray" on array cells — exactly the failure
+    # that err'ed 8 CORRECTNESS rows in round 6 while this tool's old
+    # stringify-then-hash path false-greened them. A TypeError here means
+    # the output is DRIVER-INCOMPATIBLE, and the caller reports it as such.
+    df = df.sort_values(by=list(df.columns))
     rows = [tuple(str(v) for v in r) for r in df.itertuples(index=False)]
     h = hashlib.md5(repr(rows).encode()).hexdigest()
     return len(rows), h, rows
@@ -28,8 +34,16 @@ for qdir in sorted(glob.glob(f'{out_dir}/q*')):
     name = os.path.basename(qdir)
     pq = glob.glob(f'{qdir}/*.parquet')
     if not pq:
-        print(f'{name:26s} NO-OUTPUT'); fails += 1; continue
-    n_spark, h_spark, rows_spark = canon(con.sql(f"SELECT * FROM '{pq[0]}'"))
+        if os.path.exists(f'{qdir}/_FAILED.json'):
+            print(f'{name:26s} FAILED {open(f"{qdir}/_FAILED.json").read()[:120]}')
+        else:
+            print(f'{name:26s} NO-OUTPUT')
+        fails += 1; continue
+    try:
+        n_spark, h_spark, rows_spark = canon(con.sql(f"SELECT * FROM '{pq[0]}'"))
+    except TypeError as e:
+        print(f'{name:26s} DRIVER-INCOMPATIBLE (non-scalar column): {e}')
+        fails += 1; continue
     if name in oracle:
         try:
             n_o, h_o, rows_o = canon(con.sql(oracle[name]))
