@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   *         [--decontam-id-col doc_id] [--decontam-text-col text]]
   *       [--splits train:0.98,val:0.01,test:0.01] [--split-seed 13]
   *       [--embeddings <parquet> [--embedding-id-col vec_id] [--embedding-col embedding]]]
+  *     [--modality-dedup true [--max-hamming 3] [--star-cap N]]
   *   graft.Main --stream <parquetDir> --output <workDir>
   *     [--maintain-every N] [--star-cap N] [minhash config flags as above]
   *
@@ -241,6 +242,32 @@ object Main {
           s""""after_exact_dedup":${counts.afterExactDedup},""" + decontamField +
           s""""output":${counts.output},"sec":$secC,""" +
           s""""files_per_sec":${counts.input / secC}}""")
+      spark.stop()
+      return
+    }
+
+    // --modality-dedup true: end-to-end perceptual dedup of the asset
+    // corpus derived from the input (image/audio/video fingerprints ->
+    // per-modality Hamming pairs -> connected components ->
+    // representatives), RESUMABLE via the same stage protocol as --clean.
+    // --max-hamming N (default 3); --star-cap caps identical-fingerprint
+    // cliques to hub-star pairs (exact salted-chunk mode when absent).
+    if (opts.get("modality-dedup").exists(_.toBoolean)) {
+      val tM = System.nanoTime()
+      val (_, counts, mmLog) = graft.operators.Multimodal.dedupCheckpointed(
+        spark,
+        docs.select(col("doc_id"), col("content").as("text")),
+        output,
+        maxHamming = opts.getOrElse("max-hamming", "3").toInt,
+        starCapGroupSize = starCap,
+        contentFingerprint = contentFp)
+      System.err.println(s"[graft] modality stages: $mmLog")
+      val secM = (System.nanoTime() - tM) / 1e9
+      println(
+        s"""{"assets":${counts.assets},"pairs":${counts.pairs},""" +
+          s""""clusters":${counts.clusters},"survivors":${counts.survivors},""" +
+          s""""sec":$secM,"assets_per_sec":${counts.assets / secM},""" +
+          s""""stages":"$mmLog"}""")
       spark.stop()
       return
     }

@@ -957,4 +957,123 @@ object Multimodal {
         } catch { case _: Exception => Iterator.empty }
       })
   }
+
+  // --------------------------------------------------------------------
+  // End-to-end modality dedup (r6 verdict #8): assets -> per-modality
+  // perceptual fingerprints -> hammingPairs64 -> connected components ->
+  // representatives, drivable from the CLI (--modality-dedup) with the
+  // CleanPipeline stage protocol (committed tagged tables, resumable).
+  // --------------------------------------------------------------------
+
+  /** All three perceptual fingerprint families as ONE frame
+    * (asset_id, modality, fp64). The branches filter DISJOINT modalities,
+    * so each asset decodes exactly once across the union; `assets` feeds
+    * all three branches — the CALLER persists it (repo cache contract).
+    */
+  def modalityFingerprints(assets: Dataset[MediaAsset]): DataFrame =
+    imageHashes(assets).toDF()
+      .select(col("asset_id"), lit("image").as("modality"), col("phash").as("fp64"))
+      .union(audioHashes(assets).toDF()
+        .select(col("asset_id"), lit("audio").as("modality"), col("ahash").as("fp64")))
+      .union(videoHashes(assets).toDF()
+        .select(col("asset_id"), lit("video").as("modality"), col("vhash").as("fp64")))
+
+  /** Near-dup pairs across the whole asset corpus, SCOPED per modality
+    * (an image must never pair with an audio clip on a coincidental block
+    * collision): one hammingPairs64 run per modality, unioned with the
+    * modality carried. Sentinel-0 exclusion + skew armor as the
+    * per-modality operators. `fps` feeds each modality subframe three
+    * times — the CALLER persists it.
+    */
+  def modalityNearDupPairs(fps: DataFrame, maxHamming: Int = 3,
+                           excludeUndecodable: Boolean = true,
+                           starCapGroupSize: Option[Int] = None): DataFrame = {
+    val base = if (excludeUndecodable) fps.filter(col("fp64") =!= 0L) else fps
+    Seq("image", "audio", "video")
+      .map { m =>
+        Dedup.hammingPairs64(base.filter(col("modality") === m), maxHamming,
+            idCol = "asset_id", hashCol = "fp64",
+            starCapGroupSize = starCapGroupSize)
+          .select(col("doc1").as("asset1"), col("doc2").as("asset2"),
+            col("hamming"), lit(m).as("modality"))
+      }
+      .reduce(_ union _)
+  }
+
+  /** Min-label cluster per fingerprinted asset over [[modalityNearDupPairs]]
+    * output (singletons keep their own id) — the recipe's mm_clusters stage
+    * body, shared verbatim with SparkEntry's q_mm_clusters query.
+    */
+  def modalityClusters(fps: DataFrame, pairs: DataFrame): DataFrame =
+    ConnectedComponents.cluster(
+        pairs.select(col("asset1").as("doc1"), col("asset2").as("doc2")),
+        fps.select(col("asset_id").as("doc_id")))
+      .select(col("doc_id").as("asset_id"), col("cluster_id"))
+
+  /** Cluster representatives: the min-label root keeps its fingerprint row
+    * (cluster_id IS the component min; singletons keep their own id) — the
+    * recipe's mm_corpus stage body, shared with q_mm_dedup_corpus.
+    */
+  def modalityRepresentatives(fps: DataFrame, clusters: DataFrame): DataFrame =
+    clusters.filter(col("asset_id") === col("cluster_id"))
+      .select("asset_id")
+      .join(fps, "asset_id")
+
+  /** Stage counts for [[dedupCheckpointed]]'s CLI JSON line. */
+  final case class ModalityDedupCounts(assets: Long, pairs: Long,
+                                       clusters: Long, survivors: Long)
+
+  /** RESUMABLE end-to-end modality dedup over a (doc_id, text) table:
+    * four committed StageStore tables under `workDir` —
+    *
+    *   mm_fingerprints (asset_id, modality, fp64)
+    *   mm_pairs        (asset1, asset2, hamming, modality)
+    *   mm_clusters     (asset_id, cluster_id)   [min-label CC]
+    *   mm_corpus       (asset_id, modality, fp64)  [cluster representatives]
+    *
+    * each tagged by input fingerprint + config (the CleanPipeline
+    * protocol): a rerun resumes at the first uncommitted/stale stage; each
+    * stage computes from the PREVIOUS COMMITTED table, never from a
+    * recomputed kernel. Asset payloads here come from the deterministic
+    * synthesis boundary (synthesizeAssets — real PNG/WAV/Y4M bytes derived
+    * from the text); a production deployment swaps a real media-bytes scan
+    * in at that one call.
+    */
+  def dedupCheckpointed(spark: org.apache.spark.sql.SparkSession,
+                        docs: DataFrame, workDir: String,
+                        maxHamming: Int = 3,
+                        starCapGroupSize: Option[Int] = None,
+                        contentFingerprint: Boolean = false)
+      : (DataFrame, ModalityDedupCounts, graft.plans.CheckpointedPipeline.StageLog) = {
+    import graft.plans.{CheckpointedPipeline, StageStore}
+    val store = new StageStore(spark, workDir)
+    val log = new CheckpointedPipeline.StageLog
+    val fp = StageStore.fingerprint(spark, docs, contentFingerprint)
+    val cfgStr = s"mm;ham=$maxHamming;cap=${starCapGroupSize.getOrElse(0)}"
+    import spark.implicits._
+    var scratch: List[DataFrame] = Nil // caches built inside stage closures
+    val fps = store.stage("mm_fingerprints", fp, cfgStr, log) {
+      val assets = synthesizeAssets(docs).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      scratch ::= assets
+      modalityFingerprints(assets.as[MediaAsset])
+    }
+    val pairs = store.stage("mm_pairs", fp, cfgStr, log) {
+      val f = fps.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      scratch ::= f
+      modalityNearDupPairs(f, maxHamming, starCapGroupSize = starCapGroupSize)
+    }
+    val clusters = store.stage("mm_clusters", fp, cfgStr, log) {
+      modalityClusters(fps, pairs)
+    }
+    val survivors = store.stage("mm_corpus", fp, cfgStr, log) {
+      modalityRepresentatives(fps, clusters)
+    }
+    scratch.foreach { c => c.unpersist(); () }
+    val counts = ModalityDedupCounts(
+      assets = fps.count(), pairs = pairs.count(),
+      clusters = clusters.select("cluster_id").distinct().count(),
+      survivors = survivors.count())
+    (survivors, counts, log)
+  }
 }

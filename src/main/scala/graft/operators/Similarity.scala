@@ -359,10 +359,20 @@ object Similarity {
     val useProbes = multiProbe && nProbes > 0
     val probeFan = if (useProbes) nProbes else 0
     val sketch = sketchRows(corpus, dim, nTables, bandBits, seed, idCol, vecCol, probeFan)
+    topKOverSketch(sketch, k, useProbes, nProbes)
+  }
+
+  /** The query half of LSH top-k over an ALREADY-BUILT sketch frame
+    * (vid, vec, vnorm, buckets, probes) — either the freshly persisted
+    * kernel output ([[lshTopK]]) or a committed index table read back from
+    * parquet ([[lshIndexedTopK]]); identical plan and results either way.
+    */
+  private def topKOverSketch(sketch: DataFrame, k: Int,
+                             useProbes: Boolean, nProbes: Int): DataFrame = {
     // candidate pairs carry IDS ONLY through the bucket join —
     // shuffling the vector payloads through dropDuplicates costs ~1000x the
     // bytes (measured 108 s -> ~2 s on 2k vectors / 1M candidate rows).
-    // Vectors join back once per side afterwards, off the persisted sketch.
+    // Vectors join back once per side afterwards, off the sketch.
     // NO distinct: a pair hit through several tables/probes flows
     // through the (broadcast) vector join-backs more than once, and the
     // dedup-aware TopKAgg drops the duplicates inside the map-side partial
@@ -382,6 +392,95 @@ object Similarity {
         dot(col("q_vec"), col("nbr_vec")) / (col("q_norm") * col("nbr_norm"))
       )
     topKPerQuery(scored, k)
+  }
+
+  /** PERSISTENT LSH index (build-once / query-many — r6 verdict #7): the
+    * sketch kernel's output is committed as a StageStore stage table under
+    * `workDir` (tag = corpus fingerprint + the full sketch config, exactly
+    * the CleanPipeline protocol), and every later call with the same
+    * corpus + config RESUMES the committed table instead of re-running the
+    * kernel — at 100 TB the index builds once, and each query batch costs
+    * only the candidate join + rerank over the parquet-backed index.
+    * Returns (top-k frame, stage log): `log.skipped` containing
+    * "lsh_sketch" is the reuse proof (and `store._metrics` records no new
+    * kernel lineage row on a resumed run). Results are bit-identical to
+    * [[lshTopK]] — vec/vnorm/buckets/probes all round-trip parquet
+    * exactly, and the query half is the shared [[topKOverSketch]].
+    */
+  def lshIndexedTopK(corpus: DataFrame, k: Int, dim: Int, workDir: String,
+                     nTables: Int = 24, bandBits: Int = 8, seed: Long = 42L,
+                     multiProbe: Boolean = true, nProbes: Int = 4,
+                     idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, graft.plans.CheckpointedPipeline.StageLog) = {
+    val spark = corpus.sparkSession
+    val store = new graft.plans.StageStore(spark, workDir)
+    val log = new graft.plans.CheckpointedPipeline.StageLog
+    val useProbes = multiProbe && nProbes > 0
+    val probeFan = if (useProbes) nProbes else 0
+    val fp = graft.plans.StageStore.fingerprint(spark,
+      corpus.select(col(idCol), col(vecCol)))
+    val config = s"lsh;dim=$dim;t=$nTables;b=$bandBits;seed=$seed;p=$probeFan"
+    // sketchRows persists its output for the multi-consumer FRESH-build
+    // case; here the committed parquet replaces the cache, so release it
+    // right after the stage write (a resumed run never builds it at all)
+    var built: Option[DataFrame] = None
+    val sketch = store.stage("lsh_sketch", fp, config, log) {
+      val s = sketchRows(corpus, dim, nTables, bandBits, seed, idCol, vecCol, probeFan)
+      built = Some(s)
+      s
+    }
+    built.foreach { s => s.unpersist(); () }
+    (topKOverSketch(sketch, k, useProbes, nProbes), log)
+  }
+
+  /** PERSISTENT IVF index: two StageStore tables — `ivf_centroids`
+    * (centroid_id, centroid; tag excludes nProbe so a probe-width change
+    * never re-runs Lloyd) and `ivf_cells` (vid, vec, probes; probes[0] is
+    * the list assignment). A resumed run reads both tables and skips the
+    * sample collect + Lloyd refinement entirely; a stale cells table
+    * recomputes from the COMMITTED centroids (bounded nCentroids-row
+    * collect), not from a fresh Lloyd. Results match [[ivfTopK]]: same
+    * nearestCentroidsOf ranking, same cosine rerank, same tie-breaks.
+    */
+  def ivfIndexedTopK(corpus: DataFrame, k: Int, workDir: String,
+                     nCentroids: Int = 16, nProbe: Int = 4, lloydIters: Int = 2,
+                     idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, graft.plans.CheckpointedPipeline.StageLog) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val store = new graft.plans.StageStore(spark, workDir)
+    val log = new graft.plans.CheckpointedPipeline.StageLog
+    val fp = graft.plans.StageStore.fingerprint(spark,
+      corpus.select(col(idCol), col(vecCol)))
+    val centroidCfg = s"ivf;c=$nCentroids;lloyd=$lloydIters"
+    val centroidsDf = store.stage("ivf_centroids", fp, centroidCfg, log) {
+      ivfCentroidsFrame(corpus, nCentroids, lloydIters, idCol, vecCol)
+    }
+    val cellsDf = store.stage("ivf_cells", fp, centroidCfg + s";probe=$nProbe", log) {
+      // centroids from the COMMITTED table (never a second Lloyd):
+      // bounded collect, nCentroids rows by design
+      val cs: Array[Array[Double]] = centroidsDf.orderBy("centroid_id")
+        .select("centroid").as[Array[Double]].collect()
+      Spread(corpus.select(col(idCol).cast("long").as("vid"),
+          asDouble(col(vecCol)).as("vec")))
+        .as[(Long, Array[Double])]
+        .mapPartitions(_.map { case (vid, v) =>
+          (vid, v, nearestCentroidsOf(v, cs, nProbe))
+        })
+        .toDF("vid", "vec", "probes")
+    }
+    val assigned = cellsDf.select(col("vid").as("nbr_id"), col("vec").as("nbr_vec"),
+      element_at(col("probes"), 1).as("centroid_id"))
+    val probes = cellsDf.select(col("vid").as("query_id"), col("vec").as("q_vec"),
+      explode(col("probes")).as("centroid_id"))
+    val scored = probes
+      .join(assigned, "centroid_id")
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn(
+        "cosine",
+        dot(col("q_vec"), col("nbr_vec")) / (norm(col("q_vec")) * norm(col("nbr_vec")))
+      )
+    (topKPerQuery(scored, k), log)
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer of `nCentroids`

@@ -367,6 +367,57 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("persistent ANN indexes: build once, later query batches resume, results identical") {
+    // r6 verdict #7: a 100 TB index must build ONCE. Both index families
+    // commit StageStore tables; a second query batch must (a) resume (no
+    // computed stages), (b) add no new kernel lineage rows to _metrics,
+    // (c) return identical rows, all equal to the non-indexed operators.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+
+    val lshDir = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+    val (l1, lshLog1) = Similarity.lshIndexedTopK(e, k = 5, dim = 64, workDir = lshDir)
+    val lshRows1 = rows(l1)
+    assert(lshLog1.computed.toSeq == Seq("lsh_sketch"), lshLog1.toString)
+    val lshStore = new graft.plans.StageStore(spark, lshDir)
+    // _metrics records one lineage row PER PARTITION per completed stage —
+    // a resumed run must not grow it
+    val lineageAfterBuild = lshStore.metrics.filter(col("stage") === "lsh_sketch").count()
+    assert(lineageAfterBuild >= 1)
+    spark.catalog.clearCache()
+    val (l2, lshLog2) = Similarity.lshIndexedTopK(e, k = 5, dim = 64, workDir = lshDir)
+    val lshRows2 = rows(l2)
+    assert(lshLog2.computed.isEmpty && lshLog2.skipped.toSeq == Seq("lsh_sketch"),
+      lshLog2.toString)
+    assert(lshRows2 == lshRows1)
+    assert(lshRows1 == rows(Similarity.lshTopK(e, k = 5, dim = 64)))
+    assert(lshStore.metrics.filter(col("stage") === "lsh_sketch").count() == lineageAfterBuild,
+      "resume must not append kernel lineage")
+    spark.catalog.clearCache()
+
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    val (v1, ivfLog1) = Similarity.ivfIndexedTopK(e, k = 5, workDir = ivfDir,
+      nCentroids = 16, nProbe = 12)
+    val ivfRows1 = rows(v1)
+    assert(ivfLog1.computed.toSeq == Seq("ivf_centroids", "ivf_cells"), ivfLog1.toString)
+    spark.catalog.clearCache()
+    val (v2, ivfLog2) = Similarity.ivfIndexedTopK(e, k = 5, workDir = ivfDir,
+      nCentroids = 16, nProbe = 12)
+    assert(ivfLog2.computed.isEmpty &&
+      ivfLog2.skipped.toSeq == Seq("ivf_centroids", "ivf_cells"), ivfLog2.toString)
+    assert(rows(v2) == ivfRows1)
+    assert(ivfRows1 == rows(Similarity.ivfTopK(e, k = 5, nCentroids = 16, nProbe = 12)))
+    spark.catalog.clearCache()
+    // probe-width change re-derives ONLY the cells (never a second Lloyd)
+    val (_, ivfLog3) = Similarity.ivfIndexedTopK(e, k = 5, workDir = ivfDir,
+      nCentroids = 16, nProbe = 10)
+    assert(ivfLog3.computed.toSeq == Seq("ivf_cells") &&
+      ivfLog3.skipped.toSeq == Seq("ivf_centroids"), ivfLog3.toString)
+    spark.catalog.clearCache()
+  }
+
   test("token counts: ws vs bpe-ish") {
     val df = Seq((0L, "hello world"), (1L, "don't stop-me now!"), (2L, ""), (3L, "  "))
       .toDF("doc_id", "text")

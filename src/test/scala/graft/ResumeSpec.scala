@@ -316,6 +316,60 @@ class ResumeSpec extends SparkSpec {
     assert(runAt(2) == runAt(7))
   }
 
+  test("modality dedup pipeline: resumable stages, planted copies cluster, reps kept") {
+    import org.apache.spark.sql.functions.col
+    // 90 docs -> 30 assets per modality; planted byte-identical copies via
+    // the +LCM offsets SparkEntry's mm queries use (modality + synth params
+    // preserved): images +273273 (ids %3=0), audio +4800000 (%3=1), video
+    // +6000000 (%3=2) for every 15th doc
+    val spark2 = spark
+    import spark2.implicits._
+    val base = (0 until 90).map(i => (i.toLong, s"asset content $i lorem ipsum dolor"))
+    val copies = base.collect {
+      case (id, t) if id % 15 == 0 && id % 3 == 0 => (id + 273273L, t)
+      case (id, t) if id % 15 == 0 && id % 3 == 1 => (id + 4800000L, t)
+      case (id, t) if id % 15 == 0 && id % 3 == 2 => (id + 6000000L, t)
+    }
+    val docs = (base ++ copies).toDF("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft_mm_dedup").toString
+    val (_, c1, log1) = graft.operators.Multimodal.dedupCheckpointed(
+      spark, docs, work, contentFingerprint = true)
+    assert(log1.computed.toSeq ==
+      Seq("mm_fingerprints", "mm_pairs", "mm_clusters", "mm_corpus"), log1.toString)
+    assert(c1.assets == 90L + copies.size)
+    // each planted copy is hamming-0 with its source -> fewer survivors
+    // than assets, and every copy's cluster contains its source
+    assert(c1.survivors < c1.assets)
+    val clusters = spark.read.parquet(s"$work/mm_clusters")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    copies.foreach { case (cid, _) =>
+      val src = if (cid >= 6000000L) cid - 6000000L
+        else if (cid >= 4800000L) cid - 4800000L else cid - 273273L
+      assert(clusters(cid) == clusters(src), s"copy $cid not clustered with $src")
+    }
+    // full rerun: everything resumed
+    val (_, c2, log2) = graft.operators.Multimodal.dedupCheckpointed(
+      spark, docs, work, contentFingerprint = true)
+    assert(log2.computed.isEmpty && log2.skipped.size == 4, log2.toString)
+    assert(c2 == c1)
+    // mid-pipeline delete: only the downstream stages recompute
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rm); p.delete(); ()
+    }
+    rm(new java.io.File(s"$work/mm_clusters"))
+    rm(new java.io.File(s"$work/mm_corpus"))
+    val (_, c3, log3) = graft.operators.Multimodal.dedupCheckpointed(
+      spark, docs, work, contentFingerprint = true)
+    assert(log3.computed.toSeq == Seq("mm_clusters", "mm_corpus") &&
+      log3.skipped.toSeq == Seq("mm_fingerprints", "mm_pairs"), log3.toString)
+    assert(c3 == c1)
+    // config change (hamming width) invalidates every tagged stage
+    val (_, _, log4) = graft.operators.Multimodal.dedupCheckpointed(
+      spark, docs, work, maxHamming = 2, contentFingerprint = true)
+    assert(log4.computed.size == 4, log4.toString)
+    spark.catalog.clearCache()
+  }
+
   test("ingest sha256 invariant: parquet rows match .txt corpus (input_hint)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_txt")
     CorpusGen.goldenDocs.foreach { case (id, content) =>
