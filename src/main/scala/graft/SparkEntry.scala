@@ -72,6 +72,37 @@ object SparkEntry {
       .select((col("doc_id") + 6000000L).as("doc_id"), col("text")))
   }
 
+  /** Combined input for the end-to-end modality-dedup queries: documents
+    * plus every 25th doc re-ingested under its MODALITY-MATCHED offset
+    * (image +273273, audio +4800000, video +6000000 — each ≡ 0 mod 3 AND
+    * mod its modality's synth params, so every planted copy is a
+    * byte-identical asset = Hamming-0 pair to its source). The input shape
+    * Multimodal.dedupCheckpointed (`--modality-dedup`) consumes.
+    */
+  private def mmCombinedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val base = documents(spark, dir).select(col("doc_id"), col("text"))
+    val every25 = base.filter(col("doc_id") % 25 === 0)
+    base
+      .union(every25.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 273273L).as("doc_id"), col("text")))
+      .union(every25.filter(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 4800000L).as("doc_id"), col("text")))
+      .union(every25.filter(col("doc_id") % 3 === 2)
+        .select((col("doc_id") + 6000000L).as("doc_id"), col("text")))
+  }
+
+  /** The modality-dedup recipe's fingerprint frame over the combined
+    * planted input — shared by q_mm_fps / q_mm_clusters / q_mm_dedup_corpus
+    * so all three provably run dedupCheckpointed's exact first stage
+    * (one shared asset pass feeding the three modality branches).
+    */
+  private def mmFpsFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = Multimodal.synthesizeAssets(mmCombinedDocs(s, dir)).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Multimodal.modalityFingerprints(assets.as[Multimodal.MediaAsset])
+  }
+
   /** Flagship: the full near-dup pipeline (signatures -> LSH candidates ->
     * similarity pairs) on sf0.001 documents. Driver smoke-checks rows>0.
     */
@@ -642,6 +673,37 @@ object SparkEntry {
       Multimodal.videoNearDupPairs(
         Multimodal.synthesizeAssets(videoDupDocs(s, dir)), maxHamming = 3)
         .orderBy("asset1", "asset2")),
+    // ---- end-to-end modality dedup (the --modality-dedup recipe path) ----
+    "q_mm_fps" -> ((s, dir) =>
+      // the recipe's first stage verbatim (modalityFingerprints: all three
+      // perceptual families over ONE shared asset pass): per-asset 64-bit
+      // fingerprint with its modality — the replay substrate for
+      // q_mm_clusters / q_mm_dedup_corpus; values DSP-bound (spec-pinned),
+      // completeness pinned by the universe LEFT JOIN oracle
+      mmFpsFrame(s, dir).orderBy("asset_id")),
+    "q_mm_clusters" -> ((s, dir) => {
+      // the recipe's pair + cluster stages verbatim: modality-scoped
+      // Hamming pairs (sentinel-0 excluded) -> min-label CC, singletons
+      // keeping their own id. Oracle replays BOTH from the committed
+      // q_mm_fps table: exhaustive per-modality Hamming join + recursive-
+      // CTE transitive closure (the q_minhash_clusters pattern)
+      val fps = mmFpsFrame(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Multimodal.modalityClusters(fps, Multimodal.modalityNearDupPairs(fps))
+        .orderBy("asset_id")
+    }),
+    "q_mm_dedup_corpus" -> ((s, dir) => {
+      // the recipe's survivor stage verbatim: the min-label root keeps its
+      // fingerprint row. Oracle re-derives representatives INDEPENDENTLY
+      // from the committed fingerprints (closure over the replayed pairs,
+      // reps = self-minimum) — never from the clusters output, so it
+      // doesn't inherit a clusters bug (the q_dedup_corpus pattern)
+      val fps = mmFpsFrame(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val clusters = Multimodal.modalityClusters(
+        fps, Multimodal.modalityNearDupPairs(fps))
+      Multimodal.modalityRepresentatives(fps, clusters).orderBy("asset_id")
+    }),
     "q_mm_frames" -> ((s, dir) =>
       Multimodal.sampleFramePlan(
         Multimodal.synthesizeAssets(documents(s, dir)).toDF()
@@ -1739,6 +1801,76 @@ object SparkEntry {
         |FROM f a JOIN f b ON a.asset_id < b.asset_id
         |WHERE bit_count(xor(a.vhash, b.vhash)) <= 3
         |ORDER BY asset1, asset2""".stripMargin,
+    "q_mm_fps" ->
+      // completeness + echo over the combined planted input (every 25th doc
+      // re-ingested under its modality-matched offset): exactly one
+      // fingerprint row per derived asset id; LEFT JOIN so a missing
+      // committed row yields a NULL-fp64 mismatch (ADVICE r6 pattern)
+      """WITH ids AS (
+        |  SELECT doc_id FROM documents
+        |  UNION ALL SELECT doc_id + 273273 FROM documents
+        |    WHERE doc_id % 25 = 0 AND doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id + 4800000 FROM documents
+        |    WHERE doc_id % 25 = 0 AND doc_id % 3 = 1
+        |  UNION ALL SELECT doc_id + 6000000 FROM documents
+        |    WHERE doc_id % 25 = 0 AND doc_id % 3 = 2)
+        |SELECT i.doc_id AS asset_id, f.modality, f.fp64
+        |FROM ids i
+        |LEFT JOIN read_parquet('@GRAFT_OUT@/q_mm_fps/*.parquet') f ON i.doc_id = f.asset_id
+        |ORDER BY asset_id""".stripMargin,
+    "q_mm_clusters" ->
+      // the whole modality-dedup chain replayed from the committed
+      // fingerprints: exhaustive per-modality Hamming pairs (sentinel-0
+      // excluded, exactly the operator's rule) -> recursive-CTE transitive
+      // closure -> min-label per asset, singletons keeping their own id;
+      // universe re-DERIVED from documents so row count has teeth
+      """WITH RECURSIVE ids AS (
+        |  SELECT doc_id FROM documents
+        |  UNION ALL SELECT doc_id + 273273 FROM documents
+        |    WHERE doc_id % 25 = 0 AND doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id + 4800000 FROM documents
+        |    WHERE doc_id % 25 = 0 AND doc_id % 3 = 1
+        |  UNION ALL SELECT doc_id + 6000000 FROM documents
+        |    WHERE doc_id % 25 = 0 AND doc_id % 3 = 2),
+        |f AS (
+        |  SELECT asset_id, modality, fp64
+        |  FROM read_parquet('@GRAFT_OUT@/q_mm_fps/*.parquet') WHERE fp64 <> 0),
+        |p AS (
+        |  SELECT a.asset_id AS a1, b.asset_id AS a2
+        |  FROM f a JOIN f b ON a.modality = b.modality AND a.asset_id < b.asset_id
+        |  WHERE bit_count(xor(a.fp64, b.fp64)) <= 3),
+        |e AS (SELECT a1 AS a, a2 AS b FROM p UNION SELECT a2, a1 FROM p),
+        |r AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+        |m AS (SELECT a AS asset_id, min(b) AS mn FROM r GROUP BY a)
+        |SELECT i.doc_id AS asset_id,
+        |  CAST(least(i.doc_id, coalesce(m.mn, i.doc_id)) AS BIGINT) AS cluster_id
+        |FROM ids i LEFT JOIN m ON i.doc_id = m.asset_id
+        |ORDER BY asset_id""".stripMargin,
+    "q_mm_dedup_corpus" ->
+      // survivors re-derived INDEPENDENTLY from the committed fingerprints
+      // (never from the clusters output): rep = asset whose reachable
+      // minimum is itself; modality/fp64 echoed from the committed row
+      """WITH RECURSIVE f AS (
+        |  SELECT asset_id, modality, fp64
+        |  FROM read_parquet('@GRAFT_OUT@/q_mm_fps/*.parquet')),
+        |fnz AS (SELECT asset_id, modality, fp64 FROM f WHERE fp64 <> 0),
+        |p AS (
+        |  SELECT a.asset_id AS a1, b.asset_id AS a2
+        |  FROM fnz a JOIN fnz b ON a.modality = b.modality AND a.asset_id < b.asset_id
+        |  WHERE bit_count(xor(a.fp64, b.fp64)) <= 3),
+        |e AS (SELECT a1 AS a, a2 AS b FROM p UNION SELECT a2, a1 FROM p),
+        |r AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+        |m AS (SELECT a AS asset_id, min(b) AS mn FROM r GROUP BY a)
+        |SELECT f.asset_id, f.modality, f.fp64
+        |FROM f LEFT JOIN m ON f.asset_id = m.asset_id
+        |WHERE least(f.asset_id, coalesce(m.mn, f.asset_id)) = f.asset_id
+        |ORDER BY f.asset_id""".stripMargin,
     "q_ann_ivf_centroids" ->
       // id/dim echo + the unit-norm invariant recomputed from the COMMITTED
       // centroid arrays (same ordered IEEE fold as the Spark side's dotD
