@@ -212,17 +212,22 @@ object Dedup {
     * block — a raw self-join generates its B²/2 rows in one task. Pair
     * generation therefore rides the same machinery as
     * MinHashPipeline.candidates:
-    *   - default (`starCapGroupSize = None`): OUTPUT-EXACT salted chunks —
-    *     block groups <= `saltChunkSize` stream their clique from one
-    *     sorted pass (BucketPairs.emit, memory O(group)); larger groups
-    *     split into hash-salted chunks whose chunk-PAIR groups emit across
-    *     many tasks (BucketPairs.emitChunkPairs). Every qualifying pair is
-    *     still emitted (the exhaustive-Hamming DuckDB oracles replay this
-    *     contract verbatim); only the TASK placement changes. The output
-    *     volume itself stays quadratic per identical-fingerprint class BY
-    *     CONTRACT — cap it semantically with `starCapGroupSize` or drop
-    *     degenerate fingerprints upstream (Multimodal's near-dup operators
-    *     exclude the undecodable sentinel 0 for exactly this reason).
+    *   - default (`starCapGroupSize = None`): DATA-ADAPTIVE exact pairs —
+    *     one map-side-combinable aggregate over the block table proves at
+    *     build time whether any group exceeds `saltChunkSize`. No: the
+    *     codegen'd raw block self-join runs (fastest shape; its largest
+    *     per-key task is bounded by saltChunkSize² pairs by the proof).
+    *     Yes: the whole table takes one fused chunk-salted pass — members
+    *     of a group of B > saltChunkSize replicate to s = ceil(B/chunk)
+    *     hash-salted chunk-PAIR groups that emit across many tasks
+    *     (BucketPairs.emitChunkPairs). Either shape emits every qualifying
+    *     pair exactly (the exhaustive-Hamming DuckDB oracles replay this
+    *     contract verbatim); only the PLAN changes with the data. The
+    *     output volume itself stays quadratic per identical-fingerprint
+    *     class BY CONTRACT — cap it semantically with `starCapGroupSize`
+    *     or drop degenerate fingerprints upstream (Multimodal's near-dup
+    *     operators exclude the undecodable sentinel 0 for exactly this
+    *     reason).
     *   - `starCapGroupSize = Some(cap)`: block groups larger than cap emit
     *     hub-star pairs only (hub = min id) — cluster-preserving linear
     *     output, the production profile for dedup-survivor selection
@@ -266,35 +271,64 @@ object Dedup {
           .mapPartitions(rows => graft.core.BucketPairs.emit(rows, cap))
           .toDF("doc1", "doc2")
       case None =>
-        // ONE fused exchange for small and mega groups (tighter than
-        // MinHashPipeline.candidates' two-arm union): every group gets a
-        // chunk count s (1 for groups <= saltChunkSize), members replicate
-        // to their s chunk-PAIR groups, and emitChunkPairs streams cliques
-        // (ci == cj — the s = 1 common case is exactly one such group) and
-        // cross-chunk products. Memory <= 2 chunks of ids per task; a
-        // mega-group's B²/2 output spreads over its s² chunk-pair groups.
-        val sizes = blocks.groupBy("block_idx", "block_val")
+        // Data-adaptive pair generation (round 7): one map-side-combinable
+        // aggregate over the block table decides the physical shape at
+        // build time. Without a degenerate fingerprint class, the salted
+        // emitter machinery is pure near-empty-stage overhead at bench
+        // scale (measured: raw codegen self-join 0.9 s vs fused salted
+        // 1.5-2.3 s at sf0.1, HammingProbe) and two extra full block-table
+        // exchanges at 100 TB — so the common case takes the codegen'd
+        // raw self-join, whose largest per-key task is bounded by
+        // saltChunkSize² pairs BECAUSE the decision job proved no larger
+        // group exists. Any (block_idx, block_val) class beyond
+        // saltChunkSize routes the whole table through the fused
+        // chunk-salted pass instead, whose chunk-PAIR groups spread a
+        // B²/2 clique over s² tasks. The decision job is one narrow scan
+        // of the caller-persisted hash table (4 rows/doc, partial-agg
+        // combined; the exchange carries only distinct keys) — orders
+        // below pair generation at every scale, and it doubles as the
+        // first materialization of the caller's cache. Both shapes emit
+        // the identical exact pair set (SkewSpec asserts it; the
+        // exhaustive-Hamming DuckDB oracles replay the contract).
+        val hasMega = !blocks.groupBy("block_idx", "block_val")
           .agg(count(lit(1)).as("bn"))
-        blocks.join(sizes, Seq("block_idx", "block_val"))
-          .withColumn("s",
-            when(col("bn") <= saltChunkSize, lit(1))
-              .otherwise(ceil(col("bn").cast("double") / saltChunkSize).cast("int")))
-          .withColumn("chunk",
-            when(col("s") === 1, lit(0))
-              .otherwise(pmod(xxhash64(col("doc_id")), col("s")).cast("int")))
-          .select(col("block_idx"), col("block_val"), col("doc_id"), col("s"), col("chunk"))
-          .as[(Int, Int, Long, Int, Int)]
-          .flatMap { case (bi, bv, doc, sN, chunk) =>
-            (0 until sN).iterator.map { other =>
-              (bi, bv, math.min(chunk, other), math.max(chunk, other), doc, chunk)
+          .filter(col("bn") > saltChunkSize)
+          .isEmpty
+        if (!hasMega) {
+          blocks.as("l").join(blocks.as("r"), Seq("block_idx", "block_val"))
+            .filter(col("l.doc_id") < col("r.doc_id"))
+            .select(col("l.doc_id").as("doc1"), col("r.doc_id").as("doc2"))
+        } else {
+          // ONE fused exchange for small and mega groups: every group gets
+          // a chunk count s (1 for groups <= saltChunkSize), members
+          // replicate to their s chunk-PAIR groups, and emitChunkPairs
+          // streams cliques (ci == cj — the s = 1 case is exactly one such
+          // group) and cross-chunk products. Memory <= 2 chunks of ids per
+          // task; a mega-group's B²/2 output spreads over its s²
+          // chunk-pair groups.
+          val sizes = blocks.groupBy("block_idx", "block_val")
+            .agg(count(lit(1)).as("bn"))
+          blocks.join(sizes, Seq("block_idx", "block_val"))
+            .withColumn("s",
+              when(col("bn") <= saltChunkSize, lit(1))
+                .otherwise(ceil(col("bn").cast("double") / saltChunkSize).cast("int")))
+            .withColumn("chunk",
+              when(col("s") === 1, lit(0))
+                .otherwise(pmod(xxhash64(col("doc_id")), col("s")).cast("int")))
+            .select(col("block_idx"), col("block_val"), col("doc_id"), col("s"), col("chunk"))
+            .as[(Int, Int, Long, Int, Int)]
+            .flatMap { case (bi, bv, doc, sN, chunk) =>
+              (0 until sN).iterator.map { other =>
+                (bi, bv, math.min(chunk, other), math.max(chunk, other), doc, chunk)
+              }
             }
-          }
-          .toDF("block_idx", "block_val", "ci", "cj", "doc_id", "chunk")
-          .repartition(col("block_idx"), col("block_val"), col("ci"), col("cj"))
-          .sortWithinPartitions("block_idx", "block_val", "ci", "cj", "doc_id")
-          .as[(Int, Int, Int, Int, Long, Int)]
-          .mapPartitions(rows => graft.core.BucketPairs.emitChunkPairs(rows))
-          .toDF("doc1", "doc2")
+            .toDF("block_idx", "block_val", "ci", "cj", "doc_id", "chunk")
+            .repartition(col("block_idx"), col("block_val"), col("ci"), col("cj"))
+            .sortWithinPartitions("block_idx", "block_val", "ci", "cj", "doc_id")
+            .as[(Int, Int, Int, Int, Long, Int)]
+            .mapPartitions(rows => graft.core.BucketPairs.emitChunkPairs(rows))
+            .toDF("doc1", "doc2")
+        }
     }
     val h1 = hashes.select(col(idCol).cast("long").as("doc1"), col(hashCol).as("_h1"))
     val h2 = hashes.select(col(idCol).cast("long").as("doc2"), col(hashCol).as("_h2"))
