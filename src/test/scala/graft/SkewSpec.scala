@@ -146,4 +146,36 @@ class SkewSpec extends SparkSpec {
       "hub-star must keep the clique connected through the min id")
     df.unpersist()
   }
+
+  test("hammingPairs64 adaptive boundary: cliques straddling saltChunkSize, identical relation either shape") {
+    // round-7 adaptive decision: ANY (block_idx, block_val) group larger
+    // than saltChunkSize flips the plan from the raw codegen self-join to
+    // the fused chunk-salted pass. Property-test the boundary — identical
+    // cliques of size cap-1 / cap (raw-join shape) and cap+1 / 2cap+1
+    // (salted shape) over a random tail must all reproduce the exhaustive
+    // Hamming relation exactly.
+    val rng = new scala.util.Random(97)
+    for (cliqueSize <- Seq(7, 8, 9, 17)) {
+      val hs = (0 until cliqueSize).map(i => (i.toLong, 0x5a5a3c3ca5a5c3c3L)) ++
+        (cliqueSize until cliqueSize + 30).map { i =>
+          val base = 0x5a5a3c3ca5a5c3c3L
+          val flips = 1 + rng.nextInt(10)
+          var h = base
+          (0 until flips).foreach(_ => h ^= (1L << rng.nextInt(64)))
+          (i.toLong, h)
+        }
+      val brute = (for {
+        i <- hs.indices; j <- (i + 1) until hs.length
+        ham = java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2)
+        if ham <= 3
+      } yield ((hs(i)._1, hs(j)._1), ham)).toMap
+      val df = hs.toDF("doc_id", "simhash").repartition(5).cache()
+      val got = graft.operators.Dedup.hammingPairs64(df, maxHamming = 3,
+          saltChunkSize = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(got == brute, s"cliqueSize=$cliqueSize: " +
+        s"missing=${(brute.keySet -- got.keySet).take(3)} extra=${(got.keySet -- brute.keySet).take(3)}")
+      df.unpersist()
+    }
+  }
 }
