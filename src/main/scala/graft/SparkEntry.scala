@@ -136,6 +136,10 @@ object SparkEntry {
     "ann_ivf_cells" -> ((s, dir) =>
       Similarity.ivfCellsFrame(embeddings(s, dir), nCentroids = 16, nProbe = 12)
         .orderBy("vid")),
+    "pq_books" -> ((s, dir) =>
+      Similarity.pqBooksFrame(embeddings(s, dir)).orderBy("sub_idx", "code_id")),
+    "pq_codes" -> ((s, dir) =>
+      Similarity.pqCodesFrame(embeddings(s, dir)).orderBy("vid")),
     "embed_sketch" -> ((s, dir) =>
       Similarity.lshSketchFrame(embeddings(s, dir), dim = 64, nTables = 12, nProbes = 8)
         .orderBy("vid")),
@@ -600,6 +604,36 @@ object SparkEntry {
           // from the COMMITTED cells artifact — both must equal this
           graft.functions.VectorExprs.u64Fold(col("probes")).as("artifact_digest"))
         .orderBy("vid")),
+    "q_ann_pq_books" -> ((s, dir) =>
+      // scalar surface over _artifact_pq_books: shape echo + per-codeword
+      // norm recomputed from the committed floats (codeword VALUES are
+      // lloyd-bound — exactly the q_ann_ivf_centroids precedent)
+      Similarity.pqBooksFrame(embeddings(s, dir))
+        .select(col("sub_idx"), col("code_id"),
+          size(col("codeword")).cast("long").as("dsub"),
+          round(sqrt(graft.functions.VectorExprs.dotD(col("codeword"), col("codeword"))), 9)
+            .as("cwnorm"))
+        .orderBy("sub_idx", "code_id")),
+    "q_ann_pq_codes" -> ((s, dir) =>
+      // scalar digest surface over _artifact_pq_codes: the oracle replays
+      // the argmin ENCODING from the committed books against embeddings
+      // (codes_digest = digest of the RE-DERIVED code vector, verifying
+      // pqEncode against DuckDB) while artifact_digest digests the
+      // COMMITTED artifact — the Spark side emits u64Fold(codes) under
+      // both names, the q_ann_ivf_cells two-name pattern
+      Similarity.pqCodesFrame(embeddings(s, dir))
+        .select(col("vid"),
+          size(col("codes")).cast("long").as("n_codes"),
+          graft.functions.VectorExprs.u64Fold(col("codes")).as("codes_digest"),
+          graft.functions.VectorExprs.u64Fold(col("codes")).as("artifact_digest"))
+        .orderBy("vid")),
+    "q_ann_pq" -> ((s, dir) =>
+      // IVFADC: IVF candidates (the q_ann_ivf relation) -> ADC shortlist
+      // of 128 from the 8x16 PQ codes -> exact-cosine top-5. Defaults are
+      // load-bearing: the oracle replays m=8 subspaces and shortlist=128
+      // from the committed books/codes/cells artifacts
+      Similarity.pqTopK(embeddings(s, dir), k = 5)
+        .orderBy("query_id", "rank")),
     "q_embed_sketch" -> ((s, dir) =>
       Similarity.lshSketchFrame(embeddings(s, dir), dim = 64, nTables = 12, nProbes = 8)
         .select(col("vid"), col("vnorm"),
@@ -2133,6 +2167,126 @@ object SparkEntry {
         |      AS cosine
         |  FROM cand JOIN e q ON q.vec_id = cand.query_id
         |            JOIN e n ON n.vec_id = cand.nbr_id),
+        |ranked AS (
+        |  SELECT query_id, nbr_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC)
+        |      AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, nbr_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_pq_books" ->
+      // shape echo + codeword norm recomputed from the COMMITTED book
+      // arrays (same ordered IEEE fold both sides; 9dp round) — pins the
+      // artifact's float content; codeword VALUES stay lloyd-bound
+      """SELECT sub_idx, code_id, CAST(len(codeword) AS BIGINT) AS dsub,
+        |  round(sqrt(list_dot_product(codeword, codeword)), 9) AS cwnorm
+        |FROM read_parquet('@GRAFT_OUT@/_artifact_pq_books/*.parquet')
+        |ORDER BY sub_idx, code_id""".stripMargin,
+    "q_ann_pq_codes" ->
+      // encoding replay with full strength: every embedding ranks the
+      // COMMITTED codewords per subspace by the squared-L2-equivalent
+      // score -2·dot(raw_slice, cw)/|v| + dot(cw, cw) (dot first, ONE
+      // division — term-for-term the Spark kernel's arithmetic), ties by
+      // code id; zero-norm vectors encode all-0 by rule. The re-derived
+      // code vector is digested (codes_digest — verifying pqEncode against
+      // DuckDB) while artifact_digest digests the committed artifact;
+      // universe = embeddings LEFT JOIN both
+      """WITH b AS (
+        |  SELECT sub_idx, code_id, codeword
+        |  FROM read_parquet('@GRAFT_OUT@/_artifact_pq_books/*.parquet')),
+        |ca AS (
+        |  SELECT vid, codes
+        |  FROM read_parquet('@GRAFT_OUT@/_artifact_pq_codes/*.parquet')),
+        |av AS (SELECT vid, @AD@ AS artifact_digest FROM ca),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nx FROM e),
+        |sc AS (
+        |  SELECT en.vec_id, b.sub_idx, b.code_id,
+        |    -2 * list_dot_product(
+        |           list_slice(en.v, b.sub_idx * 8 + 1, b.sub_idx * 8 + 8),
+        |           b.codeword) / en.nx
+        |      + list_dot_product(b.codeword, b.codeword) AS s
+        |  FROM en CROSS JOIN b WHERE en.nx <> 0),
+        |picked AS (
+        |  SELECT vec_id, sub_idx, code_id,
+        |    row_number() OVER (PARTITION BY vec_id, sub_idx
+        |                       ORDER BY s ASC, code_id ASC) AS rk
+        |  FROM sc),
+        |dl AS (
+        |  SELECT vec_id, list(CAST(code_id AS INTEGER) ORDER BY sub_idx) AS dcodes
+        |  FROM picked WHERE rk = 1 GROUP BY vec_id),
+        |u AS (
+        |  SELECT en.vec_id AS vid,
+        |    CASE WHEN en.nx = 0 THEN [0, 0, 0, 0, 0, 0, 0, 0] ELSE dl.dcodes END
+        |      AS dcodes
+        |  FROM en LEFT JOIN dl ON dl.vec_id = en.vec_id)
+        |SELECT u.vid, CAST(len(u.dcodes) AS BIGINT) AS n_codes,
+        |  @DD@ AS codes_digest, av.artifact_digest
+        |FROM u LEFT JOIN av ON av.vid = u.vid ORDER BY u.vid""".stripMargin
+        .replace("@AD@", u64FoldSqlI("codes"))
+        .replace("@DD@", u64FoldSqlI("u.dcodes")),
+    "q_ann_pq" ->
+      // FULL IVFADC replay from the committed artifacts: candidates from
+      // the cells (the q_ann_ivf relation — pqTopK trains the identical
+      // centroids from the identical deterministic sample), ADC terms
+      // dot(query_slice, codeword)/|q| per subspace joined from the
+      // committed codes+books, summed LEFT-TO-RIGHT in subspace order
+      // (the chained + below == the Spark kernel's ordered accumulation),
+      // adc-desc/nbr-asc shortlist of 128, then the exact-cosine top-5
+      """WITH cells AS (
+        |  SELECT vid, probes
+        |  FROM read_parquet('@GRAFT_OUT@/_artifact_ann_ivf_cells/*.parquet')),
+        |a AS (SELECT vid AS nbr_id, probes[1] AS centroid_id FROM cells),
+        |p AS (SELECT vid AS query_id, unnest(probes) AS centroid_id FROM cells),
+        |cand AS (
+        |  SELECT p.query_id, a.nbr_id
+        |  FROM p JOIN a ON p.centroid_id = a.centroid_id
+        |  WHERE a.nbr_id <> p.query_id),
+        |bks AS (
+        |  SELECT sub_idx, code_id, codeword
+        |  FROM read_parquet('@GRAFT_OUT@/_artifact_pq_books/*.parquet')),
+        |nc0 AS (
+        |  SELECT vid, unnest(list_transform(generate_series(1, 8),
+        |    i -> {'s': i - 1, 'c': codes[i]})) AS pc
+        |  FROM read_parquet('@GRAFT_OUT@/_artifact_pq_codes/*.parquet')),
+        |nc AS (SELECT vid, pc.s AS sub_idx, pc.c AS code_id FROM nc0),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nq FROM e),
+        |t AS (
+        |  SELECT cand.query_id, cand.nbr_id, nc.sub_idx,
+        |    CASE WHEN q.nq = 0 THEN 0.0
+        |         ELSE list_dot_product(
+        |                list_slice(q.v, nc.sub_idx * 8 + 1, nc.sub_idx * 8 + 8),
+        |                b.codeword) / q.nq END AS term
+        |  FROM cand
+        |  JOIN nc ON nc.vid = cand.nbr_id
+        |  JOIN bks b ON b.sub_idx = nc.sub_idx AND b.code_id = nc.code_id
+        |  JOIN qn q ON q.vec_id = cand.query_id),
+        |adc AS (
+        |  SELECT query_id, nbr_id,
+        |    max(CASE WHEN sub_idx = 0 THEN term END)
+        |    + max(CASE WHEN sub_idx = 1 THEN term END)
+        |    + max(CASE WHEN sub_idx = 2 THEN term END)
+        |    + max(CASE WHEN sub_idx = 3 THEN term END)
+        |    + max(CASE WHEN sub_idx = 4 THEN term END)
+        |    + max(CASE WHEN sub_idx = 5 THEN term END)
+        |    + max(CASE WHEN sub_idx = 6 THEN term END)
+        |    + max(CASE WHEN sub_idx = 7 THEN term END) AS ascore
+        |  FROM t GROUP BY query_id, nbr_id),
+        |short AS (
+        |  SELECT query_id, nbr_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY ascore DESC, nbr_id ASC) AS srank
+        |  FROM adc),
+        |scored AS (
+        |  SELECT sh.query_id, sh.nbr_id,
+        |    list_dot_product(q.v, n.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v)))
+        |      AS cosine
+        |  FROM short sh
+        |  JOIN e q ON q.vec_id = sh.query_id
+        |  JOIN e n ON n.vec_id = sh.nbr_id
+        |  WHERE sh.srank <= 128),
         |ranked AS (
         |  SELECT query_id, nbr_id, cosine,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC)

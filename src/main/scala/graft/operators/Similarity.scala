@@ -563,45 +563,58 @@ object Similarity {
     scored.sortBy { case (s, i) => (-s, i) }.take(m).map(_._2)
   }
 
-  /** Shared IVF index build: the persisted typed base frame plus the
-    * deterministic driver-side centroids (hash-ordered sample collect +
-    * `lloydIters` spherical-Lloyd passes — see [[ivfTopK]]'s scale notes
-    * for why refinement is driver-side). Caller owns the base persist.
+  /** Typed, Spread, PERSISTED (vid, vec) base frame — the shared input of
+    * the IVF and PQ index builders. Caller owns the persist (consumed by
+    * the index-build sample collect plus the assignment/probe/encode/
+    * rerank passes — un-persisted, the scan+cast would re-run per
+    * consumer).
     */
-  private def ivfIndex(corpus: DataFrame, nCentroids: Int, lloydIters: Int,
-                       idCol: String, vecCol: String):
-      (org.apache.spark.sql.Dataset[(Long, Array[Double])], Array[Array[Double]]) = {
+  private def vecBase(corpus: DataFrame, idCol: String, vecCol: String):
+      org.apache.spark.sql.Dataset[(Long, Array[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val base = Spread(
+    Spread(
       corpus.select(col(idCol).cast("long").as("vid"), asDouble(col(vecCol)).as("vec")))
       .as[(Long, Array[Double])]
-      // consumed 3 times (index-build sample collect, list assignment,
-      // query probes) — un-persisted, the scan+cast re-runs per consumer
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // deterministic index-build sample: smallest ids by (id-hash, id) —
-    // the TOTAL order (hash ties broken by vid) fixes both membership and
-    // iteration order, so the FP summation below is bit-reproducible
-    // across partition layouts and core counts. One bounded collect;
-    // the first nCentroids of it double as the seeds.
-    val sampleSize = math.max(2048, 64 * nCentroids)
+  }
+
+  /** Deterministic index-build sample: smallest ids by (id-hash, id) —
+    * the TOTAL order (hash ties broken by vid) fixes both membership and
+    * iteration order, so the FP summations in the trainers are
+    * bit-reproducible across partition layouts and core counts. One
+    * bounded collect, shared by the IVF centroid and PQ codebook trainers
+    * (pqTopK trains both from ONE collect).
+    */
+  private def deterministicSample(base: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+                                  sampleSize: Int): Array[Array[Double]] = {
+    val spark = base.sparkSession
+    import spark.implicits._
     val sample: Array[Array[Double]] = base
       .map { case (vid, v) =>
         (graft.core.Murmur2.hashString(vid.toString, 7) & 0xffffffffL, vid, v)
       }
       .toDF("h", "vid", "v").orderBy("h", "vid").limit(sampleSize)
       .select("v").as[Array[Double]].collect()
-    require(sample.nonEmpty, "ivfTopK: empty corpus (no centroids)")
-    def unit(v: Array[Double]): Array[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0) v else v.map(_ / n)
-    }
-    val seeds = sample.take(nCentroids).map(unit)
+    require(sample.nonEmpty, "ann index build: empty corpus")
+    sample
+  }
 
-    // Lloyd refinement on the unit sphere (spherical k-means) over the
-    // sample, entirely driver-side: assign to the max-dot centroid
-    // (centroids are unit vectors, so argmax dot == argmax cosine),
-    // new centroid = normalized mean; empty lists keep their seed.
+  private def unitVec(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  /** Driver-side spherical-Lloyd centroid refinement over the
+    * deterministic sample (see [[ivfTopK]]'s scale notes for why
+    * refinement is driver-side): assign to the max-dot centroid
+    * (centroids are unit vectors, so argmax dot == argmax cosine),
+    * new centroid = normalized mean; empty lists keep their seed. The
+    * first nCentroids sample vectors double as the seeds.
+    */
+  private def trainCentroids(sample: Array[Array[Double]], nCentroids: Int,
+                             lloydIters: Int): Array[Array[Double]] = {
+    val seeds = sample.take(nCentroids).map(unitVec)
     def refine(cs: Array[Array[Double]]): Array[Array[Double]] = {
       val dim = cs(0).length
       val sums = Array.fill(cs.length)(new Array[Double](dim))
@@ -620,11 +633,22 @@ object Similarity {
         counts(best) += 1
       }
       Array.tabulate(cs.length) { c =>
-        if (counts(c) == 0) cs(c) else unit(sums(c).map(_ / counts(c)))
+        if (counts(c) == 0) cs(c) else unitVec(sums(c).map(_ / counts(c)))
       }
     }
-    val centroids = (0 until math.max(0, lloydIters)).foldLeft(seeds)((cs, _) => refine(cs))
-    (base, centroids)
+    (0 until math.max(0, lloydIters)).foldLeft(seeds)((cs, _) => refine(cs))
+  }
+
+  /** Shared IVF index build: the persisted typed base frame plus the
+    * deterministic driver-side centroids (hash-ordered sample collect +
+    * `lloydIters` spherical-Lloyd passes). Caller owns the base persist.
+    */
+  private def ivfIndex(corpus: DataFrame, nCentroids: Int, lloydIters: Int,
+                       idCol: String, vecCol: String):
+      (org.apache.spark.sql.Dataset[(Long, Array[Double])], Array[Array[Double]]) = {
+    val base = vecBase(corpus, idCol, vecCol)
+    val sample = deterministicSample(base, math.max(2048, 64 * nCentroids))
+    (base, trainCentroids(sample, nCentroids, lloydIters))
   }
 
   /** The refined IVF centroids as a committable frame (centroid_id,
@@ -668,6 +692,218 @@ object Similarity {
         (vid, nearestCentroidsOf(v, centroids, nProbe))
       })
       .toDF("vid", "probes")
+  }
+
+  // ------------- Product quantization (ADC over IVF candidates) -------------
+
+  /** PQ codebooks: `m` subspaces × `ksub` codewords each, trained
+    * driver-side on the deterministic index sample (Lloyd per subspace
+    * over unit-normalized vectors — ADC approximates the COSINE the exact
+    * rerank uses only when codes quantize unit vectors). Training, like
+    * the IVF centroid refinement, is Lloyd-bound: the codeword VALUES are
+    * pinned by the digest/shape oracle (q_ann_pq_books) while everything
+    * DOWNSTREAM of the books — encoding, ADC, rerank — is replayed
+    * value-exactly in DuckDB from the committed artifacts.
+    */
+  private[operators] def trainBooks(sample: Array[Array[Double]], m: Int,
+                                    ksub: Int, lloydIters: Int): Array[Array[Array[Double]]] = {
+    require(sample.nonEmpty, "pq: empty sample")
+    val dim = sample(0).length
+    require(m > 0 && dim % m == 0, s"pq: dim $dim not divisible by m $m")
+    val dsub = dim / m
+    val su = sample.map(unitVec)
+    Array.tabulate(m) { s =>
+      val subs = su.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      // seeds cycle through the sample's subvectors; empty cells keep
+      // their seed, exactly the centroid trainer's rule
+      val seeds = Array.tabulate(ksub)(c => subs(c % subs.length).clone())
+      def refine(books: Array[Array[Double]]): Array[Array[Double]] = {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Long](ksub)
+        subs.foreach { x =>
+          var best = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < ksub) {
+            var d = 0.0; var j = 0
+            while (j < dsub) { val t = x(j) - books(c)(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var j = 0
+          while (j < dsub) { sums(best)(j) += x(j); j += 1 }
+          counts(best) += 1
+        }
+        Array.tabulate(ksub) { c =>
+          if (counts(c) == 0) books(c) else sums(c).map(_ / counts(c))
+        }
+      }
+      (0 until math.max(0, lloydIters)).foldLeft(seeds)((bs, _) => refine(bs))
+    }
+  }
+
+  /** PQ encoding of one vector: per subspace, the codeword minimizing the
+    * squared L2 distance to the UNIT-normalized subvector, ranked by the
+    * monotone-equivalent score `-2·dot(raw_slice, cw)/|v| + dot(cw, cw)`
+    * computed EXACTLY as the DuckDB replay does (dot first, ONE division,
+    * left-to-right) so FP ranking ties agree across engines; ties -> min
+    * code id (strict `<` here, `ORDER BY score, code_id` there).
+    * Zero-norm vectors encode as code 0 in every subspace (explicit rule
+    * on both sides).
+    */
+  private[operators] def pqEncode(v: Array[Double],
+                                  books: Array[Array[Array[Double]]]): Array[Int] = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    var n2 = 0.0
+    var i = 0
+    while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+    val nx = math.sqrt(n2)
+    if (nx == 0) return new Array[Int](m)
+    Array.tabulate(m) { s =>
+      val off = s * dsub
+      var best = 0
+      var bestScore = Double.PositiveInfinity
+      var c = 0
+      while (c < books(s).length) {
+        val cw = books(s)(c)
+        var d = 0.0; var cc = 0.0; var j = 0
+        while (j < dsub) { d += v(off + j) * cw(j); cc += cw(j) * cw(j); j += 1 }
+        val score = -2.0 * d / nx + cc
+        if (score < bestScore) { bestScore = score; best = c }
+        c += 1
+      }
+      best
+    }
+  }
+
+  /** Asymmetric-distance (ADC) score of a candidate: sum over subspaces of
+    * `dot(query_raw_slice, codeword[code_s]) / |q|` — term-for-term, in
+    * subspace order, left-to-right, exactly as the DuckDB replay's chained
+    * addition — approximating cosine(q, x) for unit-quantized x. Zero-norm
+    * queries score 0 against everything.
+    */
+  private[operators] def adcScore(q: Array[Double], codes: Array[Int],
+                                  books: Array[Array[Array[Double]]]): Double = {
+    var n2 = 0.0
+    var i = 0
+    while (i < q.length) { n2 += q(i) * q(i); i += 1 }
+    val nq = math.sqrt(n2)
+    if (nq == 0) return 0.0
+    val m = books.length
+    val dsub = books(0)(0).length
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val cw = books(s)(codes(s))
+      var d = 0.0; var j = 0
+      while (j < dsub) { d += q(s * dsub + j) * cw(j); j += 1 }
+      acc += d / nq
+      s += 1
+    }
+    acc
+  }
+
+  /** The trained PQ codebooks as a committable frame (sub_idx, code_id,
+    * codeword). `nCentroids` parameterizes only the deterministic sample
+    * size (max(2048, 64·nCentroids)) so the frame trains on EXACTLY the
+    * sample [[pqTopK]] uses alongside its IVF centroids.
+    */
+  def pqBooksFrame(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+                   lloydIters: Int = 2, nCentroids: Int = 16,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = vecBase(corpus, idCol, vecCol)
+    val sample = deterministicSample(base, math.max(2048, 64 * nCentroids))
+    // the sample collect was base's only use here — release, don't leak
+    base.unpersist()
+    val books = trainBooks(sample, m, ksub, lloydIters)
+    books.zipWithIndex.toSeq.flatMap { case (bk, s) =>
+      bk.zipWithIndex.map { case (cw, c) => (s, c, cw) }
+    }.toDF("sub_idx", "code_id", "codeword")
+  }
+
+  /** Per-vector PQ codes as a committable frame (vid, codes): m small ints
+    * per vector — the compressed stand-in that rides the candidate join in
+    * [[pqTopK]]. The q_ann_pq_codes oracle replays the encoding argmin
+    * from the committed books against the embeddings table.
+    */
+  def pqCodesFrame(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+                   lloydIters: Int = 2, nCentroids: Int = 16,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = vecBase(corpus, idCol, vecCol)
+    val sample = deterministicSample(base, math.max(2048, 64 * nCentroids))
+    val books = trainBooks(sample, m, ksub, lloydIters)
+    // the downstream encode is a single pass — release the cache now
+    // (the centroids/cells frames do the same; ADVICE r6)
+    base.unpersist()
+    base.mapPartitions(_.map { case (vid, v) => (vid, pqEncode(v, books)) })
+      .toDF("vid", "codes")
+  }
+
+  /** IVFADC top-k: IVF candidate generation (query probes × list
+    * assignment — ivfTopK's exact relation) + PQ asymmetric-distance
+    * shortlist + exact-cosine rerank of the shortlist.
+    *
+    * The 100 TB story: the candidate join — the biggest exchange of any
+    * ANN query — carries m (8) small ints per NEIGHBOR row instead of the
+    * dim (64) doubles [[ivfTopK]] ships, a 16-64× shuffle-byte cut on the
+    * heavy side; full vectors are joined back for only the `shortlist`
+    * ADC winners per query (the ids-only lshTopK lesson). Both rerank
+    * stages are TopKAgg (map-side partial top-k, never a Window).
+    * Output contract: (query_id, rank, nbr_id, cosine) where cosine is
+    * the EXACT cosine — rows directly comparable to ivfTopK/lshTopK.
+    * Cache contract: the typed base persists here, caller releases
+    * (clearCache), exactly like ivfTopK.
+    */
+  def pqTopK(corpus: DataFrame, k: Int, m: Int = 8, ksub: Int = 16,
+             shortlist: Int = 128, nCentroids: Int = 16, nProbe: Int = 12,
+             lloydIters: Int = 2,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = vecBase(corpus, idCol, vecCol)
+    val sample = deterministicSample(base, math.max(2048, 64 * nCentroids))
+    val centroids = trainCentroids(sample, nCentroids, lloydIters)
+    val books = trainBooks(sample, m, ksub, lloydIters)
+    val booksBc = spark.sparkContext.broadcast(books)
+    // neighbor side: id + list assignment + codes in ONE narrow pass —
+    // the full vector never enters the candidate exchange
+    val nbr = base
+      .mapPartitions { it =>
+        val bks = booksBc.value
+        it.map { case (vid, v) =>
+          (vid, nearestCentroidsOf(v, centroids, 1)(0), pqEncode(v, bks))
+        }
+      }
+      .toDF("nbr_id", "centroid_id", "codes")
+    val probes = base
+      .mapPartitions(_.flatMap { case (vid, v) =>
+        nearestCentroidsOf(v, centroids, nProbe).iterator.map(c => (vid, v, c))
+      })
+      .toDF("query_id", "q_vec", "centroid_id")
+    val adcScored = probes.join(nbr, "centroid_id")
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("q_vec"), col("nbr_id"), col("codes"))
+      .as[(Long, Array[Double], Long, Array[Int])]
+      .mapPartitions { it =>
+        val bks = booksBc.value
+        it.map { case (q, qv, n, cs) => (q, n, adcScore(qv, cs, bks)) }
+      }
+      // the TopKAgg contract column is named cosine; here it carries the
+      // ADC approximation (shortlist stage only — never output)
+      .toDF("query_id", "nbr_id", "cosine")
+    val short = topKPerQuery(adcScored, shortlist)
+      .select(col("query_id"), col("nbr_id"))
+    val qv = base.toDF("query_id", "q_vec")
+    val nv = base.toDF("nbr_id", "nbr_vec")
+    val exact = short.join(qv, "query_id").join(nv, "nbr_id")
+      .withColumn("cosine",
+        dot(col("q_vec"), col("nbr_vec")) / (norm(col("q_vec")) * norm(col("nbr_vec"))))
+      .select(col("query_id"), col("nbr_id"), col("cosine"))
+    topKPerQuery(exact, k)
   }
 
   /** Driver-side exact cosine-threshold pairs over a small collected vector
