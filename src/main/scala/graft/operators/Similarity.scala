@@ -483,6 +483,91 @@ object Similarity {
     (topKPerQuery(scored, k), log)
   }
 
+  /** PERSISTENT PQ/IVFADC index: FOUR StageStore tables — the
+    * `ivf_centroids` / `ivf_cells` pair with tags IDENTICAL to
+    * [[ivfIndexedTopK]]'s (the two index families SHARE the committed
+    * coarse quantizer in one workDir: a PQ build over an existing IVF
+    * index computes only the PQ stages), plus `pq_books`
+    * (sub_idx, code_id, codeword; tag = corpus fingerprint + PQ config)
+    * and `pq_codes` (vid, centroid_id, codes — the codes stage encodes
+    * from the COMMITTED books against the COMMITTED cells' vectors, never
+    * a second training or corpus scan). A resumed run skips sample
+    * collect, Lloyd, book training and encoding entirely; results match
+    * [[pqTopK]] bit-exactly (same kernels over the same committed
+    * doubles).
+    */
+  def pqIndexedTopK(corpus: DataFrame, k: Int, workDir: String,
+                    m: Int = 8, ksub: Int = 16, shortlist: Int = 128,
+                    nCentroids: Int = 16, nProbe: Int = 12, lloydIters: Int = 2,
+                    idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, graft.plans.CheckpointedPipeline.StageLog) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val store = new graft.plans.StageStore(spark, workDir)
+    val log = new graft.plans.CheckpointedPipeline.StageLog
+    val fp = graft.plans.StageStore.fingerprint(spark,
+      corpus.select(col(idCol), col(vecCol)))
+    val centroidCfg = s"ivf;c=$nCentroids;lloyd=$lloydIters"
+    val centroidsDf = store.stage("ivf_centroids", fp, centroidCfg, log) {
+      ivfCentroidsFrame(corpus, nCentroids, lloydIters, idCol, vecCol)
+    }
+    val cellsDf = store.stage("ivf_cells", fp, centroidCfg + s";probe=$nProbe", log) {
+      val cs: Array[Array[Double]] = centroidsDf.orderBy("centroid_id")
+        .select("centroid").as[Array[Double]].collect()
+      Spread(corpus.select(col(idCol).cast("long").as("vid"),
+          asDouble(col(vecCol)).as("vec")))
+        .as[(Long, Array[Double])]
+        .mapPartitions(_.map { case (vid, v) =>
+          (vid, v, nearestCentroidsOf(v, cs, nProbe))
+        })
+        .toDF("vid", "vec", "probes")
+    }
+    val bookCfg = s"pq;m=$m;k=$ksub;lloyd=$lloydIters;c=$nCentroids"
+    val booksDf = store.stage("pq_books", fp, bookCfg, log) {
+      pqBooksFrame(corpus, m, ksub, lloydIters, nCentroids, idCol, vecCol)
+    }
+    // bounded collect: m × ksub rows by design
+    def collectBooks(): Array[Array[Array[Double]]] = {
+      val rows = booksDf.select(col("sub_idx"), col("code_id"), col("codeword"))
+        .as[(Int, Int, Array[Double])].collect()
+      val byKey = rows.map { case (s, c, cw) => ((s, c), cw) }.toMap
+      Array.tabulate(m, ksub)((s, c) => byKey((s, c)))
+    }
+    // tag excludes nProbe: codes depend only on (vec, books) and the
+    // assignment probes[1] (identical for any nProbe >= 1) — a probe-width
+    // change re-derives the cells but never re-encodes
+    val codesDf = store.stage("pq_codes", fp, bookCfg, log) {
+      val bks = collectBooks()
+      cellsDf.select(col("vid"), element_at(col("probes"), 1).as("centroid_id"),
+          col("vec"))
+        .as[(Long, Int, Array[Double])]
+        .mapPartitions(_.map { case (vid, c, v) => (vid, c, pqEncode(v, bks)) })
+        .toDF("vid", "centroid_id", "codes")
+    }
+    val booksBc = spark.sparkContext.broadcast(collectBooks())
+    val probes = cellsDf.select(col("vid").as("query_id"), col("vec").as("q_vec"),
+      explode(col("probes")).as("centroid_id"))
+    val nbr = codesDf.select(col("vid").as("nbr_id"), col("centroid_id"), col("codes"))
+    val adcScored = probes.join(nbr, "centroid_id")
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("q_vec"), col("nbr_id"), col("codes"))
+      .as[(Long, Array[Double], Long, Array[Int])]
+      .mapPartitions { it =>
+        val bks = booksBc.value
+        it.map { case (q, qv, n, cs) => (q, n, adcScore(qv, cs, bks)) }
+      }
+      .toDF("query_id", "nbr_id", "cosine")
+    val short = topKPerQuery(adcScored, shortlist)
+      .select(col("query_id"), col("nbr_id"))
+    val qv = cellsDf.select(col("vid").as("query_id"), col("vec").as("q_vec"))
+    val nv = cellsDf.select(col("vid").as("nbr_id"), col("vec").as("nbr_vec"))
+    val exact = short.join(qv, "query_id").join(nv, "nbr_id")
+      .withColumn("cosine",
+        dot(col("q_vec"), col("nbr_vec")) / (norm(col("q_vec")) * norm(col("nbr_vec"))))
+      .select(col("query_id"), col("nbr_id"), col("cosine"))
+    (topKPerQuery(exact, k), log)
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer of `nCentroids`
     * deterministic centroids (unit-normalized sample of the corpus, chosen
     * by hash order so the "index build" is one tiny collect, then refined

@@ -520,6 +520,32 @@ class OperatorsSpec extends SparkSpec {
     assert(ivfLog3.computed.toSeq == Seq("ivf_cells") &&
       ivfLog3.skipped.toSeq == Seq("ivf_centroids"), ivfLog3.toString)
     spark.catalog.clearCache()
+
+    // PQ over the SAME workDir: the coarse-quantizer stages are SHARED —
+    // a PQ build on an existing IVF index computes only the PQ stages
+    val (pq1, pqLog1) = Similarity.pqIndexedTopK(e, k = 5, workDir = ivfDir,
+      nCentroids = 16, nProbe = 10)
+    val pqRows1 = rows(pq1)
+    assert(pqLog1.computed.toSeq == Seq("pq_books", "pq_codes") &&
+      pqLog1.skipped.toSeq == Seq("ivf_centroids", "ivf_cells"), pqLog1.toString)
+    spark.catalog.clearCache()
+    // resume: all four stages skip; rows identical and == the non-indexed
+    // operator at the same config (bit-exact, cosines included)
+    val (pq2, pqLog2) = Similarity.pqIndexedTopK(e, k = 5, workDir = ivfDir,
+      nCentroids = 16, nProbe = 10)
+    assert(pqLog2.computed.isEmpty && pqLog2.skipped.toSeq ==
+      Seq("ivf_centroids", "ivf_cells", "pq_books", "pq_codes"), pqLog2.toString)
+    assert(rows(pq2) == pqRows1)
+    spark.catalog.clearCache()
+    assert(pqRows1 == rows(Similarity.pqTopK(e, k = 5, nProbe = 10)))
+    spark.catalog.clearCache()
+    // probe-width change re-derives the cells but NEVER re-encodes
+    val (_, pqLog3) = Similarity.pqIndexedTopK(e, k = 5, workDir = ivfDir,
+      nCentroids = 16, nProbe = 12)
+    assert(pqLog3.computed.toSeq == Seq("ivf_cells") &&
+      pqLog3.skipped.toSeq == Seq("ivf_centroids", "pq_books", "pq_codes"),
+      pqLog3.toString)
+    spark.catalog.clearCache()
   }
 
   test("token counts: ws vs bpe-ish") {
