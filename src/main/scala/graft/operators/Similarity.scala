@@ -932,16 +932,28 @@ object Similarity {
     * assignment — ivfTopK's exact relation) + PQ asymmetric-distance
     * shortlist + exact-cosine rerank of the shortlist.
     *
-    * The 100 TB story: the candidate join — the biggest exchange of any
-    * ANN query — carries m (8) small ints per NEIGHBOR row instead of the
-    * dim (64) doubles [[ivfTopK]] ships, a 16-64× shuffle-byte cut on the
-    * heavy side; full vectors are joined back for only the `shortlist`
-    * ADC winners per query (the ids-only lshTopK lesson). Both rerank
-    * stages are TopKAgg (map-side partial top-k, never a Window).
-    * Output contract: (query_id, rank, nbr_id, cosine) where cosine is
-    * the EXACT cosine — rows directly comparable to ivfTopK/lshTopK.
-    * Cache contract: the typed base persists here, caller releases
-    * (clearCache), exactly like ivfTopK.
+    * The 100 TB story — MEASURED, with an honest regime boundary
+    * (PqBytesProbe, BENCHMARKS.md round-7): the corpus-side exchange of
+    * the candidate join carries m (8) small ints per NEIGHBOR row instead
+    * of the dim (64) doubles [[ivfTopK]] ships (11× fewer bytes on that
+    * side; 16× less index RAM — at 10^9+ vectors codes fit where vectors
+    * spill). BUT in the all-vectors-as-queries self-ANN regime this
+    * operator serves (the committed q_ann_pq query), the shortlist
+    * rerank's join-back dominates total bytes: every (query, shortlist
+    * member) row must meet both vectors, so one corpus-scale exchange
+    * carries a full vector per pair — measured 1,007 MiB total vs
+    * ivfTopK's 119 MiB at 50k×64 (ivfTopK never exchanges its scored
+    * join OUTPUT at all: cosine + TopKAgg consume it pipelined inside
+    * the join stage — the fused shape wins that regime). PQ's regimes
+    * are (a) SERVING: queries ≪ corpus, where the shortlist join-back is
+    * broadcast-tiny and the corpus-side byte/RAM cut is the whole story,
+    * and (b) memory-bound corpora where the 16× code compression keeps
+    * the index resident. Both rerank stages are TopKAgg (map-side
+    * partial top-k, never a Window). Output contract:
+    * (query_id, rank, nbr_id, cosine) where cosine is the EXACT cosine —
+    * rows directly comparable to ivfTopK/lshTopK. Cache contract: the
+    * typed base persists here, caller releases (clearCache), exactly
+    * like ivfTopK.
     */
   def pqTopK(corpus: DataFrame, k: Int, m: Int = 8, ksub: Int = 16,
              shortlist: Int = 128, nCentroids: Int = 16, nProbe: Int = 12,
