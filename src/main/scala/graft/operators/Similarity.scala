@@ -595,18 +595,28 @@ object Similarity {
     * feeds both the assignment and the probe side below) — the CALLER
     * releases it (clearCache between Verify queries; long-lived sessions
     * should prefer the committable frames + their own lifecycle).
+    *
+    * `queries = None` (default) is the self-ANN regime: every corpus
+    * vector queries the index (the committed q_ann_ivf shape).
+    * `queries = Some(df)` is the SERVING regime: only the given
+    * (idCol, vecCol) batch probes the index — the index side (sample,
+    * Lloyd, assignment) is built from the CORPUS alone, so a query
+    * batch never changes the index, and a query whose id also lives in
+    * the corpus gets exactly its self-ANN rows (same probes, same
+    * exclusion, same tie-breaks).
     */
   def ivfTopK(corpus: DataFrame, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-              lloydIters: Int = 2,
+              lloydIters: Int = 2, queries: Option[DataFrame] = None,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val (base, centroids) = ivfIndex(corpus, nCentroids, lloydIters, idCol, vecCol)
+    val qbase = queries.map(q => vecBase(q, idCol, vecCol)).getOrElse(base)
 
     val assigned = base
       .mapPartitions(_.map { case (vid, v) => (vid, v, nearestCentroidsOf(v, centroids, 1)(0)) })
       .toDF("nbr_id", "nbr_vec", "centroid_id")
-    val probes = base
+    val probes = qbase
       .mapPartitions(_.flatMap { case (vid, v) =>
         nearestCentroidsOf(v, centroids, nProbe).iterator.map(c => (vid, v, c))
       })
@@ -932,36 +942,43 @@ object Similarity {
     * assignment — ivfTopK's exact relation) + PQ asymmetric-distance
     * shortlist + exact-cosine rerank of the shortlist.
     *
-    * The 100 TB story — MEASURED, with an honest regime boundary
-    * (PqBytesProbe, BENCHMARKS.md round-7): the corpus-side exchange of
-    * the candidate join carries m (8) small ints per NEIGHBOR row instead
-    * of the dim (64) doubles [[ivfTopK]] ships (11× fewer bytes on that
-    * side; 16× less index RAM — at 10^9+ vectors codes fit where vectors
-    * spill). BUT in the all-vectors-as-queries self-ANN regime this
-    * operator serves (the committed q_ann_pq query), the shortlist
-    * rerank's join-back dominates total bytes: every (query, shortlist
-    * member) row must meet both vectors, so one corpus-scale exchange
-    * carries a full vector per pair — measured 1,007 MiB total vs
-    * ivfTopK's 119 MiB at 50k×64 (ivfTopK never exchanges its scored
-    * join OUTPUT at all: cosine + TopKAgg consume it pipelined inside
-    * the join stage — the fused shape wins that regime). PQ's regimes
-    * are (a) SERVING: queries ≪ corpus, where the shortlist join-back is
-    * broadcast-tiny and the corpus-side byte/RAM cut is the whole story,
-    * and (b) memory-bound corpora where the 16× code compression keeps
-    * the index resident. Both rerank stages are TopKAgg (map-side
-    * partial top-k, never a Window). Output contract:
-    * (query_id, rank, nbr_id, cosine) where cosine is the EXACT cosine —
-    * rows directly comparable to ivfTopK/lshTopK. Cache contract: the
-    * typed base persists here, caller releases (clearCache), exactly
-    * like ivfTopK.
+    * The 100 TB story — MEASURED, and the measurement overturned the
+    * naive byte claim (PqBytesProbe, BENCHMARKS.md round-7): on Spark,
+    * [[ivfTopK]]'s FUSED shape (exact cosine + top-k agg consumed
+    * pipelined inside the candidate-join stage — the scored rows never
+    * cross the wire) shuffles FEWER bytes than PQ in BOTH regimes
+    * (50k×64, warm shared cache: self-ANN 106 vs 994 MiB; 1k-query
+    * serving 5.1 vs 81 MiB — AQE broadcasts the tiny query side, so
+    * fused-IVF exchanges almost nothing). PQ's deferred exactness is
+    * what costs: the ADC shortlist selection must move
+    * candidate-volume (query, nbr, adc) rows/buffers across one
+    * exchange (a top-128 partial agg prunes nothing when a partition
+    * holds < 128 of a query's candidates), and the exact rerank then
+    * joins vectors back per shortlist pair. What PQ genuinely buys is
+    * RESIDENCY, not shuffle bytes: the scanned index is m (8) ints per
+    * vector instead of dim (64) doubles — 16× less RAM/scan bandwidth —
+    * so its regime is memory-bound corpora where the vector table
+    * cannot stay resident (10^9+ vectors/executor-fleet) and
+    * recomputing spilled vectors dominates; `queries = Some(batch)`
+    * serves that regime without self-joining the corpus. Both rerank
+    * stages are TopKAgg (map-side partial top-k, never a Window).
+    * Output contract: (query_id, rank, nbr_id, cosine) where cosine is
+    * the EXACT cosine — rows directly comparable to ivfTopK/lshTopK.
+    * Cache contract: the typed base persists here, caller releases
+    * (clearCache), exactly like ivfTopK.
     */
   def pqTopK(corpus: DataFrame, k: Int, m: Int = 8, ksub: Int = 16,
              shortlist: Int = 128, nCentroids: Int = 16, nProbe: Int = 12,
-             lloydIters: Int = 2,
+             lloydIters: Int = 2, queries: Option[DataFrame] = None,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val base = vecBase(corpus, idCol, vecCol)
+    // the index side (sample, Lloyd, books, codes, assignment) is built
+    // from the CORPUS alone; `queries` swaps only the probe/rerank query
+    // side — the serving regime (see the regime note above): a query
+    // whose id also lives in the corpus gets exactly its self-ANN rows
+    val qbase = queries.map(q => vecBase(q, idCol, vecCol)).getOrElse(base)
     val sample = deterministicSample(base, math.max(2048, 64 * nCentroids))
     val centroids = trainCentroids(sample, nCentroids, lloydIters)
     val books = trainBooks(sample, m, ksub, lloydIters)
@@ -976,7 +993,7 @@ object Similarity {
         }
       }
       .toDF("nbr_id", "centroid_id", "codes")
-    val probes = base
+    val probes = qbase
       .mapPartitions(_.flatMap { case (vid, v) =>
         nearestCentroidsOf(v, centroids, nProbe).iterator.map(c => (vid, v, c))
       })
@@ -994,7 +1011,7 @@ object Similarity {
       .toDF("query_id", "nbr_id", "cosine")
     val short = topKPerQuery(adcScored, shortlist)
       .select(col("query_id"), col("nbr_id"))
-    val qv = base.toDF("query_id", "q_vec")
+    val qv = qbase.toDF("query_id", "q_vec")
     val nv = base.toDF("nbr_id", "nbr_vec")
     val exact = short.join(qv, "query_id").join(nv, "nbr_id")
       .withColumn("cosine",

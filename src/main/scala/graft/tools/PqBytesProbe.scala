@@ -27,11 +27,17 @@ object PqBytesProbe {
 
     val written = new java.util.concurrent.atomic.AtomicLong()
     val read = new java.util.concurrent.atomic.AtomicLong()
+    val detail = sys.env.get("STAGE_DETAIL").contains("1")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        written.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-        read.addAndGet(sc.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+        val w = sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+        val r = sc.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead
+        written.addAndGet(w)
+        read.addAndGet(r)
+        if (detail && (w > 1048576 || r > 1048576))
+          println(f"[stage] id=${sc.stageInfo.stageId}%4d w=${w / 1048576.0}%8.1f r=${r / 1048576.0}%8.1f " +
+            sc.stageInfo.name.take(60))
         ()
       }
     })
@@ -49,7 +55,10 @@ object PqBytesProbe {
     println(s"[probe] corpus n=${emb.count()} dim=$dim")
 
     def measure(name: String)(f: => Long): Unit = {
-      spark.catalog.clearCache()
+      // NO clearCache: the operators' internal vecBase caches share one
+      // logical plan, so every path reuses the same materialized corpus
+      // cache (warmed below) and the listener counts only the operator's
+      // OWN exchanges, not cache-rebuild scan traffic
       Thread.sleep(2000) // settle listener events from the previous run
       written.set(0L); read.set(0L)
       val t0 = System.nanoTime()
@@ -61,13 +70,25 @@ object PqBytesProbe {
     }
 
     val (c, p) = (64, 4)
-    // warm both paths at tiny scale (JIT + codegen)
+    // warm JIT/codegen at tiny scale, then warm the SHARED full-size
+    // corpus base cache (one materialization serves every measured path)
     Similarity.ivfTopK(emb.limit(500), k = 5, nCentroids = 8, nProbe = 2).count()
     Similarity.pqTopK(emb.limit(500), k = 5, nCentroids = 8, nProbe = 2).count()
     spark.catalog.clearCache()
+    Similarity.ivfTopK(emb, k = 5, nCentroids = c, nProbe = p).count()
 
     measure("ivf")(Similarity.ivfTopK(emb, k = 5, nCentroids = c, nProbe = p).count())
     measure("pq")(Similarity.pqTopK(emb, k = 5, nCentroids = c, nProbe = p).count())
+
+    // SERVING regime: a 1k query batch over the same index — PQ's home
+    // turf (the shortlist join-back is tiny; the corpus-side exchange
+    // carries codes instead of vectors)
+    val q = emb.filter(col("vec_id") < 1000).persist()
+    println(s"[probe] query batch = ${q.count()}")
+    measure("ivf-srv")(Similarity.ivfTopK(emb, k = 5, nCentroids = c, nProbe = p,
+      queries = Some(q)).count())
+    measure("pq-srv")(Similarity.pqTopK(emb, k = 5, nCentroids = c, nProbe = p,
+      queries = Some(q)).count())
     spark.stop()
   }
 }

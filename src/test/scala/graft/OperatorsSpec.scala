@@ -268,6 +268,13 @@ class OperatorsSpec extends SparkSpec {
       .filter($"query_id" < 20)
       .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full == bf)
+    spark.catalog.clearCache()
+    // SERVING regime: a query batch over the corpus-built index gets
+    // exactly its self-ANN rows
+    val served = Similarity.ivfTopK(e, k = 5, nCentroids = 16, nProbe = 12,
+        queries = Some(e.filter($"vec_id" < 20)))
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == ivf)
   }
 
   test("embeddingNearDupPairs recall >= 0.85 vs exact threshold pairs (multiprobe)") {
@@ -394,6 +401,13 @@ class OperatorsSpec extends SparkSpec {
     pqRows.foreach { case (q, _, n, c) =>
       assert(math.abs(c - cosine(vecs(q), vecs(n))) < 1e-12, s"($q,$n)")
     }
+
+    // SERVING regime: a query batch over the same corpus-built index gets
+    // exactly its self-ANN rows (same probes, exclusion, tie-breaks)
+    val served = Similarity.pqTopK(e, k = 5, queries = Some(e.filter($"vec_id" < 30)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    spark.catalog.clearCache()
+    assert(served == pqRows.filter(_._1 < 30).toSet)
 
     // O18 for the PQ path: invariant under input partition layout
     val p1 = Similarity.pqTopK(e.repartition(1), k = 5).collect()
