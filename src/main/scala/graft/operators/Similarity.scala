@@ -280,10 +280,15 @@ object Similarity {
     * top-k dedups inside TopKAgg; callers needing the set add .distinct().
     */
   private def candIdsOf(sketch: DataFrame, useProbes: Boolean, nProbes: Int,
-                        lt: Boolean, nameA: String, nameB: String): DataFrame = {
-    val exploded = bucketIds(sketch)
-    val a = (if (useProbes) probeIds(sketch, nProbes) else exploded).alias("a")
-    val b = exploded.alias("b")
+                        lt: Boolean, nameA: String, nameB: String,
+                        probeSketch: Option[DataFrame] = None): DataFrame = {
+    // probeSketch (serving regime): the probe side comes from a QUERY
+    // batch's sketch while the bucket side stays the corpus index —
+    // same planes (seeded), so a query that also lives in the corpus
+    // probes identically to its self-ANN run
+    val probeSrc = probeSketch.getOrElse(sketch)
+    val a = (if (useProbes) probeIds(probeSrc, nProbes) else bucketIds(probeSrc)).alias("a")
+    val b = bucketIds(sketch).alias("b")
     a.join(
         b,
         col("a.table_idx") === col("b.table_idx") &&
@@ -352,6 +357,7 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, k: Int, dim: Int, nTables: Int = 24, bandBits: Int = 8,
               seed: Long = 42L, multiProbe: Boolean = true, nProbes: Int = 4,
+              queries: Option[DataFrame] = None,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // multiProbe with nProbes=0 degrades to plain bucket probing (NOT an
     // empty probe list, which would posexplode to zero probe rows and
@@ -359,7 +365,12 @@ object Similarity {
     val useProbes = multiProbe && nProbes > 0
     val probeFan = if (useProbes) nProbes else 0
     val sketch = sketchRows(corpus, dim, nTables, bandBits, seed, idCol, vecCol, probeFan)
-    topKOverSketch(sketch, k, useProbes, nProbes)
+    // serving regime (as ivfTopK/pqTopK): the query batch sketches with
+    // the SAME seeded planes, so a served query probes identically to
+    // its self-ANN run; the corpus index is untouched by the batch
+    val qsketch = queries.map(q =>
+      sketchRows(q, dim, nTables, bandBits, seed, idCol, vecCol, probeFan))
+    topKOverSketch(sketch, k, useProbes, nProbes, qsketch)
   }
 
   /** The query half of LSH top-k over an ALREADY-BUILT sketch frame
@@ -368,7 +379,8 @@ object Similarity {
     * parquet ([[lshIndexedTopK]]); identical plan and results either way.
     */
   private def topKOverSketch(sketch: DataFrame, k: Int,
-                             useProbes: Boolean, nProbes: Int): DataFrame = {
+                             useProbes: Boolean, nProbes: Int,
+                             querySketch: Option[DataFrame] = None): DataFrame = {
     // candidate pairs carry IDS ONLY through the bucket join —
     // shuffling the vector payloads through dropDuplicates costs ~1000x the
     // bytes (measured 108 s -> ~2 s on 2k vectors / 1M candidate rows).
@@ -380,10 +392,13 @@ object Similarity {
     // the full candidate volume. (At corpus sizes where the vector
     // join-back itself must shuffle, re-introduce an ids-only distinct
     // first — the trade flips when candidate payload bytes dominate.)
-    val candIds = candIdsOf(sketch, useProbes, nProbes, lt = false, "query_id", "nbr_id")
+    val candIds = candIdsOf(sketch, useProbes, nProbes, lt = false, "query_id", "nbr_id",
+      probeSketch = querySketch)
     val vecs = sketch.select(col("vid"), col("vec"), col("vnorm"))
+    val qvecs = querySketch.map(_.select(col("vid"), col("vec"), col("vnorm")))
+      .getOrElse(vecs)
     val scored = candIds
-      .join(vecs.select(col("vid").as("query_id"), col("vec").as("q_vec"),
+      .join(qvecs.select(col("vid").as("query_id"), col("vec").as("q_vec"),
         col("vnorm").as("q_norm")), "query_id")
       .join(vecs.select(col("vid").as("nbr_id"), col("vec").as("nbr_vec"),
         col("vnorm").as("nbr_norm")), "nbr_id")

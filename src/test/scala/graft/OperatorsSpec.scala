@@ -228,6 +228,16 @@ class OperatorsSpec extends SparkSpec {
     val recall = (bf intersect lsh).size.toDouble / bf.size
     info(s"LSH ANN recall@5 = $recall")
     assert(recall >= 0.85, s"recall $recall")
+    spark.catalog.clearCache()
+    // SERVING regime: a query batch sketches with the same seeded planes
+    // and gets exactly its self-ANN rows against the corpus index
+    val served = Similarity.lshTopK(e, k = 5, dim = 64,
+        queries = Some(e.filter($"vec_id" < 20)))
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val self20 = Similarity.lshTopK(e, k = 5, dim = 64).filter($"query_id" < 20)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == self20)
+    spark.catalog.clearCache()
   }
 
   test("lshTopK/embeddingNearDupPairs with nProbes=0 degrade to plain buckets, not empty") {
