@@ -82,6 +82,27 @@ object HammingProbe {
     timed("adaptive", 3)(fused())
     timed("rawjoin", 3)(rawSelfJoin())
     timed("pureemit", 3)(pureEmit())
+
+    // the decision job alone, over a WARM kernel cache: what the adaptive
+    // default adds on top of the raw join at this scale
+    {
+      val sh = Dedup.simHashes(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sh.count() // materialize the cache outside the timed region
+      val bw = 16
+      val mask = (1L << bw) - 1L
+      val blocks = sh.select(
+          col("doc_id").cast("long").as("doc_id"),
+          posexplode(array((0 until 4).map(b =>
+            shiftright(col("simhash"), b * bw).bitwiseAND(lit(mask))): _*)
+          ).as(Seq("block_idx", "block_val")))
+      timed("decision", 3) {
+        val mega = !blocks.groupBy("block_idx", "block_val")
+          .agg(count(lit(1)).as("bn")).filter(col("bn") > 4096).isEmpty
+        if (mega) 1L else 0L
+      }
+      sh.unpersist()
+    }
     spark.stop()
   }
 }
