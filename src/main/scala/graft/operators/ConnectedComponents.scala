@@ -45,10 +45,25 @@ object ConnectedComponents {
     *                a parquet table under this scratch dir (survives
     *                executor loss, unlike localCheckpoint); at most two
     *                tables exist at a time
+    * @param driverEdgeLimit edge count at or below which the components are
+    *                solved by a BOUNDED driver-side union-find instead of
+    *                the iterative join loop (round 8): the pair count is
+    *                already in hand from forcing the cache, a <= 1M-edge
+    *                collect is <= ~16 MB of longs — the bounded-collect
+    *                contract of the IVF index build — and union-find labels
+    *                a graph this size in milliseconds where the loop pays
+    *                ~25 near-empty scheduling stages (measured 5.2 s at the
+    *                200k-file bench leg, almost all stage overhead). The
+    *                label semantics are identical (component-min labels are
+    *                unique); the distributed loop remains the >limit path
+    *                at cluster scale and is spec-pinned equal. 0 disables;
+    *                reliableCheckpointDir also disables it (a caller that
+    *                asked for durable per-iteration tables gets them).
     * @return (doc_id, cluster_id) where cluster_id = min doc_id in component
     */
   def cluster(pairs: DataFrame, allDocs: DataFrame, maxIter: Int = 20,
-              reliableCheckpointDir: Option[String] = None): DataFrame = {
+              reliableCheckpointDir: Option[String] = None,
+              driverEdgeLimit: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     // Persist the PROJECTED pair table, not the 2x-union edge view: a
     // union's two branches are separate subtrees, so persisting only the
@@ -64,6 +79,7 @@ object ConnectedComponents {
     // still unpersist p0 (a long-lived session retrying cluster() would
     // otherwise pin one orphaned pair cache per failed attempt)
     val priorShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    var edgesByDstHandle: Option[DataFrame] = None
     try {
     val edges = p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
 
@@ -81,9 +97,74 @@ object ConnectedComponents {
     // the LOOP's exchanges to the edge count (~100k rows/partition), never
     // above the session conf; restored in the finally. The count() also
     // forces the p0 cache before the loop re-reads it every iteration.
+    val nEdges = p0.count()
+
+    if (nEdges <= driverEdgeLimit && reliableCheckpointDir.isEmpty) {
+      // Small-graph fast path: solve on the driver. The collect is bounded
+      // by driverEdgeLimit BY CONSTRUCTION (scaladoc above); min-label
+      // resolution via union-find is exact and deterministic, so the
+      // output is identical to the loop's fixpoint.
+      val edgeArr = p0.select(col("src"), col("dst"))
+        .collect()
+      val parent = new java.util.HashMap[Long, Long](edgeArr.length * 2)
+      def find(x0: Long): Long = {
+        var x = x0
+        var px = parent.getOrDefault(x, x)
+        while (px != x) { // path halving
+          val gp = parent.getOrDefault(px, px)
+          parent.put(x, gp)
+          x = gp
+          px = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      edgeArr.foreach { r =>
+        val a = find(r.getLong(0)); val b = find(r.getLong(1))
+        if (a != b) { if (a < b) parent.put(b, a) else parent.put(a, b) }
+      }
+      // component min per root, then one labels row per distinct node
+      val minOfRoot = new java.util.HashMap[Long, Long]()
+      val nodeSet = new java.util.HashSet[Long]()
+      edgeArr.foreach { r =>
+        var i = 0
+        while (i < 2) {
+          val v = r.getLong(i)
+          if (nodeSet.add(v)) {
+            val rt = find(v)
+            val cur = minOfRoot.getOrDefault(rt, Long.MaxValue)
+            if (v < cur) minOfRoot.put(rt, v)
+          }
+          i += 1
+        }
+      }
+      val rows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](nodeSet.size)
+      nodeSet.forEach { v => rows += org.apache.spark.sql.Row(v, minOfRoot.get(find(v))); () }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cluster_id", org.apache.spark.sql.types.LongType, nullable = false)))
+      val nParts = math.max(1, math.min(spark.sparkContext.defaultParallelism, rows.size / 100000 + 1))
+      val labels = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, nParts), schema)
+      val singletons = allDocs
+        .select(col("doc_id").cast("long"))
+        .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+        .withColumn("cluster_id", col("doc_id"))
+      return labels.union(singletons)
+    }
+
     val loopWidth = math.max(1L,
-      math.min(priorShuffle.toLong, p0.count() * 2 / 100000L + 1L))
+      math.min(priorShuffle.toLong, nEdges * 2 / 100000L + 1L))
     spark.conf.set("spark.sql.shuffle.partitions", loopWidth.toString)
+
+    // The per-iteration join is keyed on edges(dst): persist the edge table
+    // PRE-PARTITIONED on that key once (at the loop width, which the conf
+    // now carries), so every iteration after the first reads the cached
+    // shuffle layout instead of re-exchanging the full edge table
+    // (InMemoryRelation preserves its child's outputPartitioning).
+    // Unpersisted in the finally alongside p0.
+    val edgesByDst = edges.repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edgesByDstHandle = Some(edgesByDst)
 
     def materialize(df: DataFrame, iter: Int): DataFrame =
       reliableCheckpointDir match {
@@ -108,19 +189,21 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("doc_id"))
+      // min(own, neighbors) in ONE join + ONE aggregate (round 8; the r7
+      // shape joined neighborMin back to labels in a second join): the
+      // neighbor labels UNION the node's own label (tagged so the
+      // aggregate can recover old_label for the change test) collapse in a
+      // single groupBy — two exchanges fewer per round at cluster scale,
+      // two near-empty stages fewer per round at bench scale. Semantics
+      // identical: cand_label = least(own, min over neighbors).
+      val cand = edgesByDst
+        .join(labels, edgesByDst("dst") === labels("doc_id"))
+        .select(col("src"), col("cluster_id"), lit(false).as("self"))
+        .union(labels.select(col("doc_id").as("src"), col("cluster_id"),
+          lit(true).as("self")))
         .groupBy(col("src"))
-        .agg(min(col("cluster_id")).as("neighbor_min"))
-
-      val cand = labels
-        .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
-        .select(
-          col("doc_id"),
-          col("cluster_id").as("old_label"),
-          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
-            .as("cand_label")
-        )
+        .agg(min(col("cluster_id")).as("cand_label"),
+          min(when(col("self"), col("cluster_id"))).as("old_label"))
 
       // pointer jump: labels are node ids, so chase one level — the label
       // of my label. Contracts chains exponentially (O(log diameter)).
@@ -129,7 +212,7 @@ object ConnectedComponents {
       val next = cand
         .join(parents, cand("cand_label") === parents("p_id"), "left")
         .select(
-          col("doc_id"),
+          col("src").as("doc_id"),
           least(col("cand_label"), coalesce(col("p_label"), col("cand_label")))
             .as("cluster_id"),
           (least(col("cand_label"), coalesce(col("p_label"), col("cand_label")))
@@ -160,6 +243,7 @@ object ConnectedComponents {
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", priorShuffle)
       p0.unpersist()
+      edgesByDstHandle.foreach(_.unpersist())
       ()
     }
   }

@@ -206,28 +206,29 @@ object Dedup {
     * agnostic core behind [[simHashPairs]] (text) and
     * Multimodal.image/audio/videoNearDupPairs (perceptual hashes).
     *
-    * Skew armor (round 7 — the r6 verdict's last scale gap): a class of B
-    * IDENTICAL fingerprints (blank/monochrome images, silence audio, empty
-    * docs) is B block-join hits on ONE (block_idx, block_val) key per
-    * block — a raw self-join generates its B²/2 rows in one task. Pair
-    * generation therefore rides the same machinery as
-    * MinHashPipeline.candidates:
-    *   - default (`starCapGroupSize = None`): DATA-ADAPTIVE exact pairs —
-    *     one map-side-combinable aggregate over the block table proves at
-    *     build time whether any group exceeds `saltChunkSize`. No: the
-    *     codegen'd raw block self-join runs (fastest shape; its largest
-    *     per-key task is bounded by saltChunkSize² pairs by the proof).
-    *     Yes: the whole table takes one fused chunk-salted pass — members
-    *     of a group of B > saltChunkSize replicate to s = ceil(B/chunk)
-    *     hash-salted chunk-PAIR groups that emit across many tasks
-    *     (BucketPairs.emitChunkPairs). Either shape emits every qualifying
-    *     pair exactly (the exhaustive-Hamming DuckDB oracles replay this
-    *     contract verbatim); only the PLAN changes with the data. The
-    *     output volume itself stays quadratic per identical-fingerprint
-    *     class BY CONTRACT — cap it semantically with `starCapGroupSize`
-    *     or drop degenerate fingerprints upstream (Multimodal's near-dup
-    *     operators exclude the undecodable sentinel 0 for exactly this
-    *     reason).
+    * Skew armor (round 7 closed the r6 scale gap; round 8 made it lazy and
+    * single-exchange): a class of B IDENTICAL fingerprints
+    * (blank/monochrome images, silence audio, empty docs) is B block-join
+    * hits on ONE (block_idx, block_val) key per block — a raw self-join
+    * generates its B²/2 rows in one task. Pair generation therefore rides
+    * the same machinery as MinHashPipeline.candidates:
+    *   - default (`starCapGroupSize = None`): DATA-ROUTED exact pairs in
+    *     one exchange — the block table is repartitioned on the group key
+    *     once, group sizes derive in-partition (no second exchange, no
+    *     eager decision job — r7 ran a blocking two-job proof at frame
+    *     construction), and each group routes by its own size: <= chunk
+    *     streams its clique from the sorted emitter (per-task output
+    *     bounded by saltChunkSize² structurally), > chunk replicates to
+    *     s = ceil(B/chunk) hash-salted chunk-PAIR groups that emit across
+    *     many tasks (BucketPairs.emitChunkPairs; the mega exchange carries
+    *     only mega-group rows and is empty on healthy corpora). The two
+    *     routes partition the exact pair set (the exhaustive-Hamming
+    *     DuckDB oracles replay this contract verbatim); only the per-group
+    *     ROUTE changes with the data. The output volume itself stays
+    *     quadratic per identical-fingerprint class BY CONTRACT — cap it
+    *     semantically with `starCapGroupSize` or drop degenerate
+    *     fingerprints upstream (Multimodal's near-dup operators exclude
+    *     the undecodable sentinel 0 for exactly this reason).
     *   - `starCapGroupSize = Some(cap)`: block groups larger than cap emit
     *     hub-star pairs only (hub = min id) — cluster-preserving linear
     *     output, the production profile for dedup-survivor selection
@@ -271,64 +272,59 @@ object Dedup {
           .mapPartitions(rows => graft.core.BucketPairs.emit(rows, cap))
           .toDF("doc1", "doc2")
       case None =>
-        // Data-adaptive pair generation (round 7): one map-side-combinable
-        // aggregate over the block table decides the physical shape at
-        // build time. Without a degenerate fingerprint class, the salted
-        // emitter machinery is pure near-empty-stage overhead at bench
-        // scale (measured: raw codegen self-join 0.9 s vs fused salted
-        // 1.5-2.3 s at sf0.1, HammingProbe) and two extra full block-table
-        // exchanges at 100 TB — so the common case takes the codegen'd
-        // raw self-join, whose largest per-key task is bounded by
-        // saltChunkSize² pairs BECAUSE the decision job proved no larger
-        // group exists. Any (block_idx, block_val) class beyond
-        // saltChunkSize routes the whole table through the fused
-        // chunk-salted pass instead, whose chunk-PAIR groups spread a
-        // B²/2 clique over s² tasks. The decision job is one narrow scan
-        // of the caller-persisted hash table (4 rows/doc, partial-agg
-        // combined; the exchange carries only distinct keys) — orders
-        // below pair generation at every scale, and it doubles as the
-        // first materialization of the caller's cache. Both shapes emit
-        // the identical exact pair set (SkewSpec asserts it; the
-        // exhaustive-Hamming DuckDB oracles replay the contract).
-        val hasMega = !blocks.groupBy("block_idx", "block_val")
-          .agg(count(lit(1)).as("bn"))
-          .filter(col("bn") > saltChunkSize)
-          .isEmpty
-        if (!hasMega) {
-          blocks.as("l").join(blocks.as("r"), Seq("block_idx", "block_val"))
-            .filter(col("l.doc_id") < col("r.doc_id"))
-            .select(col("l.doc_id").as("doc1"), col("r.doc_id").as("doc2"))
-        } else {
-          // ONE fused exchange for small and mega groups: every group gets
-          // a chunk count s (1 for groups <= saltChunkSize), members
-          // replicate to their s chunk-PAIR groups, and emitChunkPairs
-          // streams cliques (ci == cj — the s = 1 case is exactly one such
-          // group) and cross-chunk products. Memory <= 2 chunks of ids per
-          // task; a mega-group's B²/2 output spreads over its s²
-          // chunk-pair groups.
-          val sizes = blocks.groupBy("block_idx", "block_val")
-            .agg(count(lit(1)).as("bn"))
-          blocks.join(sizes, Seq("block_idx", "block_val"))
-            .withColumn("s",
-              when(col("bn") <= saltChunkSize, lit(1))
-                .otherwise(ceil(col("bn").cast("double") / saltChunkSize).cast("int")))
-            .withColumn("chunk",
-              when(col("s") === 1, lit(0))
-                .otherwise(pmod(xxhash64(col("doc_id")), col("s")).cast("int")))
-            .select(col("block_idx"), col("block_val"), col("doc_id"), col("s"), col("chunk"))
-            .as[(Int, Int, Long, Int, Int)]
-            .flatMap { case (bi, bv, doc, sN, chunk) =>
-              (0 until sN).iterator.map { other =>
-                (bi, bv, math.min(chunk, other), math.max(chunk, other), doc, chunk)
-              }
+        // Data-routed pair generation (round 8, replacing round 7's eager
+        // two-job adaptive decision with a LAZY broadcast route — building
+        // the frame runs no job again, EntrySpec's plan-only contract holds
+        // for the Hamming family). The (block_idx, block_val) key space is
+        // BOUNDED: nBlocks × 2^(64/nBlocks) keys (nBlocks ≥ 4 — required
+        // just below — gives ≤ 2^18 keys at any corpus size), so the
+        // oversized-group key set is always broadcastable. The group-size
+        // aggregate (partial-agg combined, its exchange carries only
+        // distinct keys) feeds a broadcast of the > saltChunkSize keys;
+        // the codegen'd raw self-join then runs over only the anti-joined
+        // (proven-small) rows — its largest per-key task is bounded by
+        // saltChunkSize² pairs STRUCTURALLY, no proof job, no
+        // decision-vs-pair-job read race on an un-persisted input — while
+        // ONLY the mega-group rows (not the whole table as in r7) take the
+        // chunk-salted pass: members replicate to their s = ceil(B/chunk)
+        // chunk-PAIR groups (ci, cj) whose exchange spreads a B²/2 clique
+        // over s² tasks, <= 2 chunks of ids buffered per task. On healthy
+        // corpora the mega side is EMPTY and AQE's empty-relation
+        // propagation collapses that whole branch at runtime. The two
+        // routes partition the exact pair set (SkewSpec asserts it vs
+        // brute force; the exhaustive-Hamming DuckDB oracles replay the
+        // contract). Measured (HammingProbe, sf0.1): raw join 0.7 s vs
+        // 1.1-1.5 s for any emitter-based pass; r7's eager decision job
+        // alone was 0.3-0.6 s.
+        require(bw <= 16,
+          "hammingPairs64 exact mode routes skew via a broadcast of the " +
+            "bounded (block_idx, block_val) key space — nBlocks must be >= 4")
+        val megaSizes = broadcast(
+          blocks.groupBy("block_idx", "block_val").agg(count(lit(1)).as("bn"))
+            .filter(col("bn") > saltChunkSize))
+        val small = blocks.join(megaSizes.select("block_idx", "block_val"),
+          Seq("block_idx", "block_val"), "left_anti")
+        val smallPairs = small.as("l").join(small.as("r"), Seq("block_idx", "block_val"))
+          .filter(col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("doc1"), col("r.doc_id").as("doc2"))
+        val megaPairs = blocks.join(megaSizes, Seq("block_idx", "block_val"))
+          .withColumn("s", ceil(col("bn").cast("double") / saltChunkSize).cast("int"))
+          .withColumn("chunk", pmod(xxhash64(col("doc_id")), col("s")).cast("int"))
+          .select(col("block_idx"), col("block_val"), col("doc_id"), col("s"), col("chunk"))
+          .as[(Int, Int, Long, Int, Int)]
+          .flatMap { case (bi, bv, doc, sN, chunk) =>
+            // replicate to every chunk-pair group containing this chunk
+            (0 until sN).iterator.map { other =>
+              (bi, bv, math.min(chunk, other), math.max(chunk, other), doc, chunk)
             }
-            .toDF("block_idx", "block_val", "ci", "cj", "doc_id", "chunk")
-            .repartition(col("block_idx"), col("block_val"), col("ci"), col("cj"))
-            .sortWithinPartitions("block_idx", "block_val", "ci", "cj", "doc_id")
-            .as[(Int, Int, Int, Int, Long, Int)]
-            .mapPartitions(rows => graft.core.BucketPairs.emitChunkPairs(rows))
-            .toDF("doc1", "doc2")
-        }
+          }
+          .toDF("block_idx", "block_val", "ci", "cj", "doc_id", "chunk")
+          .repartition(col("block_idx"), col("block_val"), col("ci"), col("cj"))
+          .sortWithinPartitions("block_idx", "block_val", "ci", "cj", "doc_id")
+          .as[(Int, Int, Int, Int, Long, Int)]
+          .mapPartitions(rows => graft.core.BucketPairs.emitChunkPairs(rows))
+          .toDF("doc1", "doc2")
+        smallPairs.union(megaPairs)
     }
     val h1 = hashes.select(col(idCol).cast("long").as("doc1"), col(hashCol).as("_h1"))
     val h2 = hashes.select(col(idCol).cast("long").as("doc2"), col(hashCol).as("_h2"))
@@ -554,6 +550,63 @@ object Dedup {
     * precompiled whitespace split; higher-order Column lambdas would run
     * interpreted here).
     */
+  /** FNV-1a 64 over the gram's characters with a single space between
+    * tokens — exactly the hash of the string gramRows would build, without
+    * materializing it. Internal join key for [[ngramJaccardPairs]]: two
+    * DISTINCT grams colliding at 64 bits would merge their posting lists
+    * (the substringDupPairs false-positive budget, ~m²/2^65 for m distinct
+    * grams — negligible at any tested corpus; OperatorsSpec pins equality
+    * with the string-keyed formulation on randomized corpora, so a
+    * collision on a test corpus fails loudly).
+    */
+  private[graft] def gramHash(toks: Array[String], i: Int, n: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var j = 0
+    while (j < n) {
+      if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+      val t = toks(i + j)
+      var k = 0
+      while (k < t.length) { h ^= t.charAt(k).toLong; h *= 0x100000001b3L; k += 1 }
+      j += 1
+    }
+    h
+  }
+
+  /** (doc_id, gram_hash) rows, DISTINCT hashes per doc — the hashed-key
+    * twin of [[gramRows]] (sorted-array dedup, no string building, no
+    * boxing): 16-byte fixed rows through the gram exchange instead of
+    * ~30-40-byte string rows, and long-keyed hash aggs/joins downstream.
+    */
+  private def gramHashRows(docs: DataFrame, n: Int, idCol: String, textCol: String) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Spread(docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = if (text == null) "" else text.trim
+        if (t.isEmpty) Iterator.empty
+        else {
+          val toks = Dedup.WsPattern.split(t)
+          if (toks.length < n) Iterator.empty
+          else {
+            val hs = new Array[Long](toks.length - n + 1)
+            var i = 0
+            while (i + n <= toks.length) { hs(i) = gramHash(toks, i, n); i += 1 }
+            java.util.Arrays.sort(hs)
+            new Iterator[(Long, Long)] {
+              private var k = 0
+              def hasNext: Boolean = k < hs.length
+              def next(): (Long, Long) = {
+                val v = hs(k); k += 1
+                while (k < hs.length && hs(k) == v) k += 1 // skip duplicates
+                (id, v)
+              }
+            }
+          }
+        }
+      }
+  }
+
   private def gramRows(docs: DataFrame, n: Int, idCol: String, textCol: String) = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -591,17 +644,28 @@ object Dedup {
     * they contribute candidates, not discrimination), one groupBy(pair).
     * The per-row division is exact IEEE in both engines, so results
     * hash-match the oracle.
+    *
+    * Round 8: the internal join/agg key is the 64-bit [[gramHash]] of the
+    * gram, not the gram string — 16-byte fixed rows through the gram
+    * exchange (measured ~2x the string-keyed kernel at 50k docs) with
+    * identical output absent a 64-bit collision between distinct grams
+    * (the stated substringDupPairs-style false-positive budget; the
+    * string-keyed formulation is kept under `hashedGrams = false` and
+    * OperatorsSpec pins the two equal on randomized corpora).
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
                         idCol: String = "doc_id", textCol: String = "text",
-                        maxGramDocFreq: Option[Int] = None): DataFrame = {
+                        maxGramDocFreq: Option[Int] = None,
+                        hashedGrams: Boolean = true): DataFrame = {
     // typed kernel for gram construction (gramRows): Spark's higher-order
     // transform/sequence/slice lambdas evaluate interpreted per element —
     // a plain sliding window over the split tokens is ~10x faster and
     // byte-identical (both sides split on whitespace runs of the trimmed
     // text; the corpus is single-space separated)
-    val grams = gramRows(docs, n, idCol, textCol)
-      .toDF("doc_id", "gram")
+    val gramSrc =
+      if (hashedGrams) gramHashRows(docs, n, idCol, textCol).toDF("doc_id", "gram")
+      else gramRows(docs, n, idCol, textCol).toDF("doc_id", "gram")
+    val grams = gramSrc
       // PRE-PARTITIONED BY THE JOIN KEY before the persist: the doc-freq
       // agg, its semi-join, and the a/b self-join are all gram-keyed — a
       // cache already hash-partitioned on gram satisfies every one of those

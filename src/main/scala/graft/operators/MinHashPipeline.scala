@@ -112,22 +112,33 @@ object MinHashPipeline {
       case None =>
         // Parity mode: the FULL clique of every bucket (reference
         // semantics), with explicit salting so a mega-bucket's B² pairs are
-        // generated by many tasks, not one. Buckets <= saltChunkSize go
-        // through the single-shuffle streaming emitter; larger buckets are
-        // split into s = ceil(B / chunk) hash-salted chunks, every member is
-        // replicated to its s chunk-PAIR groups (ci, cj), and a second
-        // sorted pass emits cross/within-chunk pairs with <= 2*chunk ids
-        // buffered per task. Union is the exact clique, deduped by the
-        // final distinct (which parity mode needs anyway for ∃-band).
-        val sizes = buckets.groupBy("band_idx", "band_hash").agg(count(lit(1)).as("bn"))
-        val small = buckets.join(sizes.filter(col("bn") <= saltChunkSize),
-          Seq("band_idx", "band_hash"), "left_semi")
-        val smallPairs = byKeys(small, col("band_idx"), col("band_hash"))
-          .as[(Int, Int, Long)]
+        // generated by many tasks, not one. ONE exchange of the exploded
+        // bucket table (round 8 — the r7 shape shuffled/recomputed the
+        // explode three times: the sizes agg plus one byKeys exchange per
+        // branch, and the concurrent leaf stages raced to build the
+        // signatures cache, duplicating the kernel; measured in the r8
+        // stage ledger as two ~6 CPU-s explode stages per run): repartition
+        // the explode FIRST, then derive the group sizes (agg preserves the
+        // (band_idx, band_hash) hash partitioning — no second exchange) and
+        // join them back in-partition. Buckets <= saltChunkSize stream
+        // their clique from the sorted emitter; larger buckets split into
+        // s = ceil(B / chunk) hash-salted chunks, every member replicated
+        // to its s chunk-PAIR groups (ci, cj), and a second sorted pass
+        // (over ONLY the mega-bucket rows — empty on healthy corpora, AQE
+        // propagates the empty branch) emits cross/within-chunk pairs with
+        // <= 2*chunk ids buffered per task. Union is the exact clique,
+        // deduped by the final distinct (which parity mode needs anyway
+        // for ∃-band).
+        val parted = byKeys(buckets, col("band_idx"), col("band_hash"))
+        val sizes = parted.groupBy("band_idx", "band_hash").agg(count(lit(1)).as("bn"))
+        val sized = parted.join(sizes, Seq("band_idx", "band_hash"))
+        val smallPairs = sized.filter(col("bn") <= saltChunkSize)
+          .select(col("band_idx"), col("band_hash"), col("doc_id"))
           .sortWithinPartitions("band_idx", "band_hash", "doc_id")
+          .as[(Int, Int, Long)]
           .mapPartitions(rows => graft.core.BucketPairs.emit(rows, Int.MaxValue))
           .toDF("doc1", "doc2")
-        val big = buckets.join(sizes.filter(col("bn") > saltChunkSize), Seq("band_idx", "band_hash"))
+        val big = sized.filter(col("bn") > saltChunkSize)
           .withColumn("s", ceil(col("bn").cast("double") / saltChunkSize).cast("int"))
           .withColumn("chunk", pmod(xxhash64(col("doc_id")), col("s")).cast("int"))
         val bigPairs = byKeys(big

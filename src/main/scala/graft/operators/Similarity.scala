@@ -551,15 +551,20 @@ object Similarity {
     // tag excludes nProbe: codes depend only on (vec, books) and the
     // assignment probes[1] (identical for any nProbe >= 1) — a probe-width
     // change re-derives the cells but never re-encodes
+    // collected ONCE and shared by the encoder closure and the ADC
+    // broadcast (ADVICE r7: a fresh build used to collect + re-assemble the
+    // books table twice); lazy so a resumed run (pq_codes stage skipped)
+    // still collects only when the broadcast needs it
+    lazy val books = collectBooks()
     val codesDf = store.stage("pq_codes", fp, bookCfg, log) {
-      val bks = collectBooks()
+      val bks = books
       cellsDf.select(col("vid"), element_at(col("probes"), 1).as("centroid_id"),
           col("vec"))
         .as[(Long, Int, Array[Double])]
         .mapPartitions(_.map { case (vid, c, v) => (vid, c, pqEncode(v, bks)) })
         .toDF("vid", "centroid_id", "codes")
     }
-    val booksBc = spark.sparkContext.broadcast(collectBooks())
+    val booksBc = spark.sparkContext.broadcast(books)
     val probes = cellsDf.select(col("vid").as("query_id"), col("vec").as("q_vec"),
       explode(col("probes")).as("centroid_id"))
     val nbr = codesDf.select(col("vid").as("nbr_id"), col("centroid_id"), col("codes"))

@@ -42,8 +42,27 @@ class ConnectedComponentsSpec extends SparkSpec {
     val edges = (0L until 30L).map(i => (i, i + 1)).toDF("doc1", "doc2")
     val docs = (0L until 31L).toDF("doc_id")
     intercept[IllegalStateException] {
-      ConnectedComponents.cluster(edges, docs, maxIter = 1)
+      // driverEdgeLimit = 0: the loop path is what can fail to converge
+      ConnectedComponents.cluster(edges, docs, maxIter = 1, driverEdgeLimit = 0L)
     }
+  }
+
+  test("driver union-find fast path equals the distributed loop") {
+    // round-8: <= driverEdgeLimit edges are solved by a bounded driver
+    // union-find; the labels must be identical to the loop's fixpoint on
+    // chains, cliques, merged components and singletons
+    val rng = new scala.util.Random(77)
+    val edges = ((0L until 25L).map(i => (i, i + 1)) ++          // chain
+      (0 until 40).map(_ => (100L + rng.nextInt(12), 100L + rng.nextInt(12))) ++ // dense blob
+      Seq((200L, 300L), (300L, 250L), (250L, 201L))              // merge via hops
+    ).filter(e => e._1 != e._2).map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .toDF("doc1", "doc2")
+    val docs = ((0L to 30L) ++ (95L to 130L) ++ (200L to 310L)).toDF("doc_id")
+    val fast = ConnectedComponents.cluster(edges, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val loop = ConnectedComponents.cluster(edges, docs, driverEdgeLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == loop)
   }
 
   test("reliable checkpoint mode survives and matches localCheckpoint mode") {

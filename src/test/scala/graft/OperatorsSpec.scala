@@ -143,6 +143,29 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ngramJaccardPairs: hashed gram key equals the string-keyed formulation on randomized corpora") {
+    // round-8 optimization: the internal join key is gramHash(gram), not
+    // the gram string — output must be identical (a 64-bit collision
+    // between distinct grams on these corpora would fail this loudly)
+    val rng = new scala.util.Random(1213)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa", "mu", "nu", "xi", "", "o o", "Ωmega", "tab\tsep")
+    for (trial <- 0 until 3) {
+      val rows = (0L until 60L).map { id =>
+        val len = 3 + rng.nextInt(25)
+        (id, (0 until len).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" "))
+      }
+      val d = rows.toDF("doc_id", "text")
+      val cap = if (trial == 2) Some(10) else None
+      def rowsOf(hashed: Boolean) =
+        Dedup.ngramJaccardPairs(d, n = 2 + trial % 2, minJaccard = 0.05,
+            maxGramDocFreq = cap, hashedGrams = hashed)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(rowsOf(true) == rowsOf(false), s"trial $trial")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("gram doc-frequency cap drops only hot grams") {
     // 'the quick' appears in 3 docs; cap=2 removes it but near-dup pairs
     // survive via the remaining grams
