@@ -217,15 +217,18 @@ object SparkEntry {
     }),
     "q_minhash_clusters" -> ((s, dir) => {
       val docs = docsAsCorpus(s, dir)
+      // runUnsorted: clustering discards pair order — run()'s trailing
+      // reference-CSV sort would cost a range-partitioner SAMPLING pass
+      // that executes the pair subtree twice (round 8)
       ConnectedComponents
-        .cluster(MinHashPipeline.run(docs, docCfg), docs.select("doc_id"))
+        .cluster(MinHashPipeline.runUnsorted(docs, docCfg), docs.select("doc_id"))
         .orderBy("doc_id")
     }),
     "q_dedup_corpus" -> ((s, dir) => {
       // the end product: one representative doc per near-dup cluster
       val docs = docsAsCorpus(s, dir)
       val clusters = ConnectedComponents
-        .cluster(MinHashPipeline.run(docs, docCfg), docs.select("doc_id"))
+        .cluster(MinHashPipeline.runUnsorted(docs, docCfg), docs.select("doc_id"))
       Dedup.keepRepresentatives(docs, clusters)
         .select(col("doc_id"), length(col("content")).as("n_chars"))
         .orderBy("doc_id")
@@ -241,7 +244,7 @@ object SparkEntry {
       val docs = documents(s, dir)
       val corpus = docsAsCorpus(s, dir)
       val clusters = ConnectedComponents
-        .cluster(MinHashPipeline.run(corpus, docCfg), corpus.select("doc_id"))
+        .cluster(MinHashPipeline.runUnsorted(corpus, docCfg), corpus.select("doc_id"))
       val t = col("text")
       val nToks = TextAnalysis.tokenCountWs(t).cast("long")
       val nPunct = (length(t) - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))).cast("long")

@@ -229,15 +229,25 @@ object MinHashPipeline {
     * without recomputing — Verify clears the cache between queries,
     * Bench/Main manage their own persistence explicitly.
     */
-  def run(docs: DataFrame, cfg: MinHashConfig, starCapBucketSize: Option[Int] = None): DataFrame = {
+  def run(docs: DataFrame, cfg: MinHashConfig, starCapBucketSize: Option[Int] = None): DataFrame =
+    runUnsorted(docs, cfg, starCapBucketSize).orderBy("doc1", "doc2")
+
+  /** [[run]] without the trailing reference-CSV sort — for consumers whose
+    * next operator discards row order (ConnectedComponents, dedup-survivor
+    * joins). The orderBy is not merely a sort: its range partitioner runs a
+    * SAMPLING pass that executes the whole pair subtree a second time
+    * (round 8, plan ledger of q_minhash_clusters) — callers that feed a
+    * clustering/join stage must never pay it. Same cache-lifetime contract
+    * as [[run]].
+    */
+  def runUnsorted(docs: DataFrame, cfg: MinHashConfig,
+                  starCapBucketSize: Option[Int] = None): DataFrame = {
     // NOT pre-partitioned on doc_id (unlike the gram/window kernels in
     // Dedup): signature rows carry the full signature arrays, so one extra
     // repartition of that payload costs more than the two join-side
     // shuffles it would save — measured 2.0 s vs 1.7 s on q_minhash_pairs
     val sigs = signatures(docs, cfg).toDF().cache()
-    val out = pairs(candidates(sigs, starCapBucketSize), sigs, cfg)
-      .orderBy("doc1", "doc2")
-    out
+    pairs(candidates(sigs, starCapBucketSize), sigs, cfg)
   }
 
   /** Distributed sink in the reference's CSV shape (O16): header

@@ -359,6 +359,10 @@ object Similarity {
               seed: Long = 42L, multiProbe: Boolean = true, nProbes: Int = 4,
               queries: Option[DataFrame] = None,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // SERVING-REGIME PRECONDITION (applies to lshTopK/ivfTopK/pqTopK alike):
+    // a `queries` batch SHARES the corpus id space — same id must mean same
+    // vector. The query_id =!= nbr_id self-exclusion otherwise silently
+    // drops the unrelated corpus vector that happens to carry a query's id.
     // multiProbe with nProbes=0 degrades to plain bucket probing (NOT an
     // empty probe list, which would posexplode to zero probe rows and
     // silently return no neighbors at all)
